@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{QueryDef, Tables}
+
+/** Fit-side statistical operators from SURVEY §2.4 / §2.5, expressed over
+  * the documents / embeddings tables:
+  *  - f6_anova_f  → SFASupervised.getFoneway   (SFASupervised.java:105-219)
+  *  - f7_chi2     → WEASEL.trainChiSquared     (WEASEL.java:217-339)
+  *  - f10_tfidf   → BOSSVS.createTfIdf         (BOSSVS.java:58-110,131-145)
+  *  - f11_folds   → Classifier.generateIndices (Classifier.java:666-746)
+  *  - j1_nn_bag   → BOSS 1-NN bag-distance join (BOSSEnsembleClassifier.java:184-236)
+  *
+  * Scale notes: every aggregate here is a groupBy on a high-cardinality key
+  * (word or (coef,label)) with map-side partial aggregation; the per-class /
+  * per-coef reductions are tiny. The 1-NN join uses the inverted-index
+  * (equi-join on word) formulation — the scalable alternative to the
+  * reference's all-pairs scan.
+  */
+object Stats {
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+
+  private val tokensCte =
+    """tok AS (
+      |  SELECT doc_id, lang, word FROM (
+      |    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word FROM documents) u
+      |  WHERE word <> '')""".stripMargin
+
+  /** F6: one-way ANOVA F statistic per embedding coefficient across labels.
+    * Element values are scaled to exact integers (×10⁴) so all sums are
+    * order-independent; only the final per-group reduction is floating
+    * point, rounded to 4 dp.
+    */
+  private def anovaF(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("i", (col("pos") + 1).cast("long"))
+      .withColumn("vi", round(col("v").cast("double") * 10000).cast("long"))
+    val perGroup = e.groupBy("i", "label")
+      .agg(count(lit(1)).as("n_g"), sum("vi").as("s_g"), sum(col("vi") * col("vi")).as("ssq_g"))
+    perGroup.groupBy("i")
+      .agg(
+        count(lit(1)).as("k"),
+        sum("n_g").as("nn"),
+        sum("s_g").as("ss"),
+        sum("ssq_g").as("ssqt"),
+        sum(col("s_g") * col("s_g") / col("n_g")).as("sb"))
+      .withColumn("ssb", col("sb") - col("ss") * col("ss") / col("nn"))
+      .withColumn("ssw", col("ssqt") - col("sb"))
+      .withColumn("f_stat", round(
+        (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("nn") - col("k"))), 4))
+      .select("i", "f_stat")
+      .orderBy("i")
+  }
+
+  private val anovaSql =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    UNNEST(generate_series(1, len(embedding))) AS i,
+      |    CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 10000) AS BIGINT) AS vi
+      |  FROM embeddings
+      |), g AS (
+      |  SELECT i, label, COUNT(*) AS n_g,
+      |    CAST(SUM(vi) AS BIGINT) AS s_g,
+      |    CAST(SUM(vi*vi) AS BIGINT) AS ssq_g
+      |  FROM e GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT i, COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS nn,
+      |    CAST(SUM(s_g) AS BIGINT) AS ss, CAST(SUM(ssq_g) AS BIGINT) AS ssqt,
+      |    SUM(s_g*s_g/n_g) AS sb
+      |  FROM g GROUP BY 1
+      |)
+      |SELECT CAST(i AS BIGINT) AS i,
+      |  ROUND(((sb - ss*ss/nn) / (k-1)) / ((ssqt - sb) / (nn-k)), 4) AS f_stat
+      |FROM tot ORDER BY i""".stripMargin
+
+  /** F7: χ² of word × lang contingency (WEASEL feature selection), for words
+    * with total frequency ≥ 50. Counts are integers; χ² rounded to 4 dp.
+    */
+  private def chi2(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(s, dir)
+    val cell = tok.groupBy("word", "lang").agg(count(lit(1)).as("obs"))
+    val byWord = tok.groupBy("word").agg(count(lit(1)).as("wtot"))
+    val byLang = tok.groupBy("lang").agg(count(lit(1)).as("ltot"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    cell.join(byWord, "word").join(broadcast(byLang), "lang").crossJoin(broadcast(n))
+      .withColumn("exp", col("wtot") * col("ltot") / col("n"))
+      .withColumn("term", (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
+      .groupBy("word")
+      .agg(max("wtot").as("wtot"), sum("term").as("chi2raw"))
+      .filter(col("wtot") >= 50)
+      .withColumn("chi2", round(col("chi2raw"), 4))
+      .select("word", "wtot", "chi2")
+      .orderBy("word")
+  }
+
+  private val chi2Sql =
+    s"""WITH $tokensCte,
+      |cell AS (SELECT word, lang, COUNT(*) AS obs FROM tok GROUP BY 1, 2),
+      |bw AS (SELECT word, COUNT(*) AS wtot FROM tok GROUP BY 1),
+      |bl AS (SELECT lang, COUNT(*) AS ltot FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM tok),
+      |terms AS (
+      |  SELECT c.word, bw.wtot,
+      |    (c.obs - bw.wtot*bl.ltot/n.n)*(c.obs - bw.wtot*bl.ltot/n.n)/(bw.wtot*bl.ltot/n.n) AS term
+      |  FROM cell c JOIN bw USING (word) JOIN bl USING (lang), n
+      |)
+      |SELECT word, CAST(MAX(wtot) AS BIGINT) AS wtot, ROUND(SUM(term), 4) AS chi2
+      |FROM terms GROUP BY word HAVING MAX(wtot) >= 50 ORDER BY word""".stripMargin
+
+  /** F10: BOSS VS class tf-idf vectors over (lang = class, word = pattern).
+    * weight = (1+log10 tf)/log10(1+K/df), 0 if df==K; then L2-normalised
+    * per class (BOSSVS.java:88-99,131-145). Rounded to 5 dp.
+    */
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(s, dir)
+    val tf = tok.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val k = tf.select(countDistinct("lang").as("k"))
+    val weighted = tf.join(df, "word").crossJoin(broadcast(k))
+      .withColumn("w",
+        when(col("df") === col("k"), lit(0.0))
+          .otherwise((lit(1.0) + log10(col("tf"))) / log10(lit(1.0) + col("k") / col("df").cast("double"))))
+    val norm = Window.partitionBy("lang")
+    weighted
+      .withColumn("l2", sqrt(sum(col("w") * col("w")).over(norm)))
+      .withColumn("nweight", round(when(col("l2") > 0, col("w") / col("l2")).otherwise(col("w")), 5))
+      .select("lang", "word", "tf", "nweight")
+      .orderBy("lang", "word")
+  }
+
+  private val tfidfSql =
+    s"""WITH $tokensCte,
+      |tf AS (SELECT lang, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |k AS (SELECT COUNT(DISTINCT lang) AS k FROM tf),
+      |wt AS (
+      |  SELECT tf.lang, tf.word, tf.tf,
+      |    CASE WHEN df.df = k.k THEN 0.0
+      |         ELSE (1.0 + LOG10(tf.tf)) / LOG10(1.0 + k.k / CAST(df.df AS DOUBLE)) END AS w
+      |  FROM tf JOIN df USING (word), k
+      |)
+      |SELECT lang, word, tf,
+      |  ROUND(CASE WHEN l2 > 0 THEN w/l2 ELSE w END, 5) AS nweight
+      |FROM (SELECT *, SQRT(SUM(w*w) OVER (PARTITION BY lang)) AS l2 FROM wt) t
+      |ORDER BY lang, word""".stripMargin
+
+  /** F11: stratified 10-fold assignment (round-robin within each label). */
+  private def folds(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    Tables.load(s, dir, "embeddings")
+      .withColumn("fold", ((row_number().over(w) - 1) % 10).cast("long"))
+      .groupBy("label", "fold")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "fold")
+  }
+
+  private val foldsSql =
+    """SELECT label, (ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1) % 10 AS fold,
+      |  COUNT(*) AS n
+      |FROM embeddings GROUP BY label, fold ORDER BY label, fold""".stripMargin
+    // note: DuckDB disallows window fns in GROUP BY directly; rewritten below.
+
+  private val foldsSqlSafe =
+    """WITH f AS (
+      |  SELECT label,
+      |    (ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1) % 10 AS fold
+      |  FROM embeddings)
+      |SELECT label, CAST(fold AS BIGINT) AS fold, COUNT(*) AS n
+      |FROM f GROUP BY 1, 2 ORDER BY label, fold""".stripMargin
+
+  /** J1: BOSS 1-NN bag-distance classification of held-out documents
+    * (doc_id % 10 == 0) against the rest. Distance iterates the TEST bag
+    * only (reference asymmetry): dist = Σ_shared (tc−rc)² − Σ_shared tc² +
+    * Σ_all tc². Formulated as an inverted-index equi-join on word — the
+    * scalable replacement for the reference's all-pairs scan (pairs sharing
+    * no word are pruned; with a shared vocabulary that prunes nothing and
+    * matches the scan exactly). All distances are exact integers.
+    */
+  private def nnBag(s: SparkSession, dir: String): DataFrame = {
+    val bags = tokens(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val test = bags.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("tid"), col("word"), col("c").as("tc"))
+    val train = bags.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("rid"), col("word"), col("c").as("rc"))
+    val selfSq = test.groupBy("tid").agg(sum(col("tc") * col("tc")).as("selfsq"))
+    val shared = test.join(train, "word")
+      .groupBy("tid", "rid")
+      .agg(
+        sum((col("tc") - col("rc")) * (col("tc") - col("rc"))).as("sdist"),
+        sum(col("tc") * col("tc")).as("tshared"))
+    val dists = shared.join(selfSq, "tid")
+      .withColumn("dist", (col("sdist") - col("tshared") + col("selfsq")).cast("long"))
+    val w = Window.partitionBy("tid").orderBy(col("dist"), col("rid"))
+    val nn = dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang").as("pred_lang"))
+    nn.join(docs, nn("rid") === docs("doc_id"))
+      .select(col("tid").as("test_id"), col("rid").as("nn_id"), col("dist"), col("pred_lang"))
+      .orderBy("test_id")
+  }
+
+  private val nnBagSql =
+    s"""WITH $tokensCte,
+      |bags AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |test AS (SELECT doc_id AS tid, word, c AS tc FROM bags WHERE doc_id % 10 = 0),
+      |train AS (SELECT doc_id AS rid, word, c AS rc FROM bags WHERE doc_id % 10 <> 0),
+      |selfsq AS (SELECT tid, CAST(SUM(tc*tc) AS BIGINT) AS selfsq FROM test GROUP BY 1),
+      |shared AS (
+      |  SELECT t.tid, r.rid,
+      |    CAST(SUM((t.tc - r.rc)*(t.tc - r.rc)) AS BIGINT) AS sdist,
+      |    CAST(SUM(t.tc*t.tc) AS BIGINT) AS tshared
+      |  FROM test t JOIN train r USING (word) GROUP BY 1, 2
+      |),
+      |dists AS (
+      |  SELECT s.tid, s.rid, CAST(s.sdist - s.tshared + f.selfsq AS BIGINT) AS dist
+      |  FROM shared s JOIN selfsq f USING (tid)
+      |),
+      |ranked AS (
+      |  SELECT tid, rid, dist, ROW_NUMBER() OVER (PARTITION BY tid ORDER BY dist, rid) AS rn
+      |  FROM dists
+      |)
+      |SELECT r.tid AS test_id, r.rid AS nn_id, r.dist, d.lang AS pred_lang
+      |FROM ranked r JOIN documents d ON d.doc_id = r.rid
+      |WHERE rn = 1 ORDER BY test_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "f6_anova_f" -> QueryDef.sql(anovaF, anovaSql),
+    "f7_chi2_selection" -> QueryDef.sql(chi2, chi2Sql),
+    "f10_tfidf_class" -> QueryDef.sql(tfidf, tfidfSql),
+    "f11_stratified_folds" -> QueryDef.sql(folds, foldsSqlSafe),
+    "j1_nn_bag_join" -> QueryDef.sql(nnBag, nnBagSql))
+}
