@@ -1,0 +1,170 @@
+package graft.sfa
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed SFA operators over an event-log table — the single-config
+  * query surface registered in SparkEntry (the grid/ensemble form lives
+  * in [[Boss]]).
+  *
+  * Series model: `events(user_id, ts, event_id, value)` → one series per
+  * user ordered by (ts, event_id). The per-series array is bounded by
+  * series length (not dataset size), so the only shuffle is the
+  * `groupBy(user_id)` — the same key every downstream stage reuses.
+  */
+object SFAOps {
+
+  /** (user_id LONG, data ARRAY<DOUBLE>) — one row per series. */
+  def seriesOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("pts"))
+      .select(col("user_id"), expr("transform(pts, p -> p.value)").as("data"))
+
+  /** Disjoint-window Fourier approximations (the quantizer-fit input):
+    * z-norm each complete window (σ-division only when !normMean), direct
+    * DFT, keep `l` values. Output: (user_id, win, coef, v) with `v`
+    * unrounded (rounding is applied by callers per use).
+    */
+  def disjointApprox(
+      series: DataFrame,
+      windowSize: Int,
+      l: Int,
+      normMean: Boolean): DataFrame = {
+    val udfApprox = udf { (data: Seq[Double]) =>
+      val arr = data.toArray
+      SFA.disjointWindows(arr, windowSize, normMean).map { w =>
+        Fourier.transformWindow(w, 0, windowSize, l, normMean, lowerBounding = true)
+      }
+    }
+    series
+      .select(col("user_id"), posexplode(udfApprox(col("data"))).as(Seq("win", "approx")))
+      .select(col("user_id"), col("win"), posexplode(col("approx")).as(Seq("coef", "v")))
+  }
+
+  /** Equi-depth bin edges per coefficient from the 2-decimal-rounded
+    * orderline (SFA.java:392-450). Output: (coef, pos, edge), assigned
+    * edges only. The per-coefficient collect is bounded by the fit
+    * sample size — the reference fits on disjoint windows for exactly
+    * this cost reason; at extreme scale the fit input is itself sampled.
+    */
+  def equiDepthBins(approx: DataFrame, alphabetSize: Int): DataFrame = {
+    val edgesUdf = udf { (vals: Seq[Double]) =>
+      SFA.equiDepthEdges(vals.sorted.toArray, alphabetSize)
+        .zipWithIndex.collect { case (e, p) if e != Double.MaxValue => (p, e) }
+    }
+    approx
+      .select(col("coef"), round(col("v"), 2).as("v2"))
+      .groupBy(col("coef"))
+      .agg(edgesUdf(collect_list(col("v2"))).as("edges"))
+      .select(col("coef"), explode(col("edges")).as("pe"))
+      .select(col("coef"), col("pe._1").as("pos"), col("pe._2").as("edge"))
+  }
+
+  /** Collect (coef, pos, edge) rows into a bins matrix. */
+  def collectBins(bins: DataFrame, wordLength: Int, alphabetSize: Int): Array[Array[Double]] = {
+    val m = Array.fill(wordLength)(Array.fill(alphabetSize - 1)(Double.MaxValue))
+    bins.collect().foreach { r =>
+      m(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    m
+  }
+
+  /** Quantize per-window approximations against broadcast bins and pack
+    * into words: symbol = #edges ≤ value, word = Σ symbol_c << (bits·c).
+    * Input rows: (user_id, win, coef, v); output: (user_id, win, word).
+    * Pure built-in expressions — stays in whole-stage codegen.
+    */
+  def packWords(
+      approx: DataFrame,
+      bins: DataFrame,
+      usedBits: Int): DataFrame = {
+    val joined = approx.join(broadcast(bins), Seq("coef"), "left")
+    joined
+      .groupBy(col("user_id"), col("win"), col("coef"))
+      .agg(sum(when(col("edge").isNotNull && col("v") >= col("edge"), 1L).otherwise(0L))
+        .as("symbol"))
+      .groupBy(col("user_id"), col("win"))
+      .agg(sum(col("symbol") * expr(s"shiftleft(1L, coef * $usedBits)")).as("word"))
+  }
+
+  /** Sliding-window Fourier approximations by direct per-window DFT with
+    * per-window 1/σ scaling — the oracle-checkable sliding path (the
+    * O(1)-per-step MFT recurrence is the perf path, validated by the
+    * FourierSpec parity suite). Output: (user_id, win, coef, v).
+    * Series shorter than the window are excluded (they take the padded
+    * single-window path, which the SQL oracle does not model).
+    */
+  def slidingApproxDirect(
+      series: DataFrame,
+      windowSize: Int,
+      l: Int,
+      normMean: Boolean): DataFrame = {
+    val udfApprox = udf { (data: Seq[Double]) =>
+      val arr = data.toArray
+      val (_, stds) = Fourier.rollingMeanStdDirect(arr, windowSize)
+      Array.tabulate(arr.length - windowSize + 1) { t =>
+        val direct = Fourier.transformWindow(arr, t, windowSize, l, normMean, lowerBounding = true)
+        val f = if (stds(t) > 0) 1.0 / stds(t) else 1.0
+        direct.map(_ * f)
+      }
+    }
+    series
+      .filter(size(col("data")) >= windowSize)
+      .select(col("user_id"), posexplode(udfApprox(col("data"))).as(Seq("win", "approx")))
+      .select(col("user_id"), col("win"), posexplode(col("approx")).as(Seq("coef", "v")))
+  }
+
+  /** Sliding approximations via the MFT recurrence (the scale path). */
+  def slidingApproxMft(
+      series: DataFrame,
+      windowSize: Int,
+      l: Int,
+      normMean: Boolean): DataFrame = {
+    val udfApprox = udf { (data: Seq[Double]) =>
+      Fourier.transformWindowing(data.toArray, windowSize, l, normMean,
+        lowerBounding = true, applyZNorm = true)
+    }
+    series
+      .select(col("user_id"), posexplode(udfApprox(col("data"))).as(Seq("win", "approx")))
+      .select(col("user_id"), col("win"), posexplode(col("approx")).as(Seq("coef", "v")))
+  }
+
+  /** Numerosity-reduced bag of packed words per series
+    * (BOSS.java:116-145): drop a window whose word equals the previous
+    * offset's, count the survivors. Input: (user_id, win, word).
+    */
+  def bagOfWords(words: DataFrame): DataFrame = {
+    val byOffset = Window.partitionBy(col("user_id")).orderBy(col("win"))
+    words
+      .withColumn("prev", lag(col("word"), 1).over(byOffset))
+      .filter(col("prev").isNull || col("prev") =!= col("word"))
+      .groupBy(col("user_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Asymmetric 1-NN bag join between a test and train split (J1):
+    * dist = Σ_{test words}(tc−nc)², candidates from the word equi-join,
+    * reference guards (skip dist==noMatch and dist==0; ties → smaller
+    * train id). Input bags: (user_id, word, cnt).
+    * Output: (test_id, nn_id, dist).
+    */
+  def nnBagJoin(testBags: DataFrame, trainBags: DataFrame): DataFrame = {
+    val t = testBags.select(col("user_id").as("test_id"), col("word"), col("cnt").as("tc"))
+    val n = trainBags.select(col("user_id").as("train_id"), col("word"), col("cnt").as("nc"))
+    val noMatch = t.groupBy(col("test_id")).agg(sum(col("tc") * col("tc")).as("no_match"))
+    val pairs = t.join(n, Seq("word"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(sum((col("tc") - col("nc")) * (col("tc") - col("nc")) - col("tc") * col("tc"))
+        .as("delta"))
+      .join(noMatch, Seq("test_id"))
+      .withColumn("dist", col("delta") + col("no_match"))
+      .filter(col("dist") =!= col("no_match") && col("dist") > 0)
+    val byDist = Window.partitionBy(col("test_id")).orderBy(col("dist").asc, col("train_id").asc)
+    pairs.withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("test_id"), col("train_id").as("nn_id"), col("dist"))
+  }
+}
