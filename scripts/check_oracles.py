@@ -55,7 +55,8 @@ for name in sorted(oracle):
         if not status:
             for c in a.columns:
                 if str(a[c].dtype) != str(b[c].dtype):
-                    status.append(f"dtype {c}: {a[c].dtype} vs {b[c].dtype} (soft)")
+                    # soft: informational only, does not fail the pre-flight
+                    print(f"warn  {name}: dtype {c}: {a[c].dtype} vs {b[c].dtype} (soft)")
     if status:
         print(f"FAIL  {name}: {'; '.join(status)}")
         fail += 1

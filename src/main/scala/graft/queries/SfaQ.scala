@@ -1,12 +1,281 @@
 package graft.queries
 
-import graft.util.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.{QueryDef, Tables}
+import graft.sfa.SFAOps
 
-/** SFA-core queries (words, bags, index search) over the events table.
-  * Populated by the transform/sfa packages; non-SQL-expressible parts are
-  * rows-only, validated instead by ScalaTest parity suites (MFT ≡ DFT,
-  * bins monotone, index ≡ brute-force scan).
+/** SFA-core query surface over the `events` table (series key = user_id,
+  * order = (ts, event_id)); single config w=16, l=8, α=4, normMean=false,
+  * lowerBounding=true.
+  *
+  * Operator mapping (reference: /root/reference/src/main/java/sfa/):
+  *  - t3_dft_window      → MFT.transform per disjoint window (MFT.java:65-88)
+  *  - f2_equidepth_bins  → SFA.divideEquiDepthHistogram (SFA.java:436-450),
+  *                         incl. the adjacent-duplicate dedup — the DuckDB
+  *                         oracle replicates the forward scan with a
+  *                         recursive CTE
+  *  - t8_sfa_words       → SFA.quantization + word packing
+  *                         (SFA.java:194-231, Classifier.java:163-192)
+  *  - t2_mft_sliding     → MFT.transformWindowing recurrence
+  *                         (MFT.java:102-161); rows-only — its equality
+  *                         with the per-window transform is proven by the
+  *                         FourierSpec parity suite, and the per-window
+  *                         form is oracle-checked via a1/j1
+  *  - a1_sfa_bags        → BOSS bag of patterns with numerosity reduction
+  *                         (BOSS.java:116-145)
+  *  - j1_nn_sfa_join     → asymmetric 1-NN bag distance
+  *                         (BOSSEnsembleClassifier.java:184-236), words =
+  *                         SFA vocabulary (bounded, ≤ α^l) so the join key
+  *                         is skew-safe at scale
+  *  - a6_accuracy_eval   → Classifier.evalLabels (Classifier.java:116-139)
+  *
+  * All numeric comparisons against DuckDB round derived doubles; symbol /
+  * word / count / distance columns are exact integers.
   */
 object SfaQ {
-  val defs: Map[String, QueryDef] = Map.empty
+
+  private val W = 16
+  private val L = 8
+  private val Alpha = 4
+  private val Bits = 2
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private def series(s: SparkSession, dir: String): DataFrame =
+    SFAOps.seriesOf(events(s, dir))
+
+  private def disjointApprox(s: SparkSession, dir: String): DataFrame =
+    SFAOps.disjointApprox(series(s, dir), W, L, normMean = false)
+
+  private def binsDF(approx: DataFrame): DataFrame =
+    SFAOps.equiDepthBins(approx, Alpha)
+
+  private def slidingBags(s: SparkSession, dir: String): DataFrame = {
+    val ser = series(s, dir).cache()
+    val bins = binsDF(SFAOps.disjointApprox(ser, W, L, normMean = false))
+    val sliding = SFAOps.slidingApproxDirect(ser, W, L, normMean = false)
+    SFAOps.bagOfWords(SFAOps.packWords(sliding, bins, Bits))
+  }
+
+  // ---- Spark implementations ------------------------------------------
+
+  private def t3(s: SparkSession, dir: String): DataFrame =
+    disjointApprox(s, dir)
+      .select(col("user_id"), col("win").cast("long").as("win"),
+        col("coef").cast("long").as("coef"), round(col("v"), 6).as("v"))
+      .orderBy("user_id", "win", "coef")
+
+  private def f2(s: SparkSession, dir: String): DataFrame =
+    binsDF(disjointApprox(s, dir))
+      .select(col("coef").cast("long").as("coef"),
+        col("pos").cast("long").as("pos"), col("edge"))
+      .orderBy("coef", "pos")
+
+  private def t8(s: SparkSession, dir: String): DataFrame = {
+    val approx = disjointApprox(s, dir).cache()
+    SFAOps.packWords(approx, binsDF(approx), Bits)
+      .select(col("user_id"), col("win").cast("long").as("win"), col("word"))
+      .orderBy("user_id", "win")
+  }
+
+  private def t2(s: SparkSession, dir: String): DataFrame =
+    SFAOps.slidingApproxMft(series(s, dir), W, L, normMean = false)
+      .select(col("user_id"), col("win").cast("long").as("win"),
+        col("coef").cast("long").as("coef"), round(col("v"), 4).as("v"))
+      .orderBy("user_id", "win", "coef")
+
+  private def a1(s: SparkSession, dir: String): DataFrame =
+    slidingBags(s, dir)
+      .select(col("user_id"), col("word"), col("cnt"))
+      .orderBy("user_id", "word")
+
+  private def j1(s: SparkSession, dir: String): DataFrame = {
+    val bags = slidingBags(s, dir).cache()
+    SFAOps.nnBagJoin(
+      bags.filter(col("user_id") % 2 === 1),
+      bags.filter(col("user_id") % 2 === 0))
+      .orderBy("test_id")
+  }
+
+  private def a6(s: SparkSession, dir: String): DataFrame = {
+    val nn = j1(s, dir)
+    val totalDf = series(s, dir)
+      .filter(size(col("data")) >= W && col("user_id") % 2 === 1)
+      .agg(count(lit(1)).as("total"))
+    nn.withColumn("ok",
+        when(col("nn_id") % 3 === col("test_id") % 3, 1L).otherwise(0L))
+      .agg(sum(col("ok")).as("correct"))
+      .crossJoin(totalDf)
+      .select(col("correct"), col("total"),
+        round(col("correct").cast("double") / col("total"), 6).as("acc"))
+  }
+
+  // ---- DuckDB oracle SQL ----------------------------------------------
+
+  /** Shared prefix: ordered points, disjoint windows, their z-norm
+    * (σ-division), direct DFT values, rounded orderline and the
+    * recursive equi-depth edge scan.
+    */
+  private val prefix =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, value,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |), dw AS (
+      |  SELECT user_id, idx // 16 AS win, idx % 16 AS j, value
+      |  FROM e WHERE idx // 16 < n // 16
+      |), dst AS (
+      |  SELECT user_id, win,
+      |    SQRT(GREATEST(SUM(value*value)/16.0 - (SUM(value)/16.0)*(SUM(value)/16.0), 0.0)) AS std
+      |  FROM dw GROUP BY 1, 2
+      |), dnx AS (
+      |  SELECT d.user_id, d.win, d.j,
+      |    CASE WHEN s.std <> 0 THEN d.value / s.std ELSE d.value END AS x
+      |  FROM dw d JOIN dst s ON d.user_id = s.user_id AND d.win = s.win
+      |), coefs AS (SELECT UNNEST(RANGE(8)) AS coef
+      |), ddft AS (
+      |  SELECT n.user_id, n.win, c.coef,
+      |    (CASE WHEN c.coef = 1 THEN 0.0
+      |          WHEN c.coef % 2 = 0 THEN SUM(n.x * COS(-2*PI()*n.j*(c.coef//2)/16.0))
+      |          ELSE SUM(n.x * SIN(-2*PI()*n.j*(c.coef//2)/16.0)) END)
+      |    * 0.25 * (CASE WHEN c.coef % 2 = 1 THEN -1.0 ELSE 1.0 END) AS v
+      |  FROM dnx n CROSS JOIN coefs c
+      |  GROUP BY n.user_id, n.win, c.coef
+      |), ol AS (
+      |  SELECT coef, ROUND(v, 2) AS v2,
+      |    ROW_NUMBER() OVER (PARTITION BY coef ORDER BY ROUND(v, 2)) AS rn
+      |  FROM ddft
+      |), olc AS (SELECT coef, COUNT(*) AS n FROM ol GROUP BY 1
+      |), bounds AS (
+      |  SELECT o.coef, CAST(0 AS BIGINT) AS pos, o.v2 AS edge, o.rn
+      |  FROM ol o JOIN olc c ON o.coef = c.coef
+      |  WHERE o.rn = CAST(CEIL(c.n / 4.0) AS BIGINT) + 1
+      |  UNION ALL
+      |  SELECT b.coef, b.pos + 1, nxt.v2, nxt.rn
+      |  FROM bounds b
+      |  JOIN olc c ON c.coef = b.coef
+      |  JOIN LATERAL (
+      |    SELECT o.v2, o.rn FROM ol o
+      |    WHERE o.coef = b.coef
+      |      AND o.rn > GREATEST(CAST(CEIL(c.n / 4.0 * (b.pos + 2)) AS BIGINT), b.rn)
+      |      AND o.v2 <> b.edge
+      |    ORDER BY o.rn LIMIT 1
+      |  ) nxt ON TRUE
+      |  WHERE b.pos + 1 <= 2
+      |)""".stripMargin
+
+  /** Sliding-window continuation: windows, σ, DFT, symbols, packed words,
+    * numerosity-reduced bags (users with ≥16 points).
+    */
+  private val slidingCtes =
+    """, sw AS (
+      |  SELECT e1.user_id, e1.idx AS win, e2.idx - e1.idx AS j, e2.value
+      |  FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+      |    AND e2.idx BETWEEN e1.idx AND e1.idx + 15
+      |  WHERE e1.idx <= e1.n - 16 AND e1.n >= 16
+      |), sst AS (
+      |  SELECT user_id, win,
+      |    SQRT(GREATEST(SUM(value*value)/16.0 - (SUM(value)/16.0)*(SUM(value)/16.0), 0.0)) AS std
+      |  FROM sw GROUP BY 1, 2
+      |), snx AS (
+      |  SELECT w.user_id, w.win, w.j,
+      |    CASE WHEN s.std <> 0 THEN w.value / s.std ELSE w.value END AS x
+      |  FROM sw w JOIN sst s ON w.user_id = s.user_id AND w.win = s.win
+      |), sdft AS (
+      |  SELECT n.user_id, n.win, c.coef,
+      |    (CASE WHEN c.coef = 1 THEN 0.0
+      |          WHEN c.coef % 2 = 0 THEN SUM(n.x * COS(-2*PI()*n.j*(c.coef//2)/16.0))
+      |          ELSE SUM(n.x * SIN(-2*PI()*n.j*(c.coef//2)/16.0)) END)
+      |    * 0.25 * (CASE WHEN c.coef % 2 = 1 THEN -1.0 ELSE 1.0 END) AS v
+      |  FROM snx n CROSS JOIN coefs c
+      |  GROUP BY n.user_id, n.win, c.coef
+      |), ssym AS (
+      |  SELECT d.user_id, d.win, d.coef,
+      |    SUM(CASE WHEN b.edge IS NOT NULL AND d.v >= b.edge THEN 1 ELSE 0 END) AS symbol
+      |  FROM sdft d LEFT JOIN bounds b ON d.coef = b.coef
+      |  GROUP BY 1, 2, 3
+      |), sword AS (
+      |  SELECT user_id, win,
+      |    CAST(SUM(symbol * (CAST(1 AS BIGINT) << CAST(2 * coef AS INTEGER))) AS BIGINT) AS word
+      |  FROM ssym GROUP BY 1, 2
+      |), snum AS (
+      |  SELECT user_id, win, word,
+      |    LAG(word) OVER (PARTITION BY user_id ORDER BY win) AS prev
+      |  FROM sword
+      |), bags AS (
+      |  SELECT user_id, word, COUNT(*) AS cnt FROM snum
+      |  WHERE prev IS NULL OR prev <> word
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** 1-NN continuation over the sliding bags (odd users = test, even =
+    * train); asymmetric distance with the reference's guards.
+    */
+  private val nnCtes =
+    """, tb AS (SELECT * FROM bags WHERE user_id % 2 = 1
+      |), nb AS (SELECT * FROM bags WHERE user_id % 2 = 0
+      |), nm AS (SELECT user_id AS test_id, SUM(cnt*cnt) AS no_match FROM tb GROUP BY 1
+      |), pr AS (
+      |  SELECT t.user_id AS test_id, n.user_id AS train_id,
+      |    SUM((t.cnt - n.cnt)*(t.cnt - n.cnt) - t.cnt*t.cnt) AS delta
+      |  FROM tb t JOIN nb n ON t.word = n.word
+      |  GROUP BY 1, 2
+      |), pd AS (
+      |  SELECT p.test_id, p.train_id, p.delta + m.no_match AS dist
+      |  FROM pr p JOIN nm m ON p.test_id = m.test_id
+      |  WHERE p.delta + m.no_match <> m.no_match AND p.delta + m.no_match > 0
+      |), nn AS (
+      |  SELECT test_id, train_id AS nn_id, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS rn
+      |  FROM pd
+      |)""".stripMargin
+
+  private val t3Sql = prefix +
+    "\nSELECT user_id, win, coef, ROUND(v, 6) AS v FROM ddft ORDER BY user_id, win, coef"
+
+  private val f2Sql = prefix +
+    "\nSELECT coef, pos, edge FROM bounds ORDER BY coef, pos"
+
+  private val t8Sql = prefix +
+    """
+      |, dsym AS (
+      |  SELECT d.user_id, d.win, d.coef,
+      |    SUM(CASE WHEN b.edge IS NOT NULL AND d.v >= b.edge THEN 1 ELSE 0 END) AS symbol
+      |  FROM ddft d LEFT JOIN bounds b ON d.coef = b.coef
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, win,
+      |  CAST(SUM(symbol * (CAST(1 AS BIGINT) << CAST(2 * coef AS INTEGER))) AS BIGINT) AS word
+      |FROM dsym GROUP BY 1, 2 ORDER BY user_id, win""".stripMargin
+
+  private val a1Sql = prefix + slidingCtes +
+    "\nSELECT user_id, word, cnt FROM bags ORDER BY user_id, word"
+
+  private val j1Sql = prefix + slidingCtes + nnCtes +
+    "\nSELECT test_id, nn_id, CAST(dist AS BIGINT) AS dist FROM nn WHERE rn = 1 ORDER BY test_id"
+
+  private val a6Sql = prefix + slidingCtes + nnCtes +
+    """
+      |, tot AS (
+      |  SELECT COUNT(*) AS total FROM (
+      |    SELECT user_id FROM e WHERE user_id % 2 = 1 GROUP BY user_id HAVING COUNT(*) >= 16)
+      |)
+      |SELECT
+      |  CAST(SUM(CASE WHEN nn_id % 3 = test_id % 3 THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+      |  tot.total AS total,
+      |  ROUND(CAST(SUM(CASE WHEN nn_id % 3 = test_id % 3 THEN 1 ELSE 0 END) AS DOUBLE) / tot.total, 6) AS acc
+      |FROM nn, tot WHERE rn = 1 GROUP BY tot.total""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "t3_dft_window" -> QueryDef.sql(t3, t3Sql),
+    "f2_equidepth_bins" -> QueryDef.sql(f2, f2Sql),
+    "t8_sfa_words" -> QueryDef.sql(t8, t8Sql),
+    "t2_mft_sliding" -> QueryDef.rowsOnly(t2,
+      "MFT recurrence sliding transform; ≡ per-window DFT by FourierSpec parity"),
+    "a1_sfa_bags" -> QueryDef.sql(a1, a1Sql),
+    "j1_nn_sfa_join" -> QueryDef.sql(j1, j1Sql),
+    "a6_accuracy_eval" -> QueryDef.sql(a6, a6Sql))
 }
