@@ -11,9 +11,18 @@ import graft.util.{QueryDef, Tables}
   *    never on the raw text bytes;
   *  - near-dup via shingling uses an inverted-index equi-join (shingle →
   *    postings) with a postings-list frequency cap to bound the pair
-  *    blow-up on stop-shingles — the standard scalable formulation;
+  *    blow-up on stop-shingles — the standard scalable formulation. The
+  *    cap drops hot shingles from the similarity estimate (slight
+  *    underestimate); the dropped-shingle count is logged, never silent;
   *  - MinHash LSH shuffles once on the band key; signature hashes are
   *    md5-based so they are engine-portable and deterministic (no RNG).
+  *    The exact-Jaccard verify stage touches ONLY shingles of candidate
+  *    docs (semi-join) — the LSH prefilter actually gates the quadratic
+  *    work, which is the whole point of LSH at scale;
+  *  - SimHash packs a 60-bit fingerprint and finds near-dups by the
+  *    banded-Hamming pigeonhole: hamming ≤ 3 ⇒ at least one of 4 15-bit
+  *    bands equal, so candidates come from 4 equi-joins, verified by
+  *    bit_count(xor) — no cross join anywhere.
   */
 object Dedup {
 
@@ -55,15 +64,27 @@ object Dedup {
       |  FROM ws, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
       |  WHERE len(ws) >= 3)""".stripMargin
 
-  /** N-gram Jaccard near-dup: candidate pairs share ≥1 shingle whose
-    * postings list is ≤ 200 docs (stop-shingle cap); jaccard = |∩|/|∪| from
-    * exact integer set sizes; report pairs with jaccard ≥ 0.1.
+  /** Postings cap: shingles appearing in more than this many docs are
+    * excluded from intersection counting (stop-shingles). */
+  private val PostingsCap = 200
+
+  private def rareShingles(s: SparkSession, sh: DataFrame): DataFrame = {
+    val postings = sh.groupBy("sh").agg(count(lit(1)).as("pf"))
+    val dropped = postings.filter(col("pf") > PostingsCap).count()
+    // silent-cap rule: surface what the cap removed
+    System.err.println(s"[dedup] postings cap $PostingsCap dropped $dropped stop-shingles")
+    sh.join(postings.filter(col("pf") <= PostingsCap), "sh")
+  }
+
+  /** N-gram Jaccard near-dup: candidate pairs share ≥1 capped shingle;
+    * jaccard = |∩|/|∪| from exact integer set sizes; pairs with
+    * (unrounded) jaccard ≥ 0.1 reported — the filter and the oracle use
+    * the identical unrounded predicate, rounding applies to output only.
     */
   private def jaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val postings = sh.groupBy("sh").agg(count(lit(1)).as("pf"))
-    val rare = sh.join(postings.filter(col("pf") <= 200), "sh")
+    val rare = rareShingles(s, sh)
     val a = rare.select(col("sh"), col("doc_id").as("a"))
     val b = rare.select(col("sh"), col("doc_id").as("b"))
     val inter = a.join(b, "sh").filter(col("a") < col("b"))
@@ -71,8 +92,9 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
-      .withColumn("jac", round(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"), 6))
-      .filter(col("jac") >= 0.1)
+      .withColumn("jacRaw", col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jacRaw") >= 0.1)
+      .withColumn("jac", round(col("jacRaw"), 6))
       .select("a", "b", "inter", "jac")
       .orderBy("a", "b")
   }
@@ -81,7 +103,7 @@ object Dedup {
     s"""WITH $shinglesCte,
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
       |pf AS (SELECT sh AS shingle, COUNT(*) AS pf FROM sh GROUP BY 1),
-      |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN pf ON s.sh = pf.shingle WHERE pf.pf <= 200),
+      |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN pf ON s.sh = pf.shingle WHERE pf.pf <= $PostingsCap),
       |inter AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
       |  FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -93,30 +115,42 @@ object Dedup {
       |WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.1
       |ORDER BY a, b""".stripMargin
 
+  /** MinHash band count and rows-per-band: 32 hashes → 8 bands × 4 rows
+    * (candidate threshold ≈ (1/8)^(1/4) ≈ 0.59 jaccard). */
+  private val NumHashes = 32
+  private val RowsPerBand = 4
+
   /** MinHash signatures: h_i(doc) = min over shingles of md5(i‖'|'‖shingle)
     * (lexicographic min of hex digests — portable, deterministic, no RNG).
-    * k=6 hashes → 3 bands × 2 rows; band key = md5(h_{2b}‖h_{2b+1}).
-    * Candidates share a band; verified candidates report their exact
-    * jaccard. One shuffle per stage; band join is an equi-join.
+    * Candidates share a band key; the exact-jaccard verify semi-joins the
+    * shingle index down to candidate docs first, so the quadratic
+    * intersection work is gated by the LSH prefilter. The candidate-pair
+    * count is logged.
     */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
     val hashed = sh
-      .crossJoin(broadcast(s.range(6).select(col("id").as("hi"))))
+      .crossJoin(broadcast(s.range(NumHashes).select(col("id").as("hi"))))
       .withColumn("hv", md5(concat(col("hi").cast("string"), lit("|"), col("sh"))))
       .groupBy("doc_id", "hi").agg(min("hv").as("sig"))
     val bands = hashed
-      .withColumn("band", expr("hi div 2"))
+      .withColumn("band", expr(s"hi div $RowsPerBand"))
       .groupBy("doc_id", "band")
       .agg(md5(concat_ws("", sort_array(collect_list(struct(col("hi"), col("sig"))))
         .getField("sig"))).as("bandkey"))
     val l = bands.select(col("band"), col("bandkey"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("bandkey"), col("doc_id").as("b"))
     val cand = l.join(r, Seq("band", "bandkey")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b").distinct().cache()
+    System.err.println(s"[dedup] minhash LSH candidate pairs: ${cand.count()}")
+
+    // verify: exact jaccard over capped shingles of CANDIDATE docs only
+    val candIds = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val rsh = rareShingles(s, sh).join(candIds, "doc_id")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val x = sh.select(col("sh"), col("doc_id").as("a"))
-    val y = sh.select(col("sh"), col("doc_id").as("b"))
+    val x = rsh.select(col("sh"), col("doc_id").as("a"))
+    val y = rsh.select(col("sh"), col("doc_id").as("b"))
     val inter = x.join(y, "sh").filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     cand.join(inter, Seq("a", "b"), "left")
@@ -132,11 +166,11 @@ object Dedup {
     s"""WITH $shinglesCte,
       |hashed AS (
       |  SELECT doc_id, hi, MIN(md5(CAST(hi AS VARCHAR) || '|' || sh)) AS sig
-      |  FROM sh, UNNEST(generate_series(0, 5)) AS h(hi)
+      |  FROM sh, UNNEST(generate_series(0, ${NumHashes - 1})) AS h(hi)
       |  GROUP BY 1, 2
       |),
       |bands AS (
-      |  SELECT doc_id, hi//2 AS band,
+      |  SELECT doc_id, hi//$RowsPerBand AS band,
       |    md5(string_agg(sig, '' ORDER BY hi)) AS bandkey
       |  FROM hashed GROUP BY 1, 2
       |),
@@ -145,10 +179,18 @@ object Dedup {
       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bandkey = r.bandkey
       |  WHERE l.doc_id < r.doc_id
       |),
+      |cand_ids AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
+      |pf AS (SELECT sh AS shingle, COUNT(*) AS pf FROM sh GROUP BY 1),
+      |rsh AS (
+      |  SELECT s.doc_id, s.sh FROM sh s
+      |  JOIN pf ON s.sh = pf.shingle
+      |  JOIN cand_ids c ON s.doc_id = c.doc_id
+      |  WHERE pf.pf <= $PostingsCap
+      |),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  FROM rsh x JOIN rsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2
       |)
       |SELECT c.a AS a, c.b AS b,
@@ -158,36 +200,88 @@ object Dedup {
       |JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
       |ORDER BY c.a, c.b""".stripMargin
 
-  /** SimHash (64-bit via two 32-bit halves from md5 hex nibbles): per doc,
-    * bit b of the fingerprint = sign of Σ over distinct shingles of
-    * (bit b of md5(shingle) ? +1 : −1). Emitted as the per-doc fingerprint;
-    * engine-portable arithmetic, but the SQL twin is heavy, so this one is
-    * driver-checked rows-only for now.
+  /** SimHash bits (60 = 15 hex chars of md5, always a positive BIGINT). */
+  private val SimBits = 60
+  private val SimBands = 4
+  private val SimBandBits = 15
+  private val MaxHamming = 3
+
+  /** Per-doc 60-bit SimHash fingerprint: bit b = majority over distinct
+    * shingles of bit b of md5(shingle). One groupBy(doc_id) with 60
+    * codegen'd conditional sums — no row explosion.
+    */
+  private def simhashFp(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+      .withColumn("hv", expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until SimBits).map { b =>
+      sum(when(expr(s"(hv div ${1L << b}) % 2") === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val fpExpr = (0 until SimBits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("fp", fpExpr)
+      .select("doc_id", "fp")
+  }
+
+  private def simhashFpCte: String = {
+    val sums = (0 until SimBits).map { b =>
+      s"SUM(CASE WHEN (hv // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val fp = (0 until SimBits).map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""shh AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS hv FROM sh
+       |), bitsums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM shh GROUP BY doc_id
+       |), fps AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM bitsums
+       |)""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: banded-Hamming candidates (pigeonhole over
+    * 4 × 15-bit bands), verified by exact bit_count(xor) ≤ 3.
     */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-      .withColumn("h", md5(col("sh")))
-      .withColumn("bits", expr(
-        "transform(sequence(0, 15), i -> conv(substring(h, i*2+1, 2), 16, 10))"))
-    // 16 bytes → 16 signed contributions per nibble-pair; fingerprint =
-    // concat of per-byte majority bits.
-    val contrib = sh.select(col("doc_id"), posexplode(col("bits")).as(Seq("byte", "bv")))
-      .withColumn("bv", col("bv").cast("int"))
-    val perBit = (0 until 8).map { b =>
-      sum(when(((col("bv") / (1 << b)).cast("int") % 2) === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    contrib.groupBy("doc_id", "byte").agg(perBit.head, perBit.tail: _*)
-      .withColumn("bytebits", (0 until 8).map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0))
-        .reduce((a, b) => a + b))
-      .groupBy("doc_id")
-      .agg(concat_ws("", sort_array(collect_list(struct(col("byte"), col("bytebits"))))
-        .getField("bytebits")).as("simhash"))
-      .orderBy("doc_id")
+    val fps = simhashFp(s, dir).cache()
+    val bandMask = (1L << SimBandBits) - 1
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(expr(
+        s"transform(sequence(0, ${SimBands - 1}), b -> struct(b as band, (fp div shiftleft(1L, b * $SimBandBits)) % ${bandMask + 1} as key))"))
+        .as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("fp").as("fpa"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("fp").as("fpb"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("fpa"), col("fpb")).distinct()
+      .withColumn("ham", expr("bit_count(fpa ^ fpb)"))
+      .filter(col("ham") <= MaxHamming)
+      .select(col("a"), col("b"), col("ham").cast("long").as("ham"))
+      .orderBy("a", "b")
   }
+
+  private def simhashSql =
+    s"""WITH $shinglesCte,
+       |${simhashFpCte},
+       |banded AS (
+       |  SELECT doc_id, fp, b.band AS band,
+       |    (fp // (CAST(1 AS BIGINT) << CAST(b.band * $SimBandBits AS INTEGER))) % ${(1L << SimBandBits)} AS key
+       |  FROM fps, (SELECT UNNEST(RANGE($SimBands)) AS band) b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.fp AS fpa, r.fp AS fpb
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+       |  WHERE l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, CAST(bit_count(xor(fpa, fpb)) AS BIGINT) AS ham
+       |FROM cand WHERE bit_count(xor(fpa, fpb)) <= $MaxHamming
+       |ORDER BY a, b""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact" -> QueryDef.sql(exact, exactSql),
     "dedup_ngram_jaccard" -> QueryDef.sql(jaccard, jaccardSql),
     "dedup_minhash_lsh" -> QueryDef.sql(minhashLsh, minhashSql),
-    "dedup_simhash" -> QueryDef.rowsOnly(simhash, "64-bit simhash fingerprint per doc"))
+    "dedup_simhash" -> QueryDef.sql(simhash, simhashSql))
 }

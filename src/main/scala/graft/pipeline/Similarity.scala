@@ -72,41 +72,53 @@ object Similarity {
       |)
       |SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
-  /** Sign-LSH sketch: bit b = sign(Σ_d s(b,d)·x_d) where s(b,d) ∈ {−1,+1}
-    * comes from a parity of md5(b‖','‖d) — deterministic pseudo-random
-    * hyperplanes. Bucket = 16-bit sketch; ANN = same-bucket candidates
-    * re-ranked exactly. Reported: per-query top-3 among bucket mates.
+  /** Sign-LSH banding: 4 hash tables × 8-bit buckets. Bit (t,b) of a
+    * vector's sketch in table t = [Σ_d s(t·8+b, d)·x_d > 0], with
+    * s(i,d) ∈ {−1,+1} from the parity of md5(i‖','‖d)'s first byte —
+    * deterministic pseudo-random hyperplanes, engine-portable (the DuckDB
+    * oracle recomputes the identical matrix). A query's candidates are
+    * the union over tables of same-bucket vectors (multi-table banding —
+    * recall comes from table count, not from one lucky 16-bit bucket),
+    * re-ranked by exact integer cosine. One equi-join per table, no
+    * cross join; at 100 TB the bucket key is the shuffle key and table
+    * count scales recall without touching the corpus layout.
     */
-  /** Deterministic ±1 hyperplane matrix (16 bits × up to 256 dims) derived
-    * from md5 parity — computed once at plan build, embedded as a literal
-    * so the per-row work is pure arithmetic inside codegen.
-    */
-  private lazy val signMatrix: Array[Array[Int]] = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(16, 256) { (b, d) =>
-      val h = digest.digest(s"$b,$d".getBytes("UTF-8"))
-      if ((h(0) & 1) == 0) 1 else -1
-    }
-  }
+  private val Tables_ = 4
+  private val BitsPerTable = 8
 
   private def lshAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val signs = signMatrix // stable closure copy for the UDF
-    val sketchUdf = udf { iv: Seq[Long] =>
-      var sk = 0L
-      var b = 0
-      while (b < 16) {
-        var dot = 0L; var d = 0
-        while (d < iv.length) { dot += signs(b)(d) * iv(d); d += 1 }
-        if (dot > 0) sk |= (1L << b)
-        b += 1
-      }
-      sk
+    import s.implicits._
+    val numPlanes = Tables_ * BitsPerTable
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val signs = Array.tabulate(numPlanes, 64) { (i, d) =>
+      val h = digest.digest(s"$i,$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
     }
-    val sketch = e.withColumn("sketch", sketchUdf(col("iv")))
-    val l = sketch.select(col("sketch"), col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
-    val r = sketch.select(col("sketch"), col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
-    val scored = l.join(r, "sketch").filter(col("q_id") =!= col("c_id"))
+    val signsDf = signs.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.map { case (sv, d) => (i, d, sv.toLong) }
+    }.toSeq.toDF("plane", "d", "sgn")
+
+    val e = emb(s, dir)
+    val flat = e.select(col("vec_id"), col("iv"), col("nrm2"),
+      posexplode(col("iv")).as(Seq("d", "x")))
+    val sketches = flat.join(broadcast(signsDf), "d")
+      .groupBy(col("vec_id"), expr(s"plane div $BitsPerTable").as("tbl"),
+        expr(s"plane % $BitsPerTable").as("bit"))
+      .agg(sum(col("sgn") * col("x")).as("dot"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("dot") > 0, expr(s"shiftleft(1L, bit)")).otherwise(0L)).as("bucket"))
+
+    val l = sketches.select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
+      .filter(col("q_id") < 10)
+    val r = sketches.select(col("tbl"), col("bucket"), col("vec_id").as("c_id"))
+      .filter(col("c_id") >= 10)
+    val cand = l.join(r, Seq("tbl", "bucket")).select("q_id", "c_id").distinct()
+
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
+    val scored = cand.join(broadcast(q), "q_id").join(c, "c_id")
       .withColumn("dot", expr(
         "aggregate(zip_with(qiv, civ, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
       .withColumn("cos", round(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
@@ -117,8 +129,58 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** The oracle recomputes the sign matrix from md5 parity (first hex
+    * byte), the integer sketch dots, bucket keys, candidate union and
+    * the exact re-rank — all integer/deterministic arithmetic.
+    */
+  private val lshSql = {
+    val numPlanes = Tables_ * BitsPerTable
+    s"""WITH iv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS iv
+      |  FROM embeddings
+      |), flat AS (
+      |  SELECT vec_id, UNNEST(iv) AS x, UNNEST(generate_series(1, len(iv))) AS i FROM iv
+      |), nrm AS (
+      |  SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM flat GROUP BY 1
+      |), planes AS (
+      |  SELECT p.plane, d.d,
+      |    CASE WHEN CAST(('0x' || substring(md5(p.plane || ',' || d.d), 1, 2)) AS INTEGER) % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT UNNEST(RANGE($numPlanes)) AS plane) p,
+      |       (SELECT UNNEST(RANGE(64)) AS d) d
+      |), sketch AS (
+      |  SELECT f.vec_id, pl.plane // $BitsPerTable AS tbl,
+      |    CASE WHEN SUM(pl.sgn * f.x) > 0
+      |         THEN CAST(1 AS BIGINT) << CAST(pl.plane % $BitsPerTable AS INTEGER)
+      |         ELSE 0 END AS bitv
+      |  FROM flat f JOIN planes pl ON f.i - 1 = pl.d
+      |  GROUP BY f.vec_id, pl.plane
+      |), buckets AS (
+      |  SELECT vec_id, tbl, CAST(SUM(bitv) AS BIGINT) AS bucket FROM sketch GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT l.vec_id AS q_id, r.vec_id AS c_id
+      |  FROM buckets l JOIN buckets r ON l.tbl = r.tbl AND l.bucket = r.bucket
+      |  WHERE l.vec_id < 10 AND r.vec_id >= 10
+      |), dots AS (
+      |  SELECT cd.q_id, cd.c_id, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+      |  FROM cand cd
+      |  JOIN flat q ON q.vec_id = cd.q_id
+      |  JOIN flat c ON c.vec_id = cd.c_id AND q.i = c.i
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT d.q_id, d.c_id,
+      |    ROUND(d.dot / (SQRT(nq.n2) * SQRT(nc.n2)), 6) AS cos
+      |  FROM dots d JOIN nrm nq ON d.q_id = nq.vec_id JOIN nrm nc ON d.c_id = nc.vec_id
+      |), ranked AS (
+      |  SELECT q_id, c_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
+      |  FROM scored
+      |)
+      |SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "sim_cosine_topk" -> QueryDef.sql(cosineTopK, cosineSql),
-    "sim_lsh_ann" -> QueryDef.rowsOnly(lshAnn,
-      "sign-LSH bucketed ANN with exact re-rank (scale path for sim_cosine_topk)"))
+    "sim_lsh_ann" -> QueryDef.sql(lshAnn, lshSql))
 }
