@@ -35,16 +35,16 @@ object Relational {
       |  ROUND(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) / COUNT(*) / 100.0, 6) AS avg_qty
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Revenue per nation: customer ⋈ orders ⋈ nation. nation/customer are
-    * dimension tables → broadcast both sides of the small joins; only the
-    * orders scan stays distributed. At 100 TB, orders is the fact table and
-    * this plan is a single shuffle-free pass after broadcasts.
+  /** Revenue per nation: customer ⋈ orders ⋈ nation. Only `nation` (25
+    * rows, fixed) is broadcast; `customer` grows with the fact tables
+    * (~15M rows at sf100) so a forced broadcast would OOM at scale — AQE
+    * picks the right strategy for the orders⋈customer join per run.
     */
   private def q2Join(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
     val o = Tables.load(s, dir, "orders")
     val n = Tables.load(s, dir, "nation")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(

@@ -21,6 +21,13 @@ import graft.util.{QueryDef, Tables}
   */
 object Stats {
 
+  /** A word stays in the 1-NN vocabulary while it appears in at most this
+    * fraction of documents — near-universal stop words are what blow up
+    * the inverted-index join, and the threshold must scale with the
+    * corpus, not be an absolute count.
+    */
+  private val VocabDfFrac = 0.8
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
@@ -90,7 +97,9 @@ object Stats {
     val byLang = tok.groupBy("lang").agg(count(lit(1)).as("ltot"))
     val n = tok.agg(count(lit(1)).as("n"))
     cell.join(byWord, "word").join(broadcast(byLang), "lang").crossJoin(broadcast(n))
-      .withColumn("exp", col("wtot") * col("ltot") / col("n"))
+      // expected counts in double: at 100 TB the long×long product of two
+      // ~1e13 totals would silently overflow Int64 (DuckDB would go HUGEINT)
+      .withColumn("exp", col("wtot").cast("double") * col("ltot") / col("n"))
       .withColumn("term", (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
       .groupBy("word")
       .agg(max("wtot").as("wtot"), sum("term").as("chi2raw"))
@@ -108,7 +117,7 @@ object Stats {
       |n AS (SELECT COUNT(*) AS n FROM tok),
       |terms AS (
       |  SELECT c.word, bw.wtot,
-      |    (c.obs - bw.wtot*bl.ltot/n.n)*(c.obs - bw.wtot*bl.ltot/n.n)/(bw.wtot*bl.ltot/n.n) AS term
+      |    (c.obs - CAST(bw.wtot AS DOUBLE)*bl.ltot/n.n)*(c.obs - CAST(bw.wtot AS DOUBLE)*bl.ltot/n.n)/(CAST(bw.wtot AS DOUBLE)*bl.ltot/n.n) AS term
       |  FROM cell c JOIN bw USING (word) JOIN bl USING (lang), n
       |)
       |SELECT word, CAST(MAX(wtot) AS BIGINT) AS wtot, ROUND(SUM(term), 4) AS chi2
@@ -184,7 +193,17 @@ object Stats {
     * matches the scan exactly). All distances are exact integers.
     */
   private def nnBag(s: SparkSession, dir: String): DataFrame = {
-    val bags = tokens(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val allBags = tokens(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    // vocabulary selection: drop words occurring in > VocabDfFrac of all
+    // docs — stop words give a near-complete bipartite join (the round-1
+    // plan's skew-killer); WEASEL prunes its vocabulary the same way via
+    // χ² before its joins (WEASEL.java:217-339). Distances are over the
+    // selected vocabulary on both engines.
+    val totalDocs = Tables.load(s, dir, "documents").agg(count(lit(1)).as("nd"))
+    val df_ = allBags.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(totalDocs))
+      .filter(col("df") <= col("nd") * VocabDfFrac)
+    val bags = allBags.join(df_.select("word"), "word")
     val test = bags.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("tid"), col("word"), col("c").as("tc"))
     val train = bags.filter(col("doc_id") % 10 =!= 0)
@@ -207,7 +226,12 @@ object Stats {
 
   private val nnBagSql =
     s"""WITH $tokensCte,
-      |bags AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |allbags AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |nd AS (SELECT COUNT(*) AS nd FROM documents),
+      |vdf AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM allbags GROUP BY 1),
+      |bags AS (
+      |  SELECT b.doc_id, b.word, b.c FROM allbags b
+      |  JOIN vdf ON b.word = vdf.word, nd WHERE vdf.df <= nd.nd * $VocabDfFrac),
       |test AS (SELECT doc_id AS tid, word, c AS tc FROM bags WHERE doc_id % 10 = 0),
       |train AS (SELECT doc_id AS rid, word, c AS rc FROM bags WHERE doc_id % 10 <> 0),
       |selfsq AS (SELECT tid, CAST(SUM(tc*tc) AS BIGINT) AS selfsq FROM test GROUP BY 1),
