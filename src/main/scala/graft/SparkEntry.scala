@@ -19,7 +19,8 @@ object SparkEntry {
       graft.pipeline.TextOps.defs ++
       graft.pipeline.Similarity.defs ++
       graft.pipeline.Multimodal.defs ++
-      graft.queries.SfaQ.defs
+      graft.queries.SfaQ.defs ++
+      graft.queries.IndexQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

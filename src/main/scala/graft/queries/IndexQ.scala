@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.{QueryDef, Tables}
+import graft.sfa.{Fourier, IndexOps, SFA}
+import graft.ts.Loaders
+
+/** Exact k-NN index queries (SFATrie equivalent, SURVEY §2.5 J5/J6/J9)
+  * over fixed-length slices of the events series: z-normed 32-point
+  * prefixes, queries = odd user_ids, corpus = even.
+  *
+  * j9 is the brute-force scan; j6 is the SFA lower-bound
+  * filter-and-refine path. BOTH carry the same oracle SQL (the scan) —
+  * the driver's hash compare therefore asserts the reference's index
+  * exactness gate (index ≡ scan, SFATrieTest.java:75-86) on every round.
+  */
+object IndexQ {
+
+  private val SliceLen = 32
+  private val L = 8
+  private val Alpha = 8
+  private val K = 3
+
+  /** (user_id, data) fixed-length z-normed slices. */
+  private def slices(s: SparkSession, dir: String): DataFrame = {
+    val ser = graft.sfa.SFAOps.seriesOf(Tables.load(s, dir, "events"))
+    val sliceUdf = udf { (data: Seq[Double]) =>
+      Loaders.znorm(data.take(SliceLen).toArray)
+    }
+    ser.filter(size(col("data")) >= SliceLen)
+      .select(col("user_id"), sliceUdf(col("data")).as("data"))
+  }
+
+  private def approxUdf = udf { (data: Seq[Double]) =>
+    Fourier.transformWindow(data.toArray, 0, SliceLen, L, normMean = false, lowerBounding = true)
+  }
+
+  /** Fit equi-width bins (the trie's histogram type) on the corpus
+    * approximations' 2-decimal orderline, driver-collected (l × (α−1)
+    * doubles) exactly like the reference's fit.
+    */
+  private def fitBins(corpus: DataFrame): Array[Array[Double]] = {
+    val rows = corpus
+      .select(posexplode(col("approx")).as(Seq("coef", "v")))
+      .select(col("coef"), round(col("v"), 2).as("v2"))
+      .groupBy("coef").agg(min("v2").as("mn"), max("v2").as("mx"))
+      .collect()
+    val bins = Array.fill(L)(Array.fill(Alpha - 1)(Double.MaxValue))
+    rows.foreach { r =>
+      val coef = r.getInt(0)
+      val first = r.getDouble(1)
+      val width = (r.getDouble(2) - first) / Alpha
+      var c = 0
+      while (c < Alpha - 1) { bins(coef)(c) = width * (c + 1) + first; c += 1 }
+    }
+    bins
+  }
+
+  private def prepared(s: SparkSession, dir: String): (DataFrame, DataFrame, Array[Array[Double]]) = {
+    val sl = slices(s, dir).withColumn("approx", approxUdf(col("data"))).cache()
+    val corpus0 = sl.filter(col("user_id") % 2 === 0)
+    val queries0 = sl.filter(col("user_id") % 2 === 1)
+    val bins = fitBins(corpus0)
+    val quantUdf = udf { (approx: Seq[Double]) =>
+      val word = new Array[Int](approx.length)
+      var i = 0
+      while (i < approx.length) {
+        val edges = bins(i)
+        var c = 0
+        while (c < edges.length && approx(i) >= edges(c)) c += 1
+        word(i) = c
+        i += 1
+      }
+      word
+    }
+    val corpus = corpus0.select(col("user_id").as("id"), col("data"),
+      quantUdf(col("approx")).as("word"), col("approx"))
+    val queries = queries0.select(col("user_id").as("qid"), col("data").as("qdata"),
+      quantUdf(col("approx")).as("qword"), col("approx").as("qapprox"))
+    (corpus, queries, bins)
+  }
+
+  private def j9(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries, _) = prepared(s, dir)
+    IndexOps.knnScan(corpus, queries, K)
+      .withColumn("d2", round(col("d2"), 6))
+      .orderBy("qid", "rank")
+  }
+
+  private def j6(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val (corpus, queries, bins) = prepared(s, dir)
+    IndexOps.knn(corpus, queries, bins, normed = false, k = K, probe = 10)
+      .withColumn("d2", round(col("d2"), 6))
+      .orderBy("qid", "rank")
+  }
+
+  /** Brute-scan oracle — shared by j9 AND j6 (index exactness gate). */
+  private val scanSql =
+    s"""WITH e AS (
+      |  SELECT user_id, value,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |), sl0 AS (
+      |  SELECT user_id, idx AS j, value FROM e WHERE n >= $SliceLen AND idx < $SliceLen
+      |), st AS (
+      |  SELECT user_id, SUM(value)/$SliceLen.0 AS mean,
+      |    SQRT(GREATEST(SUM(value*value)/$SliceLen.0 - (SUM(value)/$SliceLen.0)*(SUM(value)/$SliceLen.0), 0.0)) AS std
+      |  FROM sl0 GROUP BY 1
+      |), sl AS (
+      |  SELECT s.user_id, s.j,
+      |    CASE WHEN t.std <> 0 THEN (s.value - t.mean) / t.std ELSE (s.value - t.mean) END AS x
+      |  FROM sl0 s JOIN st t ON s.user_id = t.user_id
+      |), d AS (
+      |  SELECT q.user_id AS qid, c.user_id AS id, SUM((q.x - c.x)*(q.x - c.x)) AS d2
+      |  FROM sl q JOIN sl c ON q.j = c.j
+      |  WHERE q.user_id % 2 = 1 AND c.user_id % 2 = 0
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT qid, id, d2,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS BIGINT) AS rank
+      |  FROM d
+      |)
+      |SELECT qid, rank, id, ROUND(d2, 6) AS d2 FROM r WHERE rank <= $K
+      |ORDER BY qid, rank""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "j9_knn_scan" -> QueryDef.sql(j9, scanSql),
+    "j6_knn_index" -> QueryDef.sql(j6, scanSql))
+}
