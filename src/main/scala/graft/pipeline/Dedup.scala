@@ -129,15 +129,23 @@ object Dedup {
     */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
-    val hashed = sh
-      .crossJoin(broadcast(s.range(NumHashes).select(col("id").as("hi"))))
-      .withColumn("hv", md5(concat(col("hi").cast("string"), lit("|"), col("sh"))))
-      .groupBy("doc_id", "hi").agg(min("hv").as("sig"))
-    val bands = hashed
-      .withColumn("band", expr(s"hi div $RowsPerBand"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws("", sort_array(collect_list(struct(col("hi"), col("sig"))))
-        .getField("sig"))).as("bandkey"))
+    // all NumHashes signature hashes per shingle in one array expression,
+    // then one element-wise-min aggregate per doc — a single shuffle of
+    // shingle rows instead of NumHashes× row blowup.
+    val sigs = sh
+      .withColumn("hs", expr(
+        s"transform(sequence(0, ${NumHashes - 1}), i -> md5(concat(cast(i as string), '|', sh)))"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "aggregate(collect_list(hs), cast(null as array<string>), " +
+          "(acc, x) -> if(acc is null, x, zip_with(acc, x, (a, b) -> least(a, b))))")
+        .as("sig"))
+    val bands = sigs
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${NumHashes / RowsPerBand - 1}), " +
+            s"b -> md5(concat_ws('', slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))"))
+          .as(Seq("band", "bandkey")))
     val l = bands.select(col("band"), col("bandkey"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("bandkey"), col("doc_id").as("b"))
     val cand = l.join(r, Seq("band", "bandkey")).filter(col("a") < col("b"))

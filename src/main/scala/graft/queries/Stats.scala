@@ -193,34 +193,60 @@ object Stats {
     * matches the scan exactly). All distances are exact integers.
     */
   private def nnBag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val allBags = tokens(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     // vocabulary selection: drop words occurring in > VocabDfFrac of all
-    // docs — stop words give a near-complete bipartite join (the round-1
-    // plan's skew-killer); WEASEL prunes its vocabulary the same way via
-    // χ² before its joins (WEASEL.java:217-339). Distances are over the
-    // selected vocabulary on both engines.
+    // docs — stop words give a near-complete bipartite join; WEASEL
+    // prunes its vocabulary the same way via χ² before its joins
+    // (WEASEL.java:217-339). Distances are over the selected vocabulary
+    // on both engines.
     val totalDocs = Tables.load(s, dir, "documents").agg(count(lit(1)).as("nd"))
     val df_ = allBags.groupBy("word").agg(countDistinct("doc_id").as("df"))
       .crossJoin(broadcast(totalDocs))
       .filter(col("df") <= col("nd") * VocabDfFrac)
     val bags = allBags.join(df_.select("word"), "word")
-    val test = bags.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("tid"), col("word"), col("c").as("tc"))
-    val train = bags.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id").as("rid"), col("word"), col("c").as("rc"))
-    val selfSq = test.groupBy("tid").agg(sum(col("tc") * col("tc")).as("selfsq"))
-    val shared = test.join(train, "word")
-      .groupBy("tid", "rid")
-      .agg(
-        sum((col("tc") - col("rc")) * (col("tc") - col("rc"))).as("sdist"),
-        sum(col("tc") * col("tc")).as("tshared"))
-    val dists = shared.join(selfSq, "tid")
-      .withColumn("dist", (col("sdist") - col("tshared") + col("selfsq")).cast("long"))
-    val w = Window.partitionBy("tid").orderBy(col("dist"), col("rid"))
-    val nn = dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+
+    // Plan choice: the selected vocabulary is BOUNDED (it fits a
+    // dictionary), so the scalable plan is dense-vector 1-NN with the
+    // train side broadcast and a tight early-abandoning loop per test
+    // doc — zero shuffles after the bag build. The inverted-index join
+    // (see graft.sfa.SFAOps.nnBagJoin) is the right plan when the
+    // vocabulary is huge and bags are sparse; here every doc shares
+    // most of a ~31-word vocabulary, which makes the join dense and
+    // quadratic in rows. Same reference distance either way
+    // (asymmetric Σ over test words of (tc−nc)²).
+    val vocab = bags.select("word").distinct().orderBy("word")
+      .collect().map(_.getString(0))
+    val vIdx = vocab.zipWithIndex.toMap
+    val vIdxB = s.sparkContext.broadcast(vIdx)
+    val vecs = bags
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("word"), col("c"))).as("wc"))
+      .as[(Long, Seq[(String, Long)])]
+      .map { case (id, wc) =>
+        val v = new Array[Long](vIdxB.value.size)
+        wc.foreach { case (w, c) => v(vIdxB.value(w)) = c }
+        (id, v)
+      }
+    val train = vecs.filter(_._1 % 10 != 0).collect()
+    val trainB = s.sparkContext.broadcast(train.sortBy(_._1))
+    val nn = vecs.filter(_._1 % 10 == 0).map { case (tid, tv) =>
+      var bestDist = Long.MaxValue
+      var bestId = -1L
+      for ((rid, rv) <- trainB.value) {
+        var d = 0L
+        var i = 0
+        while (i < tv.length && d < bestDist) {
+          if (tv(i) > 0) { val x = tv(i) - rv(i); d += x * x }
+          i += 1
+        }
+        if (d < bestDist) { bestDist = d; bestId = rid }
+      }
+      (tid, bestId, bestDist)
+    }.toDF("test_id", "nn_id", "dist")
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang").as("pred_lang"))
-    nn.join(docs, nn("rid") === docs("doc_id"))
-      .select(col("tid").as("test_id"), col("rid").as("nn_id"), col("dist"), col("pred_lang"))
+    nn.join(broadcast(docs), nn("nn_id") === docs("doc_id"))
+      .select(col("test_id"), col("nn_id"), col("dist"), col("pred_lang"))
       .orderBy("test_id")
   }
 
