@@ -1,0 +1,171 @@
+package graft.sfa
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shotgun distance classifiers (whole-series 1-NN;
+  * /root/reference/src/main/java/sfa/classification/
+  * ShotgunClassifier.java, ShotgunEnsembleClassifier.java).
+  *
+  * Shotgun distance: the query is cut into disjoint windows; each window
+  * is matched against every aligned sliding window of the candidate
+  * (z-normed via precomputed rolling mean/std; mean kept at 0 when
+  * normMean is off) and contributes its minimum Euclidean distance;
+  * early abandoning on both levels. O(N²·n·w) by nature — the reference
+  * documents the same cost; the Spark shape is (config × query) rows
+  * with the train set broadcast, so the quadratic work parallelizes
+  * per-query while keeping the reference's pruning inside the kernel.
+  */
+object Shotgun {
+
+  final case class Config(
+      minWindowLength: Int = 5,
+      maxWindowLength: Int = 250,
+      factor: Double = 0.92, // ensemble; the single classifier uses 1.0
+      normalization: Seq[Boolean] = Seq(true, false))
+
+  final case class ShotgunModel(
+      norm: Boolean,
+      windowLength: Int,
+      trainCorrect: Long)
+
+  /** 1-NN by Shotgun distance over a broadcast train set. Returns
+    * (trainIdx, label) of the nearest neighbor, −1 when none qualifies.
+    * Mirrors ShotgunClassifier.predict (strict improvement, train order
+    * wins ties, `excludeId` replicates the reference's identity skip).
+    */
+  def nn1(
+      query: Array[Double],
+      excludeId: Long,
+      train: Array[(Long, Double, Array[Double])],
+      windowLength: Int,
+      normMean: Boolean): (Long, Double) = {
+    val wq = math.min(query.length, windowLength)
+    val queryWindows = SFA.disjointWindows(query, wq, normMean)
+    var best = Double.MaxValue
+    var bestId = -1L
+    var bestLabel = Double.NaN
+    var j = 0
+    while (j < train.length) {
+      val (tid, tLabel, ts) = train(j)
+      if (tid != excludeId) {
+        val end = ts.length - windowLength + 1
+        val w = math.min(windowLength, ts.length)
+        val (means, stds) = Fourier.rollingMeanStd(ts, w)
+        var total = 0.0
+        var qi = 0
+        var abandoned = false
+        while (qi < queryWindows.length && !abandoned) {
+          val q = queryWindows(qi)
+          // when the candidate is shorter than the window, no offset
+          // qualifies and the window contributes `best` (reference
+          // behavior: the min stays at its seed) → abandoned below
+          var result = best
+          var ww = 0
+          while (ww < end) {
+            val mean = if (normMean) means(ww) else 0.0
+            val inv = if (stds(ww) > 0) 1.0 / stds(ww) else 1.0
+            var d = 0.0
+            var k = 0
+            var live = true
+            while (k < q.length && live) {
+              val v = q(k) - (ts(ww + k) - mean) * inv
+              d += v * v
+              if (d >= result) { live = false; d = Double.MaxValue }
+              k += 1
+            }
+            if (d < result) result = d
+            ww += 1
+          }
+          total += result
+          if (total > best) abandoned = true
+          qi += 1
+        }
+        if (!abandoned && total < best) {
+          best = total
+          bestId = tid
+          bestLabel = tLabel
+        }
+      }
+      j += 1
+    }
+    (bestId, bestLabel)
+  }
+
+  /** Predictions of every (norm, w) config for every input row, with the
+    * train set broadcast: (norm, w, id, label, predLabel).
+    */
+  def predictGrid(
+      data: DataFrame,
+      train: Array[(Long, Double, Array[Double])],
+      cfgs: Seq[(Boolean, Int)],
+      loo: Boolean)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(train)
+    val cfgDf = cfgs.toDF("norm", "w")
+    val nnUdf = udf { (data: Seq[Double], id: Long, norm: Boolean, w: Int) =>
+      val (_, label) = nn1(data.toArray, if (loo) id else -1L, bc.value, w, norm)
+      label
+    }
+    data.crossJoin(broadcast(cfgDf))
+      .select(col("norm"), col("w"), col("id"), col("label"),
+        nnUdf(col("data"), col("id"), col("norm"), col("w")).as("predLabel"))
+      .filter(!isnan(col("predLabel")))
+  }
+}
+
+/** Single best-window Shotgun classifier (factor 1.0 → one model per
+  * norm, best norm kept) and the factor-0.92 ensemble variant.
+  */
+class ShotgunClassifier(cfg: Shotgun.Config = Shotgun.Config(), ensemble: Boolean = false) {
+  import Shotgun._
+
+  private def collectTrain(train: DataFrame): Array[(Long, Double, Array[Double])] =
+    train.select("id", "label", "data").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+
+  def fit(train: DataFrame)(implicit spark: SparkSession): Seq[ShotgunModel] = {
+    val trainArr = collectTrain(train)
+    val n = trainArr.length.toLong
+    val maxLen = trainArr.map(_._3.length).max
+    val windows = cfg.minWindowLength to math.min(maxLen, cfg.maxWindowLength)
+    val factor = if (ensemble) cfg.factor else 1.0
+
+    val perNorm = cfg.normalization.map { nm =>
+      val grid = windows.map(w => (nm, w))
+      val loo = predictGrid(train, trainArr, grid, loo = true)
+      val scores = loo.filter(col("predLabel") === col("label"))
+        .groupBy("norm", "w").agg(count(lit(1)).as("correct"))
+        .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+      val best = if (scores.isEmpty) 0L else scores.values.max
+      // models within factor; the "highest scoring" = max (score, w)
+      val kept = windows.filter(w => scores.getOrElse(w, 0L) >= best * factor)
+        .map(w => ShotgunModel(nm, w, scores.getOrElse(w, 0L)))
+        .sortBy(m => (-m.trainCorrect, -m.windowLength))
+      (nm, kept, best)
+    }
+    // best norm: single → strictly greater (first norm wins ties);
+    // ensemble → reference uses <= (later norm wins ties)
+    val chosen =
+      if (ensemble) perNorm.foldLeft(perNorm.head) { (a, c) => if (c._3 >= a._3) c else a }
+      else perNorm.foldLeft(perNorm.head) { (a, c) => if (c._3 > a._3) c else a }
+    if (ensemble) chosen._2 else chosen._2.take(1)
+  }
+
+  def predict(models: Seq[ShotgunModel], train: DataFrame, test: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val trainArr = collectTrain(train)
+    val preds = predictGrid(test, trainArr, models.map(m => (m.norm, m.windowLength)), loo = false)
+    val weights = models.map(m => ((m.norm, m.windowLength), m.trainCorrect)).toMap
+    val wUdf = udf { (norm: Boolean, w: Int) => weights((norm, w)) }
+    Boss.vote(preds.withColumn("weight", wUdf(col("norm"), col("w"))))
+  }
+
+  def eval(train: DataFrame, test: DataFrame)(implicit spark: SparkSession): (Seq[ShotgunModel], Double) = {
+    val models = fit(train)
+    val total = test.count()
+    val correct = predict(models, train, test).filter(col("pred") === col("label")).count()
+    (models, correct.toDouble / total)
+  }
+}
