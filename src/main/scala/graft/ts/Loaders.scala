@@ -119,6 +119,40 @@ object Loaders {
     mts.unionByName(deriv)
   }
 
+  /** S3, local form: ARFF multivariate rows — `\\n`-escaped dimension
+    * blocks, `?` = missing (skipped), string labels mapped to doubles via
+    * the shared `classMapping` (novel labels get size+1), `@`/`%`/empty
+    * lines ignored (TimeSeriesLoader.java:93-167). Returns long-format
+    * records (id, dim, label, data).
+    */
+  def loadArffLocal(
+      path: String,
+      name: String,
+      classMapping: scala.collection.mutable.Map[String, Double]): Array[(Long, Int, Double, Array[Double])] = {
+    val src = scala.io.Source.fromFile(path)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Array[Double])]
+      var id = 0L
+      for (raw <- src.getLines()) {
+        if (!(raw.contains("@") || raw.contains("%") || raw.isEmpty)) {
+          val line = raw.replaceAll("\\\\n", ";")
+          val labelStr = line.substring(line.lastIndexOf(",") + 1)
+          val label = labelStr.toDoubleOption.getOrElse {
+            val key = s"${name}_$labelStr"
+            classMapping.getOrElseUpdate(key, classMapping.size + 1.0)
+          }
+          val body = line.substring(1, line.lastIndexOf(",") - 1)
+          body.split(";").zipWithIndex.foreach { case (dimension, dim) =>
+            val vals = dimension.split(",").filter(_ != "?").flatMap(_.toDoubleOption)
+            out += ((id, dim, label, vals))
+          }
+          id += 1
+        }
+      }
+      out.toArray
+    } finally src.close()
+  }
+
   /** S5: one long series, first whitespace-separated value per line. */
   def readSampleSubsequenceLocal(path: String): Array[Double] = {
     val src = scala.io.Source.fromFile(path)

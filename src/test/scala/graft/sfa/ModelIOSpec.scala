@@ -1,0 +1,66 @@
+package graft.sfa
+
+import graft.SparkSpec
+import graft.ts.Loaders
+import org.apache.spark.sql.functions._
+
+/** Save/load round-trips (the reference asserts loaded classifiers
+  * predict identically, AbstractClassifierTest.java:39-61).
+  */
+class ModelIOSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("SFA quantizer round-trips through parquet and words are identical") {
+    val series = Array.tabulate(10)(i => (Loaders.znorm(Loaders.randomWalk(128, 500 + i)), (i % 2).toDouble))
+    val model = SFA.fitWindowing(series, 32, 8, 4, normMean = true, lowerBounding = true)
+    val path = tmp("sfa-model")
+    ModelIO.saveSFA(model, path)
+    val loaded = ModelIO.loadSFA(path)
+    assert(loaded.windowSize == model.windowSize)
+    assert(loaded.bins.map(_.toSeq).toSeq == model.bins.map(_.toSeq).toSeq)
+    series.foreach { case (d, _) =>
+      assert(loaded.transformWindowingWords(d, 8).toSeq == model.transformWindowingWords(d, 8).toSeq)
+    }
+  }
+
+  test("index layout round-trips with prefix partitioning") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      val d = Loaders.znorm(Loaders.randomWalk(32, 600 + i))
+      val a = Fourier.transformWindow(d, 0, 32, 8, normMean = false, lowerBounding = true)
+      (i.toLong, d, a.map(v => if (v > 0) 1 else 0), a)
+    }.toDF("id", "data", "word", "approx")
+    val path = tmp("sfa-index")
+    ModelIO.saveIndex(rows, usedBits = 1, prefixLen = 2, path)
+    val loaded = ModelIO.loadIndex(path)(spark)
+    assert(loaded.count() == 40)
+    assert(loaded.columns.contains("prefix"))
+    assert(loaded.select(countDistinct(col("prefix"))).head.getLong(0) > 1)
+  }
+
+  test("S3 ARFF parsing maps string labels and skips missing values") {
+    val f = java.nio.file.Files.createTempFile("arff", ".txt")
+    java.nio.file.Files.writeString(f,
+      """@relation test
+        |% comment
+        |'1,2,3\n4,5,?',classA
+        |'2,3,4\n5,6,7',classB
+        |'9,9,9\n8,8,8',classA
+        |""".stripMargin)
+    val mapping = scala.collection.mutable.Map.empty[String, Double]
+    val rows = Loaders.loadArffLocal(f.toString, "test", mapping)
+    assert(rows.map(_._1).distinct.length == 3) // 3 samples
+    assert(rows.count(_._2 == 0) == 3 && rows.count(_._2 == 1) == 3) // 2 dims each
+    assert(mapping.size == 2)
+    val firstDim2 = rows.find(r => r._1 == 0L && r._2 == 1).get._4
+    assert(firstDim2.toSeq == Seq(4.0, 5.0)) // '?' skipped
+    // same label string maps to the same numeric id
+    val labels = rows.filter(_._2 == 0).sortBy(_._1).map(_._3)
+    assert(labels(0) == labels(2) && labels(0) != labels(1))
+  }
+}
