@@ -25,7 +25,7 @@ object Fourier {
     * No offset cut, no norming, no sign flips — the "first window" state
     * shared by the single-window transform and the sliding recurrence.
     */
-  private[sfa] def rawWindowDft(data: Array[Double], from: Int, w: Int, len: Int): Array[Double] = {
+  private[graft] def rawWindowDft(data: Array[Double], from: Int, w: Int, len: Int): Array[Double] = {
     val out = new Array[Double](len)
     val n = math.min(w, math.max(0, data.length - from))
     val coefs = (math.min(len, w) + 1) / 2
@@ -54,7 +54,7 @@ object Fourier {
     * (zero-filled past the available slots). `factor` already includes any
     * per-window 1/σ scaling.
     */
-  private[sfa] def cutAndNorm(mft: Array[Double], startOffset: Int, l: Int, factor: Double): Array[Double] = {
+  private[graft] def cutAndNorm(mft: Array[Double], startOffset: Int, l: Int, factor: Double): Array[Double] = {
     val out = new Array[Double](l)
     val n = math.min(l, mft.length - startOffset)
     var i = 0
