@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{QueryDef, Tables}
-import graft.sfa.{Fourier, IndexOps, SFA}
+import graft.sfa.{Fourier, IndexOps, SFA, Words}
 import graft.ts.Loaders
 
 /** Exact k-NN index queries (SFATrie equivalent, SURVEY §2.5 J5/J6/J9)
@@ -126,7 +126,91 @@ object IndexQ {
       |SELECT qid, rank, id, ROUND(d2, 6) AS d2 FROM r WHERE rank <= $K
       |ORDER BY qid, rank""".stripMargin
 
+  private val Eps2 = 25.0
+  private val PrefixLen = 2
+
+  private def j7(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val (corpus, queries, bins) = prepared(s, dir)
+    IndexOps.rangeSearch(corpus, queries, bins, normed = false, Eps2)
+      .withColumn("d2", round(col("d2"), 6))
+      .orderBy("qid", "id")
+  }
+
+  private def j8(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries, _) = prepared(s, dir)
+    // bucket on coefficients 2..3: slots 0/1 are the degenerate DC pair
+    // of z-normed slices (≈0 to FP noise — knife-edge symbols)
+    IndexOps.approxPrefixSearch(corpus, queries, Words.binlog(Alpha), PrefixLen, startSymbol = 2)
+      .withColumn("d2", round(col("d2"), 6))
+      .orderBy("qid")
+  }
+
+  /** ε-range oracle: the scan chain filtered at ε² (exactness gate —
+    * LB pruning must not lose any qualifying record). */
+  private val rangeSql =
+    scanSql.replace(
+      s"""SELECT qid, rank, id, ROUND(d2, 6) AS d2 FROM r WHERE rank <= $K
+      |ORDER BY qid, rank""".stripMargin,
+      s"""SELECT qid, id, ROUND(d2, 6) AS d2 FROM d WHERE d2 <= $Eps2
+      |ORDER BY qid, id""".stripMargin)
+
+  /** Approximate prefix-bucket oracle: equi-width bins (min/max of the
+    * rounded corpus orderline), symbols, first-$PrefixLen-symbol bucket
+    * join, 1-NN within the bucket.
+    */
+  private val approxSql =
+    s"""WITH e AS (
+      |  SELECT user_id, value,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |), sl0 AS (
+      |  SELECT user_id, idx AS j, value FROM e WHERE n >= $SliceLen AND idx < $SliceLen
+      |), st AS (
+      |  SELECT user_id, SUM(value)/$SliceLen.0 AS mean,
+      |    SQRT(GREATEST(SUM(value*value)/$SliceLen.0 - (SUM(value)/$SliceLen.0)*(SUM(value)/$SliceLen.0), 0.0)) AS std
+      |  FROM sl0 GROUP BY 1
+      |), sl AS (
+      |  SELECT s.user_id, s.j,
+      |    CASE WHEN t.std <> 0 THEN (s.value - t.mean) / t.std ELSE (s.value - t.mean) END AS x
+      |  FROM sl0 s JOIN st t ON s.user_id = t.user_id
+      |), coefs AS (SELECT UNNEST(RANGE($L)) AS coef
+      |), dft AS (
+      |  SELECT n.user_id, c.coef,
+      |    (CASE WHEN c.coef = 1 THEN 0.0
+      |          WHEN c.coef % 2 = 0 THEN SUM(n.x * COS(-2*PI()*n.j*(c.coef//2)/$SliceLen.0))
+      |          ELSE SUM(n.x * SIN(-2*PI()*n.j*(c.coef//2)/$SliceLen.0)) END)
+      |    * (1.0/SQRT($SliceLen)) * (CASE WHEN c.coef % 2 = 1 THEN -1.0 ELSE 1.0 END) AS v
+      |  FROM sl n CROSS JOIN coefs c GROUP BY n.user_id, c.coef
+      |), mm AS (
+      |  SELECT coef, MIN(ROUND(v, 2)) AS mn, MAX(ROUND(v, 2)) AS mx
+      |  FROM dft WHERE user_id % 2 = 0 GROUP BY 1
+      |), sym AS (
+      |  SELECT d.user_id, d.coef,
+      |    (SELECT COUNT(*) FROM (SELECT UNNEST(RANGE(${Alpha - 1})) AS c) cs
+      |     WHERE d.v >= (mm.mx - mm.mn) / $Alpha * (cs.c + 1) + mm.mn) AS s
+      |  FROM dft d JOIN mm ON d.coef = mm.coef
+      |), pref AS (
+      |  SELECT user_id,
+      |    CAST(SUM(s * CASE WHEN coef = 2 THEN $Alpha ELSE 1 END) AS BIGINT) AS prefix
+      |  FROM sym WHERE coef IN (2, 3) GROUP BY 1
+      |), dd AS (
+      |  SELECT q.user_id AS qid, c.user_id AS id, SUM((q.x - c.x)*(q.x - c.x)) AS d2
+      |  FROM sl q JOIN sl c ON q.j = c.j
+      |  JOIN pref pq ON pq.user_id = q.user_id
+      |  JOIN pref pc ON pc.user_id = c.user_id AND pq.prefix = pc.prefix
+      |  WHERE q.user_id % 2 = 1 AND c.user_id % 2 = 0
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT qid, id, d2, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
+      |  FROM dd
+      |)
+      |SELECT qid, id, ROUND(d2, 6) AS d2 FROM r WHERE rn = 1 ORDER BY qid""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "j9_knn_scan" -> QueryDef.sql(j9, scanSql),
-    "j6_knn_index" -> QueryDef.sql(j6, scanSql))
+    "j6_knn_index" -> QueryDef.sql(j6, scanSql),
+    "j7_range_search" -> QueryDef.sql(j7, rangeSql),
+    "j8_approx_prefix" -> QueryDef.sql(j8, approxSql))
 }

@@ -138,4 +138,47 @@ object IndexOps {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("d2"))
   }
+
+  /** ε-range search (J7, SFATrie.java:593-649): all records within
+    * squared distance ε², LB-pruned first — exact because LB ≤ true d2.
+    */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      bins: Array[Array[Double]],
+      normed: Boolean,
+      eps2: Double)(implicit spark: SparkSession): DataFrame = {
+    val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
+      lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed)
+    }
+    corpus.select(col("id"), col("word"), col("data"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qword"), col("qapprox"), col("qdata"))))
+      .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
+      .filter(col("lb") <= eps2)
+      .withColumn("d2", ed2Udf(col("data"), col("qdata")))
+      .filter(col("d2") <= eps2)
+      .select(col("qid"), col("id"), col("d2"))
+  }
+
+  /** Approximate 1-leaf search (J8, SFATrie.java:511-559): scan only the
+    * records sharing the query's first `prefixLen` word symbols (the
+    * trie's leaf walk ≙ one partition lookup); 1-NN within the bucket.
+    */
+  def approxPrefixSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      usedBits: Int,
+      prefixLen: Int,
+      startSymbol: Int = 0): DataFrame = {
+    def prefixOf(word: org.apache.spark.sql.Column) =
+      expr(s"aggregate(slice(${word.toString}, ${startSymbol + 1}, $prefixLen), 0L, (acc, s) -> acc * ${1 << usedBits} + s)")
+    val c = corpus.select(col("id"), col("data"), prefixOf(col("word")).as("prefix"))
+    val q = queries.select(col("qid"), col("qdata"), prefixOf(col("qword")).as("prefix"))
+    val byD = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
+    c.join(broadcast(q), Seq("prefix"))
+      .withColumn("d2", ed2Udf(col("data"), col("qdata")))
+      .withColumn("rank", row_number().over(byD))
+      .filter(col("rank") === 1)
+      .select(col("qid"), col("id"), col("d2"))
+  }
 }

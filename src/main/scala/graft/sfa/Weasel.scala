@@ -416,8 +416,22 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
       lr)
   }
 
+  /** Predict with per-class probabilities → (id, label, pred, probs).
+    * `probs` follows MLlib's class-index order (labels are class ids).
+    */
+  def predictProba(model: WeaselModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val vecToArr = udf { v: org.apache.spark.ml.linalg.Vector => v.toArray }
+    predictFull(model, test)
+      .select(col("id"), col("label"), col("prediction").as("pred"),
+        vecToArr(col("probability")).as("probs"))
+  }
+
   /** Predict test rows → (id, label, pred). */
-  def predict(model: WeaselModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  def predict(model: WeaselModel, test: DataFrame)(implicit spark: SparkSession): DataFrame =
+    predictFull(model, test)
+      .select(col("id"), col("label"), col("prediction").as("pred"))
+
+  private def predictFull(model: WeaselModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val hb = highestBit(cfg.maxWindowLength)
     val ws = model.quantizers.keys.toSeq.sorted
@@ -436,7 +450,6 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
       .agg(collect_list(col("dict_idx")).as("idx"), collect_list(col("cnt")).as("cnt"))
       .select(col("id"), col("label"), toVec(col("idx"), col("cnt")).as("features"))
     model.lr.transform(vecs)
-      .select(col("id"), col("label"), col("prediction").as("pred"))
   }
 
   def eval(train: DataFrame, test: DataFrame)(implicit spark: SparkSession): (WeaselModel, Double) = {
