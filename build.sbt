@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// exclude long-running goldens (graft.Slow) from the default test run;
+// run them explicitly: sbt "testOnly ... -- -n graft.Slow"
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

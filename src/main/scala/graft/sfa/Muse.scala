@@ -279,7 +279,11 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
   }
 
   def predict(model: MuseModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    val allWindows = model.quantizers.keys.map(_._1).toSeq.distinct.sorted
+    // rebuild the SAME window-index mapping the fit used: the grid is
+    // indexed over the full (norm=false) window list starting at
+    // cfg.minWindowLength, even when the chosen norm skips window 2
+    val maxWindowFitted = model.quantizers.keys.map(_._1).max
+    val allWindows = (cfg.minWindowLength to maxWindowFitted).toSeq
     val wIdx = allWindows.zipWithIndex.toMap
     val models = model.quantizers.map { case ((w, d), m) => (model.norm, w, d) -> m }
     val words = wordsGrid(test, models, wIdx, cfg.maxF)

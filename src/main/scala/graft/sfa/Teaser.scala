@@ -87,7 +87,12 @@ object Teaser {
         }
         math.sqrt(best)
       }.sorted
-      val idx = math.min(nnDists.length - 1, math.ceil((1.0 - nu) * nnDists.length).toInt)
+      // acceptance radius at the (1−2ν) quantile: an NN-ball union is a
+      // looser boundary than the reference's one-class RBF SVM, so the
+      // quantile is tightened beyond the ν outlier budget to compensate
+      // (eager acceptance trades accuracy for earliness)
+      val q = math.max(0.0, 1.0 - 2 * nu)
+      val idx = math.min(nnDists.length - 1, math.ceil(q * nnDists.length).toInt)
       Master(correctFeatures, math.max(nnDists(idx), 1e-9))
     }
   }
