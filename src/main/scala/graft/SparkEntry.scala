@@ -20,7 +20,11 @@ object SparkEntry {
       graft.pipeline.Similarity.defs ++
       graft.pipeline.Multimodal.defs ++
       graft.queries.SfaQ.defs ++
-      graft.queries.IndexQ.defs
+      graft.queries.IndexQ.defs ++
+      graft.queries.RepresentationQ.defs ++
+      graft.queries.WeaselQ.defs ++
+      graft.queries.ClassifierQ.defs ++
+      graft.queries.SourceQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.QueryDef
+
+/** Classifier-application queries (SURVEY §2.5/§2.6) over the events
+  * series' sliding SFA bags (single config, see [[SfaQ]]; classes =
+  * user_id % 3, train = even user_ids, test = odd).
+  *
+  *  - j2_bossvs_join → BOSS VS tf-idf class matrix + cosine scoring
+  *    (BOSSVSClassifier.java:212-263): weight = (1+log10 tf) /
+  *    log10(1+K/df), 0 when the word occurs in every class; L2-normed
+  *    per class; score = Σ tc·nweight; argmax (ties → smaller class).
+  *    The reference's `+1` on each weight shifts every class score by
+  *    the same Σtc and cannot change the argmax (see
+  *    [[graft.sfa.BossVS]]).
+  *  - a7_earliness → per-class earliness aggregation
+  *    (TEASERClassifier.java:163-189): earliness = decision offset /
+  *    series length; the deterministic decision proxy is the first
+  *    sliding offset whose word equals the series' final word (the
+  *    cascade's real acceptance rule is golden-gated in
+  *    TeaserGoldenSpec).
+  *  - j4_shotgun_nn → Shotgun 1-NN join (ShotgunClassifier.java:152-238):
+  *    min aligned-ED of each disjoint query window over all train
+  *    positions, summed; O(N²·n·w) cross join — rows-only (the window
+  *    × position expansion is prohibitive as a SQL oracle; golden gate
+  *    = ShotgunGoldenSpec vs the reference's ItalyPowerDemand score).
+  */
+object ClassifierQ {
+
+  private val W = 16
+
+  // ---- J2: BOSS VS cosine class join ----------------------------------
+
+  private val NumClasses = 3
+
+  private def j2(s: SparkSession, dir: String): DataFrame = {
+    val bags = SfaQ.slidingBags(s, dir).cache()
+    val train = bags.filter(col("user_id") % 2 === 0)
+      .withColumn("cls", col("user_id") % NumClasses)
+    val tf = train.groupBy("cls", "word").agg(sum(col("cnt")).as("tf"))
+    val wc = tf.groupBy("word").agg(count(lit(1)).as("wc"))
+    val wt = tf.join(wc, Seq("word"))
+      .withColumn("weight",
+        when(col("wc") === NumClasses, lit(0.0))
+          .otherwise((lit(1.0) + log10(col("tf").cast("double"))) /
+            log10(lit(1.0) + lit(NumClasses) / col("wc").cast("double"))))
+    val l2 = wt.groupBy("cls").agg(sqrt(sum(col("weight") * col("weight"))).as("l2"))
+    val nw = wt.join(l2, Seq("cls"))
+      .withColumn("nweight",
+        when(col("l2") =!= 0.0, col("weight") / col("l2")).otherwise(lit(0.0)))
+      .select(col("cls"), col("word"), col("nweight"))
+    val test = bags.filter(col("user_id") % 2 === 1)
+      .select(col("user_id").as("test_id"), col("word"), col("cnt"))
+    val classes = nw.select(col("cls")).distinct()
+    val scores = test.crossJoin(broadcast(classes))
+      .join(nw, Seq("cls", "word"), "left")
+      .na.fill(0.0, Seq("nweight"))
+      .groupBy("test_id", "cls")
+      .agg(sum(col("cnt") * col("nweight")).as("score"))
+    val byScore = Window.partitionBy("test_id")
+      .orderBy(col("score").desc, col("cls").asc)
+    scores.withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .select(col("test_id"), col("cls").as("pred_cls"), round(col("score"), 6).as("score"))
+      .orderBy("test_id")
+  }
+
+  private val j2Sql = SfaQ.prefix + SfaQ.slidingCtes +
+    s"""
+      |, trb AS (
+      |  SELECT user_id % $NumClasses AS cls, word, cnt FROM bags WHERE user_id % 2 = 0
+      |), tf AS (SELECT cls, word, SUM(cnt) AS tf FROM trb GROUP BY 1, 2
+      |), wc AS (SELECT word, COUNT(*) AS wc FROM tf GROUP BY 1
+      |), wt AS (
+      |  SELECT t.cls, t.word,
+      |    CASE WHEN w.wc = $NumClasses THEN 0.0
+      |         ELSE (1.0 + LOG10(CAST(t.tf AS DOUBLE)))
+      |              / LOG10(1.0 + $NumClasses / CAST(w.wc AS DOUBLE)) END AS weight
+      |  FROM tf t JOIN wc w ON t.word = w.word
+      |), l2 AS (SELECT cls, SQRT(SUM(weight * weight)) AS l2 FROM wt GROUP BY 1
+      |), nw AS (
+      |  SELECT w.cls, w.word,
+      |    CASE WHEN n.l2 <> 0 THEN w.weight / n.l2 ELSE 0.0 END AS nweight
+      |  FROM wt w JOIN l2 n ON w.cls = n.cls
+      |), teb AS (
+      |  SELECT user_id AS test_id, word, cnt FROM bags WHERE user_id % 2 = 1
+      |), sc AS (
+      |  SELECT b.test_id, c.cls, SUM(b.cnt * COALESCE(n.nweight, 0.0)) AS score
+      |  FROM teb b
+      |  CROSS JOIN (SELECT DISTINCT cls FROM nw) c
+      |  LEFT JOIN nw n ON n.cls = c.cls AND n.word = b.word
+      |  GROUP BY 1, 2
+      |), pick AS (
+      |  SELECT test_id, cls, score,
+      |    ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY score DESC, cls ASC) AS rn
+      |  FROM sc
+      |)
+      |SELECT test_id, cls AS pred_cls, ROUND(score, 6) AS score
+      |FROM pick WHERE rn = 1 ORDER BY test_id""".stripMargin
+
+  // ---- A7: earliness stats --------------------------------------------
+
+  private def a7(s: SparkSession, dir: String): DataFrame = {
+    val words = SfaQ.slidingWords(s, dir)
+    val lastw = words.groupBy("user_id")
+      .agg(max_by(col("word"), col("win")).as("last_word"))
+    val hit = words.join(lastw, Seq("user_id"))
+      .filter(col("word") === col("last_word"))
+      .groupBy("user_id").agg(min(col("win")).as("hit"))
+    val lens = SfaQ.series(s, dir)
+      .select(col("user_id"), size(col("data")).cast("long").as("n"))
+    hit.join(lens, Seq("user_id"))
+      .groupBy((col("user_id") % 3).as("cls"))
+      .agg(count(lit(1)).as("n_series"),
+        round(avg((col("hit") + lit(W.toDouble)) / col("n")), 6).as("earliness"))
+      .orderBy("cls")
+  }
+
+  private val a7Sql = SfaQ.prefix + SfaQ.slidingCtes +
+    s"""
+      |, lastw AS (
+      |  SELECT user_id, MAX(win) AS maxwin FROM sword GROUP BY 1
+      |), lw AS (
+      |  SELECT s.user_id, s.word AS last_word
+      |  FROM sword s JOIN lastw m ON s.user_id = m.user_id AND s.win = m.maxwin
+      |), hit AS (
+      |  SELECT s.user_id, MIN(s.win) AS hit
+      |  FROM sword s JOIN lw l ON s.user_id = l.user_id AND s.word = l.last_word
+      |  GROUP BY 1
+      |), lens AS (SELECT user_id, MAX(n) AS n FROM e GROUP BY 1)
+      |SELECT h.user_id % 3 AS cls, COUNT(*) AS n_series,
+      |  ROUND(AVG((h.hit + $W.0) / s.n), 6) AS earliness
+      |FROM hit h JOIN lens s ON h.user_id = s.user_id
+      |GROUP BY 1 ORDER BY cls""".stripMargin
+
+  // ---- J4: Shotgun 1-NN (rows-only) -----------------------------------
+
+  private def j4(s: SparkSession, dir: String): DataFrame = {
+    val ser = SfaQ.series(s, dir).filter(size(col("data")) >= 2 * W)
+    val test = ser.filter(col("user_id") % 2 === 1)
+      .select(col("user_id").as("test_id"), col("data").as("qdata"))
+    val train = ser.filter(col("user_id") % 2 === 0)
+      .select(col("user_id").as("train_id"), col("data"))
+    val shotgunUdf = udf { (q: Seq[Double], t: Seq[Double]) =>
+      graft.sfa.Shotgun.distance(q.toArray, t.toArray, W)
+    }
+    val byDist = Window.partitionBy("test_id")
+      .orderBy(col("dist").asc, col("train_id").asc)
+    test.crossJoin(train)
+      .withColumn("dist", round(shotgunUdf(col("qdata"), col("data")), 6))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("test_id"), col("train_id").as("nn_id"), col("dist"))
+      .orderBy("test_id")
+  }
+
+  // ---- F13: one-class acceptance radius -------------------------------
+
+  private val Nu = 0.05
+
+  /** One-class acceptance radius per class over the 32-point z-normed
+    * slices (TEASER's master, TEASERClassifier.java:196-232): the
+    * reference trains a one-class RBF SVM; the distributed substitute
+    * (documented in [[graft.sfa.Teaser]]) is the (1−2ν) quantile of
+    * within-class 1-NN distances. Train = even user_ids, class =
+    * user_id % 3.
+    */
+  private def f13(s: SparkSession, dir: String): DataFrame = {
+    val ed2 = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val train = IndexQ.slices(s, dir).filter(col("user_id") % 2 === 0)
+      .withColumn("cls", col("user_id") % 3)
+    val a = train.select(col("cls"), col("user_id").as("id"), col("data"))
+    val b = train.select(col("cls"), col("user_id").as("oid"), col("data").as("odata"))
+    val nnd = a.join(b, Seq("cls")).filter(col("id") =!= col("oid"))
+      .withColumn("d2", ed2(col("data"), col("odata")))
+      .groupBy("cls", "id").agg(sqrt(min(col("d2"))).as("d"))
+    val byD = Window.partitionBy("cls").orderBy(col("d").asc, col("id").asc)
+    nnd.withColumn("rn", row_number().over(byD).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("cls")))
+      .filter(col("rn") === least(col("cnt"), ceil(lit(1.0 - 2 * Nu) * col("cnt")).cast("long") + 1))
+      .select(col("cls"), round(greatest(col("d"), lit(1e-9)), 6).as("radius"))
+      .orderBy("cls")
+  }
+
+  private val f13Sql = IndexQ.symCtes +
+    s"""
+      |, ddp AS (
+      |  SELECT a.user_id % 3 AS cls, a.user_id AS id, b.user_id AS oid,
+      |    SUM((a.x - b.x) * (a.x - b.x)) AS d2
+      |  FROM sl a JOIN sl b ON a.j = b.j
+      |  WHERE a.user_id % 2 = 0 AND b.user_id % 2 = 0
+      |    AND a.user_id % 3 = b.user_id % 3 AND a.user_id <> b.user_id
+      |  GROUP BY 1, 2, 3
+      |), nnd AS (SELECT cls, id, SQRT(MIN(d2)) AS d FROM ddp GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT cls, id, d,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cls ORDER BY d, id) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cls) AS cnt
+      |  FROM nnd
+      |)
+      |SELECT cls, ROUND(GREATEST(d, 0.000000001), 6) AS radius FROM rk
+      |WHERE rn = LEAST(cnt, CAST(CEIL(${1.0 - 2 * Nu} * cnt) AS BIGINT) + 1)
+      |ORDER BY cls""".stripMargin
+
+  // ---- M1: BOSS window-length grid (rows-only) ------------------------
+
+  /** The BOSS ensemble's window grid on the events series (labels =
+    * user_id % 3): per (norm, w) fit + f-sweep scored by leave-one-out
+    * 1-NN (BOSSEnsembleClassifier.java:83-181). Rows-only — the grid's
+    * inner LOOCV has no SQL form; the real golden gate is
+    * BossGoldenSpec (CBF 0.999). Grid clipped to w ∈ [14, 16] at bench
+    * scale (the full [10, 250] grid is exercised by the golden spec).
+    */
+  private def m1(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val train = SfaQ.series(s, dir)
+      .filter(size(col("data")) >= 16)
+      .select(col("user_id").as("id"), (col("user_id") % 3).cast("double").as("label"),
+        col("data"))
+    val cfg = graft.sfa.Boss.Config(minWindowLength = 14, maxWindowLength = 16,
+      maxF = 8, normalization = Seq(false))
+    val model = new graft.sfa.BossEnsemble(cfg).fit(train)
+    import s.implicits._
+    model.models.map(m => (m.norm, m.windowLength.toLong, m.features.toLong, m.trainCorrect))
+      .toDF("norm", "w", "features", "train_correct")
+      .orderBy("w")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "j2_bossvs_join" -> QueryDef.sql(j2, j2Sql),
+    "a7_earliness" -> QueryDef.sql(a7, a7Sql),
+    "j4_shotgun_nn" -> QueryDef.rowsOnly(j4,
+      "Shotgun min-aligned-ED 1-NN; window×position expansion too large " +
+        "for a SQL oracle; golden gate = ShotgunGoldenSpec"),
+    "f13_one_class_radius" -> QueryDef.sql(f13, f13Sql),
+    "m1_window_grid" -> QueryDef.rowsOnly(m1,
+      "BOSS window grid with LOOCV f-sweep; golden gate = BossGoldenSpec"))
+}

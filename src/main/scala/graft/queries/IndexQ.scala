@@ -23,7 +23,7 @@ object IndexQ {
   private val K = 3
 
   /** (user_id, data) fixed-length z-normed slices. */
-  private def slices(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def slices(s: SparkSession, dir: String): DataFrame = {
     val ser = graft.sfa.SFAOps.seriesOf(Tables.load(s, dir, "events"))
     val sliceUdf = udf { (data: Seq[Double]) =>
       Loaders.znorm(data.take(SliceLen).toArray)
@@ -155,11 +155,11 @@ object IndexQ {
       s"""SELECT qid, id, ROUND(d2, 6) AS d2 FROM d WHERE d2 <= $Eps2
       |ORDER BY qid, id""".stripMargin)
 
-  /** Approximate prefix-bucket oracle: equi-width bins (min/max of the
-    * rounded corpus orderline), symbols, first-$PrefixLen-symbol bucket
-    * join, 1-NN within the bucket.
+  /** Shared oracle CTE chain: z-normed slices, direct DFT, corpus-fitted
+    * equi-width bins (min/max of the 2-decimal orderline), symbols for
+    * every slice — the fit/quantize pipeline j5/j8/a8 all build on.
     */
-  private val approxSql =
+  private[queries] val symCtes =
     s"""WITH e AS (
       |  SELECT user_id, value,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
@@ -191,7 +191,13 @@ object IndexQ {
       |    (SELECT COUNT(*) FROM (SELECT UNNEST(RANGE(${Alpha - 1})) AS c) cs
       |     WHERE d.v >= (mm.mx - mm.mn) / $Alpha * (cs.c + 1) + mm.mn) AS s
       |  FROM dft d JOIN mm ON d.coef = mm.coef
-      |), pref AS (
+      |)""".stripMargin
+
+  /** Approximate prefix-bucket oracle: symbols, first-$PrefixLen-symbol
+    * bucket join, 1-NN within the bucket.
+    */
+  private val approxSql = symCtes +
+    s""", pref AS (
       |  SELECT user_id,
       |    CAST(SUM(s * CASE WHEN coef = 2 THEN $Alpha ELSE 1 END) AS BIGINT) AS prefix
       |  FROM sym WHERE coef IN (2, 3) GROUP BY 1
@@ -208,9 +214,91 @@ object IndexQ {
       |)
       |SELECT qid, id, ROUND(d2, 6) AS d2 FROM r WHERE rn = 1 ORDER BY qid""".stripMargin
 
+  private val LbTopK = 5
+
+  /** J5: the SFA lower-bounding distance itself (SFADistance.java:22-67)
+    * as a query — top-$LbTopK lowest-LB corpus candidates per query.
+    * This is exactly the phase-1 ranking j6's filter-and-refine runs.
+    */
+  private def j5(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries, bins) = prepared(s, dir)
+    val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
+      IndexOps.lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed = false)
+    }
+    val byLb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("lb").asc, col("id").asc)
+    corpus.select(col("id"), col("word"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qword"), col("qapprox"))))
+      .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
+      .withColumn("rn", row_number().over(byLb))
+      .filter(col("rn") <= LbTopK)
+      .select(col("qid"), col("id"), round(col("lb"), 6).as("lb"))
+      .orderBy("qid", "id")
+  }
+
+  /** LB-distance oracle: per-coefficient distance of the query's DFT
+    * value to the candidate symbol's bin interval; DC counts once, the
+    * imaginary DC slot is skipped, higher coefficients count 2·d².
+    */
+  private val lbSql = symCtes +
+    s""", qv AS (
+      |  SELECT s.user_id, s.coef, s.s, d.v
+      |  FROM sym s JOIN dft d ON s.user_id = d.user_id AND s.coef = d.coef
+      |  WHERE s.user_id % 2 = 1
+      |), cd AS (
+      |  SELECT c.user_id AS id, q.user_id AS qid, c.coef,
+      |    CASE WHEN c.s = q.s THEN 0.0
+      |         WHEN c.s > q.s THEN (mm.mx - mm.mn) / $Alpha * c.s + mm.mn - q.v
+      |         ELSE q.v - ((mm.mx - mm.mn) / $Alpha * (c.s + 1) + mm.mn) END AS d
+      |  FROM sym c
+      |  JOIN qv q ON c.coef = q.coef
+      |  JOIN mm ON mm.coef = c.coef
+      |  WHERE c.user_id % 2 = 0
+      |), lbp AS (
+      |  SELECT qid, id,
+      |    SUM(CASE WHEN coef = 1 THEN 0.0
+      |             WHEN coef = 0 THEN d * d
+      |             ELSE 2.0 * d * d END) AS lb
+      |  FROM cd GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT qid, id, lb, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY lb, id) AS rn
+      |  FROM lbp
+      |)
+      |SELECT qid, id, ROUND(lb, 6) AS lb FROM rk WHERE rn <= $LbTopK
+      |ORDER BY qid, id""".stripMargin
+
+  /** A8: per-prefix element-wise min/max Fourier bounding boxes over the
+    * corpus (SFATrie.adaptMinMaxValues, SFATrie.java:1131-1145) — the
+    * node statistics the trie prunes with; at rest these are the
+    * parquet column min/max stats of the prefix-partitioned layout.
+    */
+  private def a8(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, _, _) = prepared(s, dir)
+    val usedBits = Words.binlog(Alpha)
+    corpus
+      .withColumn("prefix",
+        expr(s"aggregate(slice(word, 3, $PrefixLen), 0L, (acc, s) -> acc * ${1 << usedBits} + s)"))
+      .select(col("prefix"), posexplode(col("approx")).as(Seq("coef", "v")))
+      .groupBy(col("prefix"), col("coef").cast("long").as("coef"))
+      .agg(round(min(col("v")), 6).as("mn"), round(max(col("v")), 6).as("mx"))
+      .orderBy("prefix", "coef")
+  }
+
+  private val boxSql = symCtes +
+    s""", pref AS (
+      |  SELECT user_id,
+      |    CAST(SUM(s * CASE WHEN coef = 2 THEN $Alpha ELSE 1 END) AS BIGINT) AS prefix
+      |  FROM sym WHERE coef IN (2, 3) AND user_id % 2 = 0 GROUP BY 1
+      |)
+      |SELECT p.prefix, d.coef, ROUND(MIN(d.v), 6) AS mn, ROUND(MAX(d.v), 6) AS mx
+      |FROM dft d JOIN pref p ON d.user_id = p.user_id
+      |GROUP BY 1, 2 ORDER BY prefix, coef""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "j9_knn_scan" -> QueryDef.sql(j9, scanSql),
     "j6_knn_index" -> QueryDef.sql(j6, scanSql),
     "j7_range_search" -> QueryDef.sql(j7, rangeSql),
-    "j8_approx_prefix" -> QueryDef.sql(j8, approxSql))
+    "j8_approx_prefix" -> QueryDef.sql(j8, approxSql),
+    "j5_lb_distance" -> QueryDef.sql(j5, lbSql),
+    "a8_minmax_boxes" -> QueryDef.sql(a8, boxSql))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{QueryDef, Tables}
-import graft.sfa.SFAOps
+import graft.sfa.{SFA, SFAOps}
 
 /** SFA-core query surface over the `events` table (series key = user_id,
   * order = (ts, event_id)); single config w=16, l=8, α=4, normMean=false,
@@ -43,7 +43,7 @@ object SfaQ {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
-  private def series(s: SparkSession, dir: String): DataFrame =
+  private[queries] def series(s: SparkSession, dir: String): DataFrame =
     SFAOps.seriesOf(events(s, dir))
 
   private def disjointApprox(s: SparkSession, dir: String): DataFrame =
@@ -52,12 +52,18 @@ object SfaQ {
   private def binsDF(approx: DataFrame): DataFrame =
     SFAOps.equiDepthBins(approx, Alpha)
 
-  private def slidingBags(s: SparkSession, dir: String): DataFrame = {
+  /** Sliding packed words (user_id, win, word) — quantizer fitted on the
+    * disjoint windows, applied to every sliding window.
+    */
+  private[queries] def slidingWords(s: SparkSession, dir: String): DataFrame = {
     val ser = series(s, dir).cache()
     val bins = binsDF(SFAOps.disjointApprox(ser, W, L, normMean = false))
     val sliding = SFAOps.slidingApproxDirect(ser, W, L, normMean = false)
-    SFAOps.bagOfWords(SFAOps.packWords(sliding, bins, Bits))
+    SFAOps.packWords(sliding, bins, Bits)
   }
+
+  private[queries] def slidingBags(s: SparkSession, dir: String): DataFrame =
+    SFAOps.bagOfWords(slidingWords(s, dir))
 
   // ---- Spark implementations ------------------------------------------
 
@@ -118,7 +124,7 @@ object SfaQ {
     * (σ-division), direct DFT values, rounded orderline and the
     * recursive equi-depth edge scan.
     */
-  private val prefix =
+  private[queries] val prefix =
     """WITH RECURSIVE e AS (
       |  SELECT user_id, value,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
@@ -170,7 +176,7 @@ object SfaQ {
   /** Sliding-window continuation: windows, σ, DFT, symbols, packed words,
     * numerosity-reduced bags (users with ≥16 points).
     */
-  private val slidingCtes =
+  private[queries] val slidingCtes =
     """, sw AS (
       |  SELECT e1.user_id, e1.idx AS win, e2.idx - e1.idx AS j, e2.value
       |  FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
@@ -269,6 +275,143 @@ object SfaQ {
       |  ROUND(CAST(SUM(CASE WHEN nn_id % 3 = test_id % 3 THEN 1 ELSE 0 END) AS DOUBLE) / tot.total, 6) AS acc
       |FROM nn, tot WHERE rn = 1 GROUP BY tot.total""".stripMargin
 
+  // ---- O1: orderline sort ---------------------------------------------
+
+  /** (coef, rn, v2, label): the quantizer-fit orderline sorted by
+    * (value, label) (SFA.java:233-246) — tied (v2, label) pairs permute
+    * rn freely but emit an identical row set.
+    */
+  private def o1(s: SparkSession, dir: String): DataFrame = {
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy("coef").orderBy(col("v2").asc, col("label").asc)
+    disjointApprox(s, dir)
+      .select(col("coef").cast("long").as("coef"), round(col("v"), 2).as("v2"),
+        (col("user_id") % 3).as("label"))
+      .withColumn("rn", row_number().over(byVal).cast("long"))
+      .select(col("coef"), col("rn"), col("v2"), col("label"))
+      .orderBy("coef", "rn")
+  }
+
+  private val o1Sql = prefix +
+    """
+      |SELECT coef, CAST(ROW_NUMBER() OVER (PARTITION BY coef ORDER BY ROUND(v, 2), user_id % 3) AS BIGINT) AS rn,
+      |  ROUND(v, 2) AS v2, user_id % 3 AS label
+      |FROM ddft ORDER BY coef, rn""".stripMargin
+
+  // ---- T9: supervised quantization (ANOVA-F selected coefficients) ----
+
+  /** ANOVA-F per coefficient with label = user_id % 3, keep msw > 0
+    * (drops the constant slots the reference's NaN filter drops), top-4
+    * by (F desc, coef asc); quantize only those coefficients against the
+    * equi-depth bins, pack symbols in F-rank order
+    * (SFASupervised.java:38-54,70-88; the grid/CV form is
+    * [[graft.sfa.Weasel.fitQuantizersGrid]]).
+    */
+  private def t9(s: SparkSession, dir: String): DataFrame = {
+    val approx = disjointApprox(s, dir).cache()
+    val perClass = approx
+      .groupBy(col("coef"), (col("user_id") % 3).as("g"))
+      .agg(count(lit(1)).as("n_g"), sum("v").as("s_g"),
+        sum(col("v") * col("v")).as("ssq_g"))
+    val f = perClass.groupBy("coef")
+      .agg(count(lit(1)).as("k"), sum("n_g").as("n"), sum("s_g").as("s"),
+        sum("ssq_g").as("ssq"), sum(col("s_g") * col("s_g") / col("n_g")).as("sb"))
+      .withColumn("msb", (col("sb") - col("s") * col("s") / col("n")) / (col("k") - 1))
+      .withColumn("msw", (col("ssq") - col("sb")) / (col("n") - col("k")))
+      .filter(col("k") > 1 && col("n") > col("k") && col("msw") > 0)
+      .withColumn("f", col("msb") / col("msw"))
+    val byF = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("coef").asc)
+    val sel = f.withColumn("rk", row_number().over(byF))
+      .filter(col("rk") <= 4).select("coef", "rk")
+    val bins = binsDF(approx)
+    approx.join(broadcast(sel), Seq("coef"))
+      .join(broadcast(bins), Seq("coef"), "left")
+      .groupBy(col("user_id"), col("win"), col("coef"), col("rk"))
+      .agg(sum(when(col("edge").isNotNull && col("v") >= col("edge"), 1L).otherwise(0L))
+        .as("symbol"))
+      .groupBy(col("user_id"), col("win").cast("long").as("win"))
+      .agg(sum(col("symbol") * expr("shiftleft(1L, (rk - 1) * 2)")).as("word"))
+      .orderBy("user_id", "win")
+  }
+
+  private val t9Sql = prefix +
+    """
+      |, ag AS (
+      |  SELECT coef, user_id % 3 AS g, COUNT(*) AS n_g, SUM(v) AS s_g, SUM(v*v) AS ssq_g
+      |  FROM ddft GROUP BY 1, 2
+      |), af AS (
+      |  SELECT coef, COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s,
+      |    SUM(ssq_g) AS ssq, SUM(s_g * s_g / n_g) AS sb
+      |  FROM ag GROUP BY 1
+      |), ff AS (
+      |  SELECT coef,
+      |    ((sb - s*s/n) / (k - 1)) / ((ssq - sb) / (n - k)) AS f
+      |  FROM af WHERE k > 1 AND n > k AND (ssq - sb) / (n - k) > 0
+      |), sel AS (
+      |  SELECT coef, rk FROM (
+      |    SELECT coef, ROW_NUMBER() OVER (ORDER BY f DESC, coef ASC) AS rk FROM ff) r
+      |  WHERE rk <= 4
+      |), t9sym AS (
+      |  SELECT d.user_id, d.win, se.rk,
+      |    SUM(CASE WHEN b.edge IS NOT NULL AND d.v >= b.edge THEN 1 ELSE 0 END) AS symbol
+      |  FROM ddft d JOIN sel se ON d.coef = se.coef
+      |  LEFT JOIN bounds b ON b.coef = d.coef
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, win,
+      |  CAST(SUM(symbol * (CAST(1 AS BIGINT) << CAST(2 * (rk - 1) AS INTEGER))) AS BIGINT) AS word
+      |FROM t9sym GROUP BY 1, 2 ORDER BY user_id, win""".stripMargin
+
+  // ---- P6: word truncation mask ---------------------------------------
+
+  private val MaskLen = 6 // keep the first 6 of 8 symbols (12 of 16 bits)
+
+  /** Truncate sliding words to $MaskLen symbols (BOSS.java:122-141:
+    * `word & ((1 << bits·l) − 1)` — masked BEFORE numerosity, so shorter
+    * words merge adjacent windows the full words kept apart), then bag.
+    */
+  private def p6(s: SparkSession, dir: String): DataFrame =
+    SFAOps.bagOfWords(
+      slidingWords(s, dir).withColumn("word", col("word") % (1L << (2 * MaskLen))))
+      .select(col("user_id"), col("word"), col("cnt"))
+      .orderBy("user_id", "word")
+
+  private val p6Sql = prefix + slidingCtes +
+    s"""
+      |, mword AS (SELECT user_id, win, word % ${1L << (2 * MaskLen)} AS word FROM sword
+      |), mnum AS (
+      |  SELECT user_id, win, word,
+      |    LAG(word) OVER (PARTITION BY user_id ORDER BY win) AS prev
+      |  FROM mword
+      |)
+      |SELECT user_id, word, COUNT(*) AS cnt FROM mnum
+      |WHERE prev IS NULL OR prev <> word
+      |GROUP BY 1, 2 ORDER BY user_id, word""".stripMargin
+
+  // ---- F4: information-gain binning (rows-only) -----------------------
+
+  /** Info-gain bin edges per coefficient (SFA.java:455-557): recursive
+    * best-entropy split on the (value, label) orderline — the sequential
+    * recursion has no SQL form; determinism and reference semantics are
+    * asserted by SFASpec. Rows-only.
+    */
+  private def f4(s: SparkSession, dir: String): DataFrame = {
+    val edgesUdf = udf { (pairs: Seq[org.apache.spark.sql.Row]) =>
+      val sorted = pairs.map(r => (r.getDouble(0), r.getDouble(1))).sortBy(identity).toArray
+      SFA.infoGainEdges(sorted, Alpha)
+        .zipWithIndex.collect { case (e, p) if e != Double.MaxValue => (p, e) }
+    }
+    disjointApprox(s, dir)
+      .select(col("coef"), round(col("v"), 2).as("v2"),
+        (col("user_id") % 3).cast("double").as("label"))
+      .groupBy("coef")
+      .agg(edgesUdf(collect_list(struct(col("v2"), col("label")))).as("edges"))
+      .select(col("coef").cast("long").as("coef"), explode(col("edges")).as("pe"))
+      .select(col("coef"), col("pe._1").cast("long").as("pos"), round(col("pe._2"), 6).as("edge"))
+      .orderBy("coef", "pos")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "t3_dft_window" -> QueryDef.sql(t3, t3Sql),
     "f2_equidepth_bins" -> QueryDef.sql(f2, f2Sql),
@@ -277,5 +420,11 @@ object SfaQ {
       "MFT recurrence sliding transform; ≡ per-window DFT by FourierSpec parity"),
     "a1_sfa_bags" -> QueryDef.sql(a1, a1Sql),
     "j1_nn_sfa_join" -> QueryDef.sql(j1, j1Sql),
-    "a6_accuracy_eval" -> QueryDef.sql(a6, a6Sql))
+    "a6_accuracy_eval" -> QueryDef.sql(a6, a6Sql),
+    "o1_orderline" -> QueryDef.sql(o1, o1Sql),
+    "t9_supervised_words" -> QueryDef.sql(t9, t9Sql),
+    "p6_word_mask" -> QueryDef.sql(p6, p6Sql),
+    "f4_infogain_bins" -> QueryDef.rowsOnly(f4,
+      "recursive entropy-split binning; no SQL form; reference semantics " +
+        "and determinism asserted by SFASpec"))
 }

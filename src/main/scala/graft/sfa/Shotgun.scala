@@ -29,6 +29,47 @@ object Shotgun {
       windowLength: Int,
       trainCorrect: Long)
 
+  /** Exact Shotgun distance of one query to one candidate: Σ over the
+    * query's disjoint windows of the min aligned ED² over every
+    * candidate offset (ShotgunClassifier.java:152-238, without the
+    * cross-candidate early abandon — this is the distance itself, not
+    * the 1-NN search).
+    */
+  def distance(
+      query: Array[Double],
+      ts: Array[Double],
+      windowLength: Int,
+      normMean: Boolean = true): Double = {
+    val wq = math.min(query.length, windowLength)
+    val queryWindows = SFA.disjointWindows(query, wq, normMean)
+    val w = math.min(windowLength, ts.length)
+    val end = ts.length - windowLength + 1
+    val (means, stds) = Fourier.rollingMeanStd(ts, w)
+    var total = 0.0
+    var qi = 0
+    while (qi < queryWindows.length) {
+      val q = queryWindows(qi)
+      var result = Double.MaxValue
+      var ww = 0
+      while (ww < end) {
+        val mean = if (normMean) means(ww) else 0.0
+        val inv = if (stds(ww) > 0) 1.0 / stds(ww) else 1.0
+        var d = 0.0
+        var k = 0
+        while (k < q.length && d < result) {
+          val v = q(k) - (ts(ww + k) - mean) * inv
+          d += v * v
+          k += 1
+        }
+        if (d < result) result = d
+        ww += 1
+      }
+      total += result
+      qi += 1
+    }
+    total
+  }
+
   /** 1-NN by Shotgun distance over a broadcast train set. Returns
     * (trainIdx, label) of the nearest neighbor, −1 when none qualifies.
     * Mirrors ShotgunClassifier.predict (strict improvement, train order
