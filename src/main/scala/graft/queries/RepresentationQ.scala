@@ -51,40 +51,49 @@ object RepresentationQ {
   private val ConstA = (Frame + 1) / 2.0 // 2.5
   private val ConstB = (2 * Frame + 1) / 3.0 // 3.0
 
+  /** Sum-order determinism: `value` is cents-exact, and the PLA weights
+    * (t − 2.5, t − 3) are exact halves/integers — so both engines sum
+    * the INTEGER quantities Σ(2t−5)·cents and Σ(t−3)·cents (exact,
+    * order-independent) and apply identical scalar ops after.
+    */
   private def t5(s: SparkSession, dir: String): DataFrame = {
     val seg = windows(s, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
       .withColumn("seg", (col("j") / 4).cast("long"))
-      .withColumn("t", (col("j") % 4 + 1).cast("double"))
+      .withColumn("t", col("j") % 4 + 1)
       .groupBy("user_id", "win", "seg")
-      .agg(sum((col("t") - ConstA) * col("value")).as("sa"),
-        sum((col("t") - ConstB) * col("value")).as("sb"))
+      .agg(sum((col("t") * 2 - 5) * col("cents")).as("isa"),
+        sum((col("t") - 3) * col("cents")).as("isb"))
+    // folded constants (integer literals → double division in BOTH
+    // engines): 12a = 12·(isa/100)/2/(f(f+1)(f−1)) = isa/1000;
+    // 6b = 6·(isb/100)/(f(1−f)) = −isb/200, f = 4
     seg.select(col("user_id"), col("win"),
-      expr(s"stack(2, seg * 2, round(sa / (${Frame} * (${Frame} + 1) * (${Frame} - 1)) * 12, 6)," +
-        s" seg * 2 + 1, round(sb / (${Frame} * (1 - ${Frame})) * 6, 6)) AS (coef, v)"))
+      expr("stack(2, seg * 2, round(isa / 1000, 6)," +
+        " seg * 2 + 1, round(-isb / 200, 6)) AS (coef, v)"))
       .orderBy("user_id", "win", "coef")
   }
 
   private val t5Sql =
     s"""WITH e AS (
-      |  SELECT user_id, value,
+      |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
       |    COUNT(*) OVER (PARTITION BY user_id) AS n
       |  FROM events
       |), dw AS (
-      |  SELECT user_id, idx // $W AS win, idx % $W AS j, value
+      |  SELECT user_id, idx // $W AS win, idx % $W AS j, cents
       |  FROM e WHERE idx // $W < n // $W
       |), seg AS (
       |  SELECT user_id, win, j // 4 AS seg,
-      |    SUM((j % 4 + 1 - $ConstA) * value) AS sa,
-      |    SUM((j % 4 + 1 - $ConstB) * value) AS sb
+      |    SUM(((j % 4 + 1) * 2 - 5) * cents) AS isa,
+      |    SUM((j % 4 + 1 - 3) * cents) AS isb
       |  FROM dw GROUP BY 1, 2, 3
       |), pla AS (
       |  SELECT user_id, win, seg * 2 AS coef,
-      |    ROUND(sa / ($Frame * ($Frame + 1) * ($Frame - 1)) * 12, 6) AS v
+      |    ROUND(isa / 1000, 6) AS v
       |  FROM seg
       |  UNION ALL
       |  SELECT user_id, win, seg * 2 + 1 AS coef,
-      |    ROUND(sb / ($Frame * (1 - $Frame)) * 6, 6) AS v
+      |    ROUND(-isb / 200, 6) AS v
       |  FROM seg
       |)
       |SELECT user_id, win, coef, v FROM pla ORDER BY user_id, win, coef""".stripMargin
@@ -97,38 +106,48 @@ object RepresentationQ {
   // 16-point Haar pyramid); divisor = 16 for the c=0 mean, else H.
   private val Hs = "CASE WHEN coef = 1 THEN 8 WHEN coef < 4 THEN 4 ELSE 2 END"
   private val Base = "CASE WHEN coef < 2 THEN 0 WHEN coef < 4 THEN (coef - 2) * 8 ELSE (coef - 4) * 4 END"
+  // Integer weights (±1/0) over integer cents → the sum is exact and
+  // order-independent. The Haar values are exact multiples of 1/3200
+  // (cents/(100·2H) with H ∈ {1..8}) — they land EXACTLY on decimal
+  // rounding boundaries, where Spark (BigDecimal HALF_UP) and DuckDB
+  // (float-multiply round) disagree — so the query emits the EXACT
+  // integer numerator v3200 = v·3200 = −Σ(cents·w)·(16/H) instead of a
+  // rounded double (the integer-cents determinism rule, see QueryDef).
   private val WeightCase =
-    s"""CASE WHEN coef = 0 THEN 1.0
-      | WHEN j >= ($Base) AND j < ($Base) + ($Hs) THEN -1.0
-      | WHEN j >= ($Base) + ($Hs) AND j < ($Base) + 2 * ($Hs) THEN 1.0
-      | ELSE 0.0 END""".stripMargin
-  private val DivisorCase = s"CASE WHEN coef = 0 THEN 16.0 ELSE CAST(($Hs) AS DOUBLE) END"
+    s"""CASE WHEN coef = 0 THEN 1
+      | WHEN j >= ($Base) AND j < ($Base) + ($Hs) THEN -1
+      | WHEN j >= ($Base) + ($Hs) AND j < ($Base) + 2 * ($Hs) THEN 1
+      | ELSE 0 END""".stripMargin
+  // 3200 / (200·H), with H = 16 for the c = 0 mean (divisor 16·2·100)
+  private val FactorCase =
+    "CASE WHEN coef = 0 THEN 1 WHEN coef = 1 THEN 2 WHEN coef < 4 THEN 4 ELSE 8 END"
 
   private def t7(s: SparkSession, dir: String): DataFrame =
     windows(s, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
       .crossJoin(s.range(L).select(col("id").as("coef")))
       .withColumn("w", expr(WeightCase))
       .groupBy("user_id", "win", "coef")
-      .agg(expr(s"round(-0.5 * sum(value * w) / ($DivisorCase), 6)").as("v"))
+      .agg(expr(s"-sum(cents * w) * ($FactorCase)").as("v3200"))
       .orderBy("user_id", "win", "coef")
 
   private val t7Sql =
     s"""WITH e AS (
-      |  SELECT user_id, value,
+      |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
       |    COUNT(*) OVER (PARTITION BY user_id) AS n
       |  FROM events
       |), dw AS (
-      |  SELECT user_id, idx // $W AS win, idx % $W AS j, value
+      |  SELECT user_id, idx // $W AS win, idx % $W AS j, cents
       |  FROM e WHERE idx // $W < n // $W
       |), coefs AS (SELECT UNNEST(RANGE($L)) AS coef
       |), wts AS (
-      |  SELECT user_id, win, coef, value,
+      |  SELECT user_id, win, coef, cents,
       |    $WeightCase AS w
       |  FROM dw CROSS JOIN coefs
       |)
       |SELECT user_id, win, coef,
-      |  ROUND(-0.5 * SUM(value * w) / ($DivisorCase), 6) AS v
+      |  CAST(-SUM(cents * w) * ($FactorCase) AS BIGINT) AS v3200
       |FROM wts GROUP BY 1, 2, 3 ORDER BY user_id, win, coef""".stripMargin
 
   // ---- T6: APCA (rows-only) -------------------------------------------
