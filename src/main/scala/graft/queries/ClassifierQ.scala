@@ -104,7 +104,7 @@ object ClassifierQ {
   // ---- A7: earliness stats --------------------------------------------
 
   private def a7(s: SparkSession, dir: String): DataFrame = {
-    val words = SfaQ.slidingWords(s, dir)
+    val words = SfaQ.slidingWords(s, dir).cache()
     val lastw = words.groupBy("user_id")
       .agg(max_by(col("word"), col("win")).as("last_word"))
     val hit = words.join(lastw, Seq("user_id"))
@@ -177,6 +177,7 @@ object ClassifierQ {
     }
     val train = IndexQ.slices(s, dir).filter(col("user_id") % 2 === 0)
       .withColumn("cls", col("user_id") % 3)
+      .cache()
     val a = train.select(col("cls"), col("user_id").as("id"), col("data"))
     val b = train.select(col("cls"), col("user_id").as("oid"), col("data").as("odata"))
     val nnd = a.join(b, Seq("cls")).filter(col("id") =!= col("oid"))
@@ -216,7 +217,7 @@ object ClassifierQ {
     * user_id % 3): per (norm, w) fit + f-sweep scored by leave-one-out
     * 1-NN (BOSSEnsembleClassifier.java:83-181). Rows-only — the grid's
     * inner LOOCV has no SQL form; the real golden gate is
-    * BossGoldenSpec (CBF 0.999). Grid clipped to w ∈ [14, 16] at bench
+    * BossGoldenSpec (CBF 0.999). Grid clipped to w ∈ [15, 16] at bench
     * scale (the full [10, 250] grid is exercised by the golden spec).
     */
   private def m1(s: SparkSession, dir: String): DataFrame = {
@@ -225,7 +226,7 @@ object ClassifierQ {
       .filter(size(col("data")) >= 16)
       .select(col("user_id").as("id"), (col("user_id") % 3).cast("double").as("label"),
         col("data"))
-    val cfg = graft.sfa.Boss.Config(minWindowLength = 14, maxWindowLength = 16,
+    val cfg = graft.sfa.Boss.Config(minWindowLength = 15, maxWindowLength = 16,
       maxF = 8, normalization = Seq(false))
     val model = new graft.sfa.BossEnsemble(cfg).fit(train)
     import s.implicits._

@@ -29,6 +29,14 @@ import graft.sfa.{SFA, SFAOps}
   *                         SFA vocabulary (bounded, ≤ α^l) so the join key
   *                         is skew-safe at scale
   *  - a6_accuracy_eval   → Classifier.evalLabels (Classifier.java:116-139)
+  *  - p2_sliding_windows → z-normed sliding extraction (TimeSeries.java:191-213)
+  *  - p5_subsequence_slice → TEASER truncation slice (TimeSeries.java:177-182)
+  *  - p6_word_mask       → word truncation mask (BOSS.java:122-141)
+  *  - o1_orderline       → orderline sort (SFA.java:233-246)
+  *  - t9_supervised_words → ANOVA-F selected quantization (SFASupervised.java:38-54)
+  *  - f4_infogain_bins   → entropy-split binning (SFA.java:455-557), rows-only
+  *
+  * (See COVERAGE.md for the full SURVEY §2 map.)
   *
   * All numeric comparisons against DuckDB round derived doubles; symbol /
   * word / count / distance columns are exact integers.
@@ -412,7 +420,68 @@ object SfaQ {
       .orderBy("coef", "pos")
   }
 
+  // ---- P2: sliding-window extraction ----------------------------------
+
+  /** Every complete sliding window, z-normed with the precomputed
+    * per-window σ (TimeSeries.java:191-213; normMean=false ⇒ σ-division
+    * only). Output (user_id, win, j, x).
+    */
+  private def p2(s: SparkSession, dir: String): DataFrame = {
+    val winUdf = udf { (data: Seq[Double]) =>
+      val arr = data.toArray
+      Array.tabulate(arr.length - W + 1)(t => SFA.znormWindow(arr, t, W, normMean = false))
+    }
+    series(s, dir).filter(size(col("data")) >= W)
+      .select(col("user_id"), posexplode(winUdf(col("data"))).as(Seq("win", "wdata")))
+      .select(col("user_id"), col("win").cast("long").as("win"),
+        posexplode(col("wdata")).as(Seq("j", "x")))
+      .select(col("user_id"), col("win"), col("j").cast("long").as("j"),
+        round(col("x"), 6).as("x"))
+      .orderBy("user_id", "win", "j")
+  }
+
+  private val p2Sql = prefix + slidingCtes +
+    "\nSELECT user_id, win, j, ROUND(x, 6) AS x FROM snx ORDER BY user_id, win, j"
+
+  // ---- P5: subsequence slice ------------------------------------------
+
+  private val SliceFrom = 8
+
+  /** Fixed-offset z-normed subsequence (TimeSeries.java:177-182, the
+    * TEASER truncation): slice [8, 24), full z-norm (mean subtracted).
+    */
+  private def p5(s: SparkSession, dir: String): DataFrame = {
+    val sliceUdf = udf { (data: Seq[Double]) =>
+      graft.ts.Loaders.znorm(data.slice(SliceFrom, SliceFrom + W).toArray)
+    }
+    series(s, dir).filter(size(col("data")) >= SliceFrom + W)
+      .select(col("user_id"), posexplode(sliceUdf(col("data"))).as(Seq("j", "x")))
+      .select(col("user_id"), col("j").cast("long").as("j"), round(col("x"), 6).as("x"))
+      .orderBy("user_id", "j")
+  }
+
+  private val p5Sql =
+    s"""WITH e AS (
+      |  SELECT user_id, value,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |), sub AS (
+      |  SELECT user_id, idx - $SliceFrom AS j, value
+      |  FROM e WHERE n >= ${SliceFrom + W} AND idx >= $SliceFrom AND idx < ${SliceFrom + W}
+      |), sst AS (
+      |  SELECT user_id, SUM(value)/$W.0 AS mean,
+      |    SQRT(GREATEST(SUM(value*value)/$W.0 - (SUM(value)/$W.0)*(SUM(value)/$W.0), 0.0)) AS std
+      |  FROM sub GROUP BY 1
+      |)
+      |SELECT s.user_id, s.j,
+      |  ROUND((s.value - t.mean) * (CASE WHEN t.std <> 0 THEN 1.0/t.std ELSE 1.0 END), 6) AS x
+      |FROM sub s JOIN sst t ON s.user_id = t.user_id
+      |ORDER BY s.user_id, s.j""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "p2_sliding_windows" -> QueryDef.sql(p2, p2Sql),
+    "p5_subsequence_slice" -> QueryDef.sql(p5, p5Sql),
     "t3_dft_window" -> QueryDef.sql(t3, t3Sql),
     "f2_equidepth_bins" -> QueryDef.sql(f2, f2Sql),
     "t8_sfa_words" -> QueryDef.sql(t8, t8Sql),

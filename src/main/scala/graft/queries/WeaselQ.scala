@@ -34,9 +34,11 @@ object WeaselQ {
   private val BigShift = 4294967296L // 1 << 32
   private val TopK = 20
 
-  /** (user_id, key, cnt) uni+bigram bags. */
+  /** (user_id, key, cnt) uni+bigram bags. The sliding-words input is
+    * cached — it feeds both the unigram and bigram branches.
+    */
   private def bags(s: SparkSession, dir: String): DataFrame = {
-    val words = SfaQ.slidingWords(s, dir)
+    val words = SfaQ.slidingWords(s, dir).cache()
     val byWin = Window.partitionBy("user_id").orderBy("win")
     val uni = words.select(col("user_id"), (col("word") * UniShift).as("key"))
     val big = words
@@ -54,10 +56,17 @@ object WeaselQ {
   /** (key, is_bigram, chi2, rn): χ² of key counts vs class (user_id%3),
     * zero cells included, top-$TopK per uni/bigram partition.
     */
-  private def chiRanked(s: SparkSession, dir: String): DataFrame = {
-    val cell = bags(s, dir)
+  private def chiRanked(s: SparkSession, dir: String): DataFrame =
+    chiRankedFrom(bags(s, dir))
+
+  /** `cell` is cached: wt / lt / nt / the join all consume it — without
+    * the cache each consumer re-runs the whole sliding-words pipeline.
+    */
+  private def chiRankedFrom(bagsDF: DataFrame): DataFrame = {
+    val cell = bagsDF
       .groupBy((col("user_id") % 3).as("cls"), col("key"))
       .agg(sum(col("cnt")).as("obs"))
+      .cache()
     val wt = cell.groupBy("key").agg(sum(col("obs")).as("wtot"))
     val lt = cell.groupBy("cls").agg(sum(col("obs")).as("ltot"))
     val nt = cell.agg(sum(col("obs")).as("n"))
@@ -89,7 +98,11 @@ object WeaselQ {
   private def f12(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.linalg.Vectors
-    val dict = f9(s, dir).collect().map(r => r.getLong(0) -> (r.getLong(1).toInt - 1)).toMap
+    val bagsDF = bags(s, dir).cache()
+    val dict = chiRankedFrom(bagsDF)
+      .select(col("key"))
+      .withColumn("fid", row_number().over(Window.orderBy("key")).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1).toInt - 1)).toMap
     val dim = dict.size
     val bc = s.sparkContext.broadcast(dict)
     val vecUdf = udf { (keys: Seq[Long], cnts: Seq[Long]) =>
@@ -98,7 +111,7 @@ object WeaselQ {
         .sortBy(_._1)
       Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
     }
-    val feat = bags(s, dir)
+    val feat = bagsDF
       .groupBy("user_id")
       .agg(collect_list(col("key")).as("ks"), collect_list(col("cnt")).as("cs"))
       .withColumn("features", vecUdf(col("ks"), col("cs")))
