@@ -155,7 +155,11 @@ object Boss {
     *
     * Returns (norm, w, id, label, predLabel).
     */
-  def nn1(testBags: DataFrame, trainBags: DataFrame, broadcastTrain: Boolean = false): DataFrame = {
+  def nn1(
+      testBags: DataFrame,
+      trainBags: DataFrame,
+      broadcastTrain: Boolean = false,
+      excludeSameId: Boolean = true): DataFrame = {
     val t = testBags.select(
       col("norm"), col("w"), col("id").as("test_id"), col("label").as("test_label"),
       col("word"), col("cnt").as("tc"))
@@ -169,8 +173,12 @@ object Boss {
 
     // dist = noMatch + Σ_shared ((tc−nc)² − tc²); partial aggregation is
     // map-side combinable, so the only shuffle is on (cfg, pair).
-    val pairs = t.join(n, Seq("norm", "w", "word"))
-      .filter(col("test_id") =!= col("train_id"))
+    // the reference's self-skip is OBJECT identity — it only bites in
+    // LOO scoring (test == train array); on test prediction a test id
+    // numerically equal to a train id is a DIFFERENT series and must
+    // compete (BOSSEnsembleClassifier.java:206)
+    val pairs0 = t.join(n, Seq("norm", "w", "word"))
+    val pairs = (if (excludeSameId) pairs0.filter(col("test_id") =!= col("train_id")) else pairs0)
       .groupBy(col("norm"), col("w"), col("test_id"), col("test_label"),
         col("train_id"), col("train_label"))
       .agg(sum((col("tc") - col("nc")) * (col("tc") - col("nc")) - col("tc") * col("tc"))
@@ -313,7 +321,8 @@ class BossEnsemble(cfg: Boss.Config = Boss.Config()) {
       val trainB = model.trainBags.filter(col("f") === f).drop("f")
       val wts = group.map(m => (m.norm, m.windowLength, m.trainCorrect))
         .toDF("norm", "w", "weight")
-      nn1(bags, trainB, broadcastTrain = true).join(broadcast(wts), Seq("norm", "w"))
+      nn1(bags, trainB, broadcastTrain = true, excludeSameId = false)
+        .join(broadcast(wts), Seq("norm", "w"))
     }.reduce(_ unionByName _)
     vote(preds)
   }

@@ -75,17 +75,23 @@ object SFAOps {
   /** Quantize per-window approximations against broadcast bins and pack
     * into words: symbol = #edges ≤ value, word = Σ symbol_c << (bits·c).
     * Input rows: (user_id, win, coef, v); output: (user_id, win, word).
-    * Pure built-in expressions — stays in whole-stage codegen.
+    * Pure built-in expressions — stays in whole-stage codegen. The bin
+    * edges are pre-collapsed to one sorted array per coefficient so the
+    * symbol is a higher-order `filter` over the broadcast row, not an
+    * aggregation — ONE shuffle (the word groupBy), not two.
     */
   def packWords(
       approx: DataFrame,
       bins: DataFrame,
       usedBits: Int): DataFrame = {
-    val joined = approx.join(broadcast(bins), Seq("coef"), "left")
-    joined
-      .groupBy(col("user_id"), col("win"), col("coef"))
-      .agg(sum(when(col("edge").isNotNull && col("v") >= col("edge"), 1L).otherwise(0L))
-        .as("symbol"))
+    val edgeArrays = bins
+      .groupBy(col("coef"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, edge))), p -> p.edge)")
+        .as("edges"))
+    approx.join(broadcast(edgeArrays), Seq("coef"), "left")
+      .withColumn("symbol",
+        when(col("edges").isNull, 0L)
+          .otherwise(expr("cast(size(filter(edges, e -> v >= e)) as long)")))
       .groupBy(col("user_id"), col("win"))
       .agg(sum(col("symbol") * expr(s"shiftleft(1L, coef * $usedBits)")).as("word"))
   }

@@ -174,8 +174,9 @@ class ShotgunClassifier(cfg: Shotgun.Config = Shotgun.Config(), ensemble: Boolea
     val factor = if (ensemble) cfg.factor else 1.0
 
     val perNorm = cfg.normalization.map { nm =>
+      import train.sparkSession.implicits._
       val grid = windows.map(w => (nm, w))
-      val loo = predictGrid(train, trainArr, grid, loo = true)
+      val loo = predictGrid(train, trainArr, grid, loo = true).cache()
       val scores = loo.filter(col("predLabel") === col("label"))
         .groupBy("norm", "w").agg(count(lit(1)).as("correct"))
         .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
@@ -184,7 +185,19 @@ class ShotgunClassifier(cfg: Shotgun.Config = Shotgun.Config(), ensemble: Boolea
       val kept = windows.filter(w => scores.getOrElse(w, 0L) >= best * factor)
         .map(w => ShotgunModel(nm, w, scores.getOrElse(w, 0L)))
         .sortBy(m => (-m.trainCorrect, -m.windowLength))
-      (nm, kept, best)
+      // the ensemble's per-norm score is the WEIGHTED VOTE's train
+      // accuracy (self-excluded), not the best single window —
+      // ShotgunEnsembleClassifier.fit evaluates predict(model, train)
+      val votedCorrect =
+        if (!ensemble || kept.isEmpty) best
+        else {
+          val sel = kept.map(m => (m.norm, m.windowLength, m.trainCorrect))
+            .toDF("norm", "w", "weight")
+          Boss.vote(loo.join(broadcast(sel), Seq("norm", "w")))
+            .filter(col("pred") === col("label")).count()
+        }
+      loo.unpersist()
+      (nm, kept, votedCorrect)
     }
     // best norm: single → strictly greater (first norm wins ties);
     // ensemble → reference uses <= (later norm wins ties)

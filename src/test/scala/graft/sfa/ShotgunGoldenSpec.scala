@@ -4,8 +4,8 @@ import graft.SparkSpec
 import graft.ts.Loaders
 
 /** Golden accuracy gates for the Shotgun classifiers, replicating
-  * ShotgunClassifierTest (CBF test 0.969) and
-  * ShotgunEnsembleClassifierTest (CBF test 0.991), DELTA 0.05
+  * ShotgunClassifierTest and ShotgunEnsembleClassifierTest across the
+  * reference's dataset matrix, DELTA 0.05
   * (/root/reference/src/test/java/sfa/classification/).
   */
 class ShotgunGoldenSpec extends SparkSpec {
@@ -13,23 +13,39 @@ class ShotgunGoldenSpec extends SparkSpec {
   private val base = "/root/reference/src/main/resources/datasets/univariate"
   private val delta = 0.05
 
-  test("Shotgun (best window) reaches golden accuracy on CBF") {
+  private def gate(dataset: String, ensemble: Boolean, goldenTest: Double): Unit = {
     import spark.implicits._
-    val train = Loaders.loadUcrLocal(s"$base/CBF/CBF_TRAIN").toSeq.toDF()
-    val test = Loaders.loadUcrLocal(s"$base/CBF/CBF_TEST").toSeq.toDF()
-    val clf = new ShotgunClassifier()
+    val train = Loaders.loadUcrLocal(s"$base/$dataset/${dataset}_TRAIN").toSeq.toDF()
+    val test = Loaders.loadUcrLocal(s"$base/$dataset/${dataset}_TEST").toSeq.toDF()
+    val clf = new ShotgunClassifier(ensemble = ensemble)
     val (models, acc) = clf.eval(train, test)
-    info(s"CBF best window=${models.head.windowLength} norm=${models.head.norm} test=$acc")
-    assert(math.abs(acc - 0.969) <= delta, s"test accuracy $acc vs golden 0.969")
+    info(s"$dataset ensemble=$ensemble models=${models.length} " +
+      s"window=${models.head.windowLength} test=$acc")
+    assert(math.abs(acc - goldenTest) <= delta,
+      s"$dataset test accuracy $acc vs golden $goldenTest")
+  }
+
+  test("Shotgun (best window) reaches golden accuracy on CBF") {
+    gate("CBF", ensemble = false, 0.969)
   }
 
   test("Shotgun ensemble reaches golden accuracy on CBF") {
-    import spark.implicits._
-    val train = Loaders.loadUcrLocal(s"$base/CBF/CBF_TRAIN").toSeq.toDF()
-    val test = Loaders.loadUcrLocal(s"$base/CBF/CBF_TEST").toSeq.toDF()
-    val clf = new ShotgunClassifier(ensemble = true)
-    val (models, acc) = clf.eval(train, test)
-    info(s"CBF ensemble models=${models.length} test=$acc")
-    assert(math.abs(acc - 0.991) <= delta, s"test accuracy $acc vs golden 0.991")
+    gate("CBF", ensemble = true, 0.991)
+  }
+
+  test("Shotgun (best window) reaches golden accuracy on Coffee") {
+    gate("Coffee", ensemble = false, 1.0)
+  }
+
+  test("Shotgun ensemble reaches golden accuracy on Coffee") {
+    gate("Coffee", ensemble = true, 0.929)
+  }
+
+  test("Shotgun (best window) reaches golden accuracy on Beef") {
+    gate("Beef", ensemble = false, 0.8)
+  }
+
+  test("Shotgun ensemble reaches golden accuracy on Beef") {
+    gate("Beef", ensemble = true, 0.9)
   }
 }
