@@ -70,7 +70,53 @@ object SourceQ {
       .toDF("coef", "pos", "edge").orderBy("coef", "pos")
   }
 
+  /** S9: a 1-window BOSS ensemble fitted on the events series → columnar
+    * classifier artifact → reload → emit the model table. The full
+    * multi-window roundtrip is exercised by ModelIOSpec.
+    */
+  private def s9(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val train = graft.queries.SfaQ.series(s, dir)
+      .filter(size(col("data")) >= 16)
+      .select(col("user_id").as("id"), (col("user_id") % 3).cast("double").as("label"),
+        col("data"))
+    val cfg = graft.sfa.Boss.Config(minWindowLength = 16, maxWindowLength = 16,
+      maxF = 8, normalization = Seq(false))
+    val model = new graft.sfa.BossEnsemble(cfg).fit(train)
+    val path = s"${java.lang.System.getProperty("java.io.tmpdir")}/graft_s9_clf"
+    ModelIO.saveBossEnsemble(model, path)
+    val loaded = ModelIO.loadBossEnsemble(path)
+    import s.implicits._
+    loaded.models.map(m => (m.norm, m.windowLength.toLong, m.features.toLong, m.trainCorrect))
+      .toDF("norm", "w", "features", "train_correct")
+      .orderBy("w")
+  }
+
+  /** S10: the k-NN corpus persisted partitioned by word prefix (the
+    * trie's at-rest layout; prefix pruning ≙ subtree skip), reloaded,
+    * per-prefix record counts emitted.
+    */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val corpus = IndexQ.slices(s, dir)
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("word",
+        expr("transform(slice(data, 1, 4), x -> CAST(CASE WHEN x < 0 THEN 0 ELSE 1 END AS INT))"))
+      .select(col("user_id").as("id"), col("data"), col("word"))
+    val path = s"${java.lang.System.getProperty("java.io.tmpdir")}/graft_s10_index"
+    ModelIO.saveIndex(corpus, usedBits = 1, prefixLen = 2, path)
+    ModelIO.loadIndex(path)
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prefix")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "s9_classifier_roundtrip" -> QueryDef.rowsOnly(s9,
+      "BOSS ensemble -> columnar artifact -> reload; exact roundtrip " +
+        "gate in ModelIOSpec"),
+    "s10_index_layout" -> QueryDef.rowsOnly(s10,
+      "prefix-partitioned index layout roundtrip; ModelIOSpec/IndexSpec"),
     "s1_ucr_load" -> QueryDef.rowsOnly(s1,
       "UCR loader on the reference's CBF fixture; parsing vs the " +
         "reference loader asserted by LoadersSpec"),
