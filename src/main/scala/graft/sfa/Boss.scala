@@ -159,16 +159,18 @@ object Boss {
       testBags: DataFrame,
       trainBags: DataFrame,
       broadcastTrain: Boolean = false,
-      excludeSameId: Boolean = true): DataFrame = {
+      excludeSameId: Boolean = true,
+      keys: Seq[String] = Seq("norm", "w")): DataFrame = {
+    val k = keys.map(col)
     val t = testBags.select(
-      col("norm"), col("w"), col("id").as("test_id"), col("label").as("test_label"),
-      col("word"), col("cnt").as("tc"))
+      k :+ col("id").as("test_id") :+ col("label").as("test_label") :+
+        col("word") :+ col("cnt").as("tc"): _*)
     val n0 = trainBags.select(
-      col("norm"), col("w"), col("id").as("train_id"), col("label").as("train_label"),
-      col("word"), col("cnt").as("nc"))
+      k :+ col("id").as("train_id") :+ col("label").as("train_label") :+
+        col("word") :+ col("cnt").as("nc"): _*)
     val n = if (broadcastTrain) broadcast(n0) else n0
 
-    val noMatch = t.groupBy(col("norm"), col("w"), col("test_id"))
+    val noMatch = t.groupBy(k :+ col("test_id"): _*)
       .agg(sum(col("tc") * col("tc")).as("no_match"))
 
     // dist = noMatch + Σ_shared ((tc−nc)² − tc²); partial aggregation is
@@ -177,22 +179,22 @@ object Boss {
     // LOO scoring (test == train array); on test prediction a test id
     // numerically equal to a train id is a DIFFERENT series and must
     // compete (BOSSEnsembleClassifier.java:206)
-    val pairs0 = t.join(n, Seq("norm", "w", "word"))
+    val pairs0 = t.join(n, keys :+ "word")
     val pairs = (if (excludeSameId) pairs0.filter(col("test_id") =!= col("train_id")) else pairs0)
-      .groupBy(col("norm"), col("w"), col("test_id"), col("test_label"),
-        col("train_id"), col("train_label"))
+      .groupBy(k :+ col("test_id") :+ col("test_label") :+
+        col("train_id") :+ col("train_label"): _*)
       .agg(sum((col("tc") - col("nc")) * (col("tc") - col("nc")) - col("tc") * col("tc"))
         .as("delta"))
-      .join(noMatch, Seq("norm", "w", "test_id"))
+      .join(noMatch, keys :+ "test_id")
       .withColumn("dist", col("delta") + col("no_match"))
       .filter(col("dist") =!= col("no_match") && col("dist") > 0)
 
-    val byDist = Window.partitionBy(col("norm"), col("w"), col("test_id"))
+    val byDist = Window.partitionBy(k :+ col("test_id"): _*)
       .orderBy(col("dist").asc, col("train_id").asc)
     pairs.withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1)
-      .select(col("norm"), col("w"), col("test_id").as("id"),
-        col("test_label").as("label"), col("train_label").as("predLabel"))
+      .select(k :+ col("test_id").as("id") :+
+        col("test_label").as("label") :+ col("train_label").as("predLabel"): _*)
   }
 
   /** Weighted majority vote across ensemble models per test id; tie-break:
@@ -238,16 +240,19 @@ class BossEnsemble(cfg: Boss.Config = Boss.Config()) {
     val words = slidingWordsGrid(train, models, cfg.maxF).cache()
     words.count() // materialize once; reused for every f
 
-    // f-sweep: LOO correct count per (norm, w, f)
+    // f-sweep: LOO correct count per (norm, w, f) — ONE batched job over
+    // the f-tagged union instead of a job chain per f value
     val fValues = (cfg.minF to cfg.maxF by 2).toSeq
-    val scores: Map[(Boolean, Int, Int), Long] = fValues.flatMap { f =>
-      val bags = bagsAt(words, f, usedBits)
-      nn1(bags, bags)
+    val allBags = fValues
+      .map(f => bagsAt(words, f, usedBits).withColumn("f", lit(f)))
+      .reduce(_ unionByName _)
+    val scores: Map[(Boolean, Int, Int), Long] =
+      nn1(allBags, allBags, keys = Seq("norm", "w", "f"))
         .filter(col("predLabel") === col("label"))
-        .groupBy(col("norm"), col("w")).agg(count(lit(1)).as("correct"))
+        .groupBy(col("norm"), col("w"), col("f")).agg(count(lit(1)).as("correct"))
         .collect()
-        .map(r => (r.getBoolean(0), r.getInt(1), f) -> r.getLong(2))
-    }.toMap
+        .map(r => (r.getBoolean(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+        .toMap
 
     // per config: the reference scans f ascending and keeps the first
     // strictly-better score → smallest f among the maxima.
