@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.RepresentationQ.defs ++
       graft.queries.WeaselQ.defs ++
       graft.queries.ClassifierQ.defs ++
-      graft.queries.SourceQ.defs
+      graft.queries.SourceQ.defs ++
+      graft.queries.MuseQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -63,12 +63,15 @@ object SfaQ {
   /** Sliding packed words (user_id, win, word) — quantizer fitted on the
     * disjoint windows, applied to every sliding window.
     */
-  private[queries] def slidingWords(s: SparkSession, dir: String): DataFrame = {
-    val ser = series(s, dir).cache()
+  private[queries] def slidingWordsOf(eventsDF: DataFrame): DataFrame = {
+    val ser = SFAOps.seriesOf(eventsDF).cache()
     val bins = binsDF(SFAOps.disjointApprox(ser, W, L, normMean = false))
     val sliding = SFAOps.slidingApproxDirect(ser, W, L, normMean = false)
     SFAOps.packWords(sliding, bins, Bits)
   }
+
+  private[queries] def slidingWords(s: SparkSession, dir: String): DataFrame =
+    slidingWordsOf(events(s, dir))
 
   private[queries] def slidingBags(s: SparkSession, dir: String): DataFrame =
     SFAOps.bagOfWords(slidingWords(s, dir))
@@ -332,12 +335,17 @@ object SfaQ {
       .orderBy(col("f").desc, col("coef").asc)
     val sel = f.withColumn("rk", row_number().over(byF))
       .filter(col("rk") <= 4).select("coef", "rk")
-    val bins = binsDF(approx)
+    // single aggregation: symbol via higher-order filter over broadcast
+    // per-coefficient edge arrays (same shape as SFAOps.packWords)
+    val edgeArrays = binsDF(approx)
+      .groupBy(col("coef"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, edge))), p -> p.edge)")
+        .as("edges"))
     approx.join(broadcast(sel), Seq("coef"))
-      .join(broadcast(bins), Seq("coef"), "left")
-      .groupBy(col("user_id"), col("win"), col("coef"), col("rk"))
-      .agg(sum(when(col("edge").isNotNull && col("v") >= col("edge"), 1L).otherwise(0L))
-        .as("symbol"))
+      .join(broadcast(edgeArrays), Seq("coef"), "left")
+      .withColumn("symbol",
+        when(col("edges").isNull, 0L)
+          .otherwise(expr("cast(size(filter(edges, e -> v >= e)) as long)")))
       .groupBy(col("user_id"), col("win").cast("long").as("win"))
       .agg(sum(col("symbol") * expr("shiftleft(1L, (rk - 1) * 2)")).as("word"))
       .orderBy("user_id", "win")
