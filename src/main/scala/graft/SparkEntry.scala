@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.WeaselQ.defs ++
       graft.queries.ClassifierQ.defs ++
       graft.queries.SourceQ.defs ++
-      graft.queries.MuseQ.defs
+      graft.queries.MuseQ.defs ++
+      graft.queries.GridQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

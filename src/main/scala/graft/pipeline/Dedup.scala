@@ -94,7 +94,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
       .withColumn("jacRaw", col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jacRaw") >= 0.1)
-      .withColumn("jac", round(col("jacRaw"), 6))
+      .withColumn("jac", graft.util.Rnd.jround(col("jacRaw"), 6))
       .select("a", "b", "inter", "jac")
       .orderBy("a", "b")
   }
@@ -110,7 +110,7 @@ object Dedup {
       |  GROUP BY 1, 2
       |)
       |SELECT i.a, i.b, i.inter,
-      |  ROUND(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jac
+      |  FLOOR(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jac
       |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
       |WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.1
       |ORDER BY a, b""".stripMargin
@@ -165,7 +165,7 @@ object Dedup {
       .na.fill(0L, Seq("inter"))
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
-      .withColumn("jac", round(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+      .withColumn("jac", graft.util.Rnd.jround(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"), 6))
       .select("a", "b", "jac")
       .orderBy("a", "b")
   }
@@ -202,7 +202,7 @@ object Dedup {
       |  GROUP BY 1, 2
       |)
       |SELECT c.a AS a, c.b AS b,
-      |  ROUND(COALESCE(i.inter, 0) / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jac
+      |  FLOOR(COALESCE(i.inter, 0) / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jac
       |FROM cand c
       |LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
       |JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id

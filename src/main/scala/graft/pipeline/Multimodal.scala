@@ -83,7 +83,7 @@ object Multimodal {
     decoded.toDF()
       .select(
         col("doc_id") +: col("width") +:
-          (0 until 8).map(k => round(col("features")(k), 6).as(s"f$k")) :+
+          (0 until 8).map(k => graft.util.Rnd.jround(col("features")(k), 6).as(s"f$k")) :+
           col("sampled_n") :+ col("sampled_sum"): _*)
       .orderBy("doc_id")
   }
@@ -99,8 +99,8 @@ object Multimodal {
       |  WHERE b.n > 0
       |), feat AS (
       |  SELECT s.doc_id, s.k,
-      |    ROUND(SUM(ascii(substr(b2.text, CAST(p.p AS INTEGER), 1)))
-      |          / CAST(s.untl - s.frm AS DOUBLE), 6) AS f
+      |    FLOOR(SUM(ascii(substr(b2.text, CAST(p.p AS INTEGER), 1)))
+      |          / CAST(s.untl - s.frm AS DOUBLE) * 1e6 + 0.5) / 1e6 AS f
       |  FROM stripes s
       |  JOIN b b2 ON s.doc_id = b2.doc_id,
       |  UNNEST(generate_series(s.frm + 1, s.untl)) AS p(p)

@@ -37,7 +37,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .withColumn("dot", expr(
         "aggregate(zip_with(qiv, civ, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("cos", round(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -63,7 +63,7 @@ object Similarity {
       |  GROUP BY 1, 2
       |), scored AS (
       |  SELECT d.q_id, d.c_id,
-      |    ROUND(d.dot / (SQRT(nq.n2) * SQRT(nc.n2)), 6) AS cos
+      |    FLOOR(d.dot / (SQRT(nq.n2) * SQRT(nc.n2)) * 1e6 + 0.5) / 1e6 AS cos
       |  FROM dots d JOIN nrm nq ON d.q_id = nq.vec_id JOIN nrm nc ON d.c_id = nc.vec_id
       |), ranked AS (
       |  SELECT q_id, c_id, cos,
@@ -121,7 +121,7 @@ object Similarity {
     val scored = cand.join(broadcast(q), "q_id").join(c, "c_id")
       .withColumn("dot", expr(
         "aggregate(zip_with(qiv, civ, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("cos", round(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
@@ -170,7 +170,7 @@ object Similarity {
       |  GROUP BY 1, 2
       |), scored AS (
       |  SELECT d.q_id, d.c_id,
-      |    ROUND(d.dot / (SQRT(nq.n2) * SQRT(nc.n2)), 6) AS cos
+      |    FLOOR(d.dot / (SQRT(nq.n2) * SQRT(nc.n2)) * 1e6 + 0.5) / 1e6 AS cos
       |  FROM dots d JOIN nrm nq ON d.q_id = nq.vec_id JOIN nrm nc ON d.c_id = nc.vec_id
       |), ranked AS (
       |  SELECT q_id, c_id, cos,

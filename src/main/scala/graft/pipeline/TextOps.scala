@@ -48,9 +48,9 @@ object TextOps {
       .withColumn("chars", aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w)))
       .withColumn("stopn", size(filter(col("toks"), w => w.isin(stop: _*))).cast("long"))
       .withColumn("uniq", size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("mean_tok_len", round(col("chars") / col("n").cast("double"), 6))
-      .withColumn("stop_ratio", round(col("stopn") / col("n").cast("double"), 6))
-      .withColumn("ttr", round(col("uniq") / col("n").cast("double"), 6))
+      .withColumn("mean_tok_len", graft.util.Rnd.jround(col("chars") / col("n").cast("double"), 6))
+      .withColumn("stop_ratio", graft.util.Rnd.jround(col("stopn") / col("n").cast("double"), 6))
+      .withColumn("ttr", graft.util.Rnd.jround(col("uniq") / col("n").cast("double"), 6))
       .select("doc_id", "n", "mean_tok_len", "stop_ratio", "ttr")
       .orderBy("doc_id")
   }
@@ -67,9 +67,9 @@ object TextOps {
       |    CAST(len(list_distinct(toks)) AS BIGINT) AS uniq
       |  FROM t)
       |SELECT doc_id, n,
-      |  ROUND(chars / CAST(n AS DOUBLE), 6) AS mean_tok_len,
-      |  ROUND(stopn / CAST(n AS DOUBLE), 6) AS stop_ratio,
-      |  ROUND(uniq / CAST(n AS DOUBLE), 6) AS ttr
+      |  FLOOR(chars / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_tok_len,
+      |  FLOOR(stopn / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+      |  FLOOR(uniq / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ttr
       |FROM m ORDER BY doc_id""".stripMargin
 
   /** Language-ID by weighted marker-token profiles (Cavnar–Trenkle-style

@@ -24,9 +24,9 @@ import graft.util.QueryDef
   *    TeaserGoldenSpec).
   *  - j4_shotgun_nn → Shotgun 1-NN join (ShotgunClassifier.java:152-238):
   *    min aligned-ED of each disjoint query window over all train
-  *    positions, summed; O(N²·n·w) cross join — rows-only (the window
-  *    × position expansion is prohibitive as a SQL oracle; golden gate
-  *    = ShotgunGoldenSpec vs the reference's ItalyPowerDemand score).
+  *    positions, summed. The DuckDB oracle expands the full window ×
+  *    position grid (fine at verify scale); golden gate additionally =
+  *    ShotgunGoldenSpec vs the reference's asserted scores.
   */
 object ClassifierQ {
 
@@ -64,7 +64,7 @@ object ClassifierQ {
       .orderBy(col("score").desc, col("cls").asc)
     scores.withColumn("rn", row_number().over(byScore))
       .filter(col("rn") === 1)
-      .select(col("test_id"), col("cls").as("pred_cls"), round(col("score"), 6).as("score"))
+      .select(col("test_id"), col("cls").as("pred_cls"), graft.util.Rnd.jround(col("score"), 6).as("score"))
       .orderBy("test_id")
   }
 
@@ -98,7 +98,7 @@ object ClassifierQ {
       |    ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY score DESC, cls ASC) AS rn
       |  FROM sc
       |)
-      |SELECT test_id, cls AS pred_cls, ROUND(score, 6) AS score
+      |SELECT test_id, cls AS pred_cls, FLOOR(score * 1e6 + 0.5) / 1e6 AS score
       |FROM pick WHERE rn = 1 ORDER BY test_id""".stripMargin
 
   // ---- A7: earliness stats --------------------------------------------
@@ -115,7 +115,7 @@ object ClassifierQ {
     hit.join(lens, Seq("user_id"))
       .groupBy((col("user_id") % 3).as("cls"))
       .agg(count(lit(1)).as("n_series"),
-        round(avg((col("hit") + lit(W.toDouble)) / col("n")), 6).as("earliness"))
+        graft.util.Rnd.jround(avg((col("hit") + lit(W.toDouble)) / col("n")), 6).as("earliness"))
       .orderBy("cls")
   }
 
@@ -132,11 +132,11 @@ object ClassifierQ {
       |  GROUP BY 1
       |), lens AS (SELECT user_id, MAX(n) AS n FROM e GROUP BY 1)
       |SELECT h.user_id % 3 AS cls, COUNT(*) AS n_series,
-      |  ROUND(AVG((h.hit + $W.0) / s.n), 6) AS earliness
+      |  FLOOR(AVG((h.hit + $W.0) / s.n) * 1e6 + 0.5) / 1e6 AS earliness
       |FROM hit h JOIN lens s ON h.user_id = s.user_id
       |GROUP BY 1 ORDER BY cls""".stripMargin
 
-  // ---- J4: Shotgun 1-NN (rows-only) -----------------------------------
+  // ---- J4: Shotgun 1-NN -----------------------------------------------
 
   private def j4(s: SparkSession, dir: String): DataFrame = {
     val ser = SfaQ.series(s, dir).filter(size(col("data")) >= 2 * W)
@@ -150,12 +150,61 @@ object ClassifierQ {
     val byDist = Window.partitionBy("test_id")
       .orderBy(col("dist").asc, col("train_id").asc)
     test.crossJoin(train)
-      .withColumn("dist", round(shotgunUdf(col("qdata"), col("data")), 6))
+      .withColumn("dist", graft.util.Rnd.jround(shotgunUdf(col("qdata"), col("data")), 6))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1)
       .select(col("test_id"), col("train_id").as("nn_id"), col("dist"))
       .orderBy("test_id")
   }
+
+  /** Shotgun oracle: disjoint z-normed query windows (odd users) × every
+    * aligned sliding position of each train series (even users); min ED²
+    * per window over positions, summed per (test, train) pair, 1-NN.
+    */
+  private val j4Sql =
+    s"""WITH e AS (
+      |  SELECT user_id, value,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |), qw AS (
+      |  SELECT user_id, idx // $W AS win, idx % $W AS j, value FROM e
+      |  WHERE user_id % 2 = 1 AND n >= ${2 * W} AND idx // $W < n // $W
+      |), qst AS (
+      |  SELECT user_id, win, SUM(value)/$W.0 AS mean,
+      |    SQRT(GREATEST(SUM(value*value)/$W.0 - (SUM(value)/$W.0)*(SUM(value)/$W.0), 0.0)) AS std
+      |  FROM qw GROUP BY 1, 2
+      |), qx AS (
+      |  SELECT w.user_id, w.win, w.j,
+      |    (w.value - s.mean) * (CASE WHEN s.std <> 0 THEN 1.0/s.std ELSE 1.0 END) AS x
+      |  FROM qw w JOIN qst s ON w.user_id = s.user_id AND w.win = s.win
+      |), tw AS (
+      |  SELECT e1.user_id, e1.idx AS p, e2.idx - e1.idx AS j, e2.value
+      |  FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+      |    AND e2.idx BETWEEN e1.idx AND e1.idx + ${W - 1}
+      |  WHERE e1.user_id % 2 = 0 AND e1.n >= ${2 * W} AND e1.idx <= e1.n - $W
+      |), tst AS (
+      |  SELECT user_id, p, SUM(value)/$W.0 AS mean,
+      |    SQRT(GREATEST(SUM(value*value)/$W.0 - (SUM(value)/$W.0)*(SUM(value)/$W.0), 0.0)) AS std
+      |  FROM tw GROUP BY 1, 2
+      |), tx AS (
+      |  SELECT w.user_id, w.p, w.j,
+      |    (w.value - s.mean) * (CASE WHEN s.std <> 0 THEN 1.0/s.std ELSE 1.0 END) AS x
+      |  FROM tw w JOIN tst s ON w.user_id = s.user_id AND w.p = s.p
+      |), ed AS (
+      |  SELECT q.user_id AS tid, c.user_id AS rid, q.win, c.p,
+      |    SUM((q.x - c.x) * (q.x - c.x)) AS d2
+      |  FROM qx q JOIN tx c ON q.j = c.j
+      |  GROUP BY 1, 2, 3, 4
+      |), mn AS (SELECT tid, rid, win, MIN(d2) AS md FROM ed GROUP BY 1, 2, 3
+      |), tot AS (SELECT tid, rid, SUM(md) AS dist FROM mn GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT tid, rid, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY tid ORDER BY dist, rid) AS rn
+      |  FROM tot
+      |)
+      |SELECT tid AS test_id, rid AS nn_id, FLOOR(dist * 1e6 + 0.5) / 1e6 AS dist
+      |FROM rk WHERE rn = 1 ORDER BY test_id""".stripMargin
 
   // ---- F13: one-class acceptance radius -------------------------------
 
@@ -187,7 +236,7 @@ object ClassifierQ {
     nnd.withColumn("rn", row_number().over(byD).cast("long"))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("cls")))
       .filter(col("rn") === least(col("cnt"), ceil(lit(1.0 - 2 * Nu) * col("cnt")).cast("long") + 1))
-      .select(col("cls"), round(greatest(col("d"), lit(1e-9)), 6).as("radius"))
+      .select(col("cls"), graft.util.Rnd.jround(greatest(col("d"), lit(1e-9)), 6).as("radius"))
       .orderBy("cls")
   }
 
@@ -207,7 +256,7 @@ object ClassifierQ {
       |    COUNT(*) OVER (PARTITION BY cls) AS cnt
       |  FROM nnd
       |)
-      |SELECT cls, ROUND(GREATEST(d, 0.000000001), 6) AS radius FROM rk
+      |SELECT cls, FLOOR(GREATEST(d, 0.000000001) * 1e6 + 0.5) / 1e6 AS radius FROM rk
       |WHERE rn = LEAST(cnt, CAST(CEIL(${1.0 - 2 * Nu} * cnt) AS BIGINT) + 1)
       |ORDER BY cls""".stripMargin
 
@@ -238,9 +287,9 @@ object ClassifierQ {
   val defs: Map[String, QueryDef] = Map(
     "j2_bossvs_join" -> QueryDef.sql(j2, j2Sql),
     "a7_earliness" -> QueryDef.sql(a7, a7Sql),
-    "j4_shotgun_nn" -> QueryDef.rowsOnly(j4,
-      "Shotgun min-aligned-ED 1-NN; window×position expansion too large " +
-        "for a SQL oracle; golden gate = ShotgunGoldenSpec"),
+    "j4_shotgun_nn" -> QueryDef.sql(j4, j4Sql,
+      "Shotgun min-aligned-ED 1-NN; oracle expands the window×position " +
+        "grid; golden gate additionally ShotgunGoldenSpec"),
     "f13_one_class_radius" -> QueryDef.sql(f13, f13Sql),
     "m1_window_grid" -> QueryDef.rowsOnly(m1,
       "BOSS window grid with LOOCV f-sweep; golden gate = BossGoldenSpec"))

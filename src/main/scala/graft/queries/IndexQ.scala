@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{QueryDef, Tables}
+import graft.util.Rnd.jround
 import graft.sfa.{Fourier, IndexOps, SFA, Words}
 import graft.ts.Loaders
 
@@ -43,7 +44,7 @@ object IndexQ {
   private def fitBins(corpus: DataFrame): Array[Array[Double]] = {
     val rows = corpus
       .select(posexplode(col("approx")).as(Seq("coef", "v")))
-      .select(col("coef"), round(col("v"), 2).as("v2"))
+      .select(col("coef"), jround(col("v"), 2).as("v2"))
       .groupBy("coef").agg(min("v2").as("mn"), max("v2").as("mx"))
       .collect()
     val bins = Array.fill(L)(Array.fill(Alpha - 1)(Double.MaxValue))
@@ -84,7 +85,7 @@ object IndexQ {
   private def j9(s: SparkSession, dir: String): DataFrame = {
     val (corpus, queries, _) = prepared(s, dir)
     IndexOps.knnScan(corpus, queries, K)
-      .withColumn("d2", round(col("d2"), 6))
+      .withColumn("d2", jround(col("d2"), 6))
       .orderBy("qid", "rank")
   }
 
@@ -92,7 +93,7 @@ object IndexQ {
     implicit val sp: SparkSession = s
     val (corpus, queries, bins) = prepared(s, dir)
     IndexOps.knn(corpus, queries, bins, normed = false, k = K, probe = 10)
-      .withColumn("d2", round(col("d2"), 6))
+      .withColumn("d2", jround(col("d2"), 6))
       .orderBy("qid", "rank")
   }
 
@@ -123,7 +124,7 @@ object IndexQ {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS BIGINT) AS rank
       |  FROM d
       |)
-      |SELECT qid, rank, id, ROUND(d2, 6) AS d2 FROM r WHERE rank <= $K
+      |SELECT qid, rank, id, FLOOR(d2 * 1e6 + 0.5) / 1e6 AS d2 FROM r WHERE rank <= $K
       |ORDER BY qid, rank""".stripMargin
 
   private val Eps2 = 25.0
@@ -133,7 +134,7 @@ object IndexQ {
     implicit val sp: SparkSession = s
     val (corpus, queries, bins) = prepared(s, dir)
     IndexOps.rangeSearch(corpus, queries, bins, normed = false, Eps2)
-      .withColumn("d2", round(col("d2"), 6))
+      .withColumn("d2", jround(col("d2"), 6))
       .orderBy("qid", "id")
   }
 
@@ -142,7 +143,7 @@ object IndexQ {
     // bucket on coefficients 2..3: slots 0/1 are the degenerate DC pair
     // of z-normed slices (≈0 to FP noise — knife-edge symbols)
     IndexOps.approxPrefixSearch(corpus, queries, Words.binlog(Alpha), PrefixLen, startSymbol = 2)
-      .withColumn("d2", round(col("d2"), 6))
+      .withColumn("d2", jround(col("d2"), 6))
       .orderBy("qid")
   }
 
@@ -150,9 +151,9 @@ object IndexQ {
     * LB pruning must not lose any qualifying record). */
   private val rangeSql =
     scanSql.replace(
-      s"""SELECT qid, rank, id, ROUND(d2, 6) AS d2 FROM r WHERE rank <= $K
+      s"""SELECT qid, rank, id, FLOOR(d2 * 1e6 + 0.5) / 1e6 AS d2 FROM r WHERE rank <= $K
       |ORDER BY qid, rank""".stripMargin,
-      s"""SELECT qid, id, ROUND(d2, 6) AS d2 FROM d WHERE d2 <= $Eps2
+      s"""SELECT qid, id, FLOOR(d2 * 1e6 + 0.5) / 1e6 AS d2 FROM d WHERE d2 <= $Eps2
       |ORDER BY qid, id""".stripMargin)
 
   /** Shared oracle CTE chain: z-normed slices, direct DFT, corpus-fitted
@@ -184,7 +185,7 @@ object IndexQ {
       |    * (1.0/SQRT($SliceLen)) * (CASE WHEN c.coef % 2 = 1 THEN -1.0 ELSE 1.0 END) AS v
       |  FROM sl n CROSS JOIN coefs c GROUP BY n.user_id, c.coef
       |), mm AS (
-      |  SELECT coef, MIN(ROUND(v, 2)) AS mn, MAX(ROUND(v, 2)) AS mx
+      |  SELECT coef, MIN(FLOOR(v * 1e2 + 0.5) / 1e2) AS mn, MAX(FLOOR(v * 1e2 + 0.5) / 1e2) AS mx
       |  FROM dft WHERE user_id % 2 = 0 GROUP BY 1
       |), sym AS (
       |  SELECT d.user_id, d.coef,
@@ -212,7 +213,7 @@ object IndexQ {
       |  SELECT qid, id, d2, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
       |  FROM dd
       |)
-      |SELECT qid, id, ROUND(d2, 6) AS d2 FROM r WHERE rn = 1 ORDER BY qid""".stripMargin
+      |SELECT qid, id, FLOOR(d2 * 1e6 + 0.5) / 1e6 AS d2 FROM r WHERE rn = 1 ORDER BY qid""".stripMargin
 
   private val LbTopK = 5
 
@@ -232,7 +233,7 @@ object IndexQ {
       .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
       .withColumn("rn", row_number().over(byLb))
       .filter(col("rn") <= LbTopK)
-      .select(col("qid"), col("id"), round(col("lb"), 6).as("lb"))
+      .select(col("qid"), col("id"), jround(col("lb"), 6).as("lb"))
       .orderBy("qid", "id")
   }
 
@@ -264,7 +265,7 @@ object IndexQ {
       |  SELECT qid, id, lb, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY lb, id) AS rn
       |  FROM lbp
       |)
-      |SELECT qid, id, ROUND(lb, 6) AS lb FROM rk WHERE rn <= $LbTopK
+      |SELECT qid, id, FLOOR(lb * 1e6 + 0.5) / 1e6 AS lb FROM rk WHERE rn <= $LbTopK
       |ORDER BY qid, id""".stripMargin
 
   /** A8: per-prefix element-wise min/max Fourier bounding boxes over the
@@ -280,7 +281,7 @@ object IndexQ {
         expr(s"aggregate(slice(word, 3, $PrefixLen), 0L, (acc, s) -> acc * ${1 << usedBits} + s)"))
       .select(col("prefix"), posexplode(col("approx")).as(Seq("coef", "v")))
       .groupBy(col("prefix"), col("coef").cast("long").as("coef"))
-      .agg(round(min(col("v")), 6).as("mn"), round(max(col("v")), 6).as("mx"))
+      .agg(jround(min(col("v")), 6).as("mn"), jround(max(col("v")), 6).as("mx"))
       .orderBy("prefix", "coef")
   }
 
@@ -290,7 +291,7 @@ object IndexQ {
       |    CAST(SUM(s * CASE WHEN coef = 2 THEN $Alpha ELSE 1 END) AS BIGINT) AS prefix
       |  FROM sym WHERE coef IN (2, 3) AND user_id % 2 = 0 GROUP BY 1
       |)
-      |SELECT p.prefix, d.coef, ROUND(MIN(d.v), 6) AS mn, ROUND(MAX(d.v), 6) AS mx
+      |SELECT p.prefix, d.coef, FLOOR(MIN(d.v) * 1e6 + 0.5) / 1e6 AS mn, FLOOR(MAX(d.v) * 1e6 + 0.5) / 1e6 AS mx
       |FROM dft d JOIN pref p ON d.user_id = p.user_id
       |GROUP BY 1, 2 ORDER BY prefix, coef""".stripMargin
 

@@ -56,7 +56,7 @@ object MuseQ {
         sum((col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp")).as("chi2"))
     val byChi = Window.orderBy(col("chi2").desc, col("key").asc)
     chi.withColumn("rn", row_number().over(byChi))
-      .select(col("key"), round(col("chi2"), 6).as("chi2"),
+      .select(col("key"), graft.util.Rnd.jround(col("chi2"), 6).as("chi2"),
         when(col("rn") <= TopK, col("wtot")).otherwise(0L).as("kept_cnt"))
       .orderBy("key")
   }
@@ -98,7 +98,7 @@ object MuseQ {
       |    ROW_NUMBER() OVER (ORDER BY chi2 DESC, key ASC) AS rn
       |  FROM chi
       |)
-      |SELECT key, ROUND(chi2, 6) AS chi2,
+      |SELECT key, FLOOR(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
       |  CAST(CASE WHEN rn <= $TopK THEN wtot ELSE 0 END AS BIGINT) AS kept_cnt
       |FROM rk ORDER BY key""".stripMargin
 

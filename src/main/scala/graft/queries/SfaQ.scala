@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.{QueryDef, Tables}
+import graft.util.{QueryDef, Rnd, Tables}
+import graft.util.Rnd.{jround, jroundSql}
 import graft.sfa.{SFA, SFAOps}
 
 /** SFA-core query surface over the `events` table (series key = user_id,
@@ -81,7 +82,7 @@ object SfaQ {
   private def t3(s: SparkSession, dir: String): DataFrame =
     disjointApprox(s, dir)
       .select(col("user_id"), col("win").cast("long").as("win"),
-        col("coef").cast("long").as("coef"), round(col("v"), 6).as("v"))
+        col("coef").cast("long").as("coef"), jround(col("v"), 6).as("v"))
       .orderBy("user_id", "win", "coef")
 
   private def f2(s: SparkSession, dir: String): DataFrame =
@@ -126,27 +127,29 @@ object SfaQ {
       .agg(sum(col("ok")).as("correct"))
       .crossJoin(totalDf)
       .select(col("correct"), col("total"),
-        round(col("correct").cast("double") / col("total"), 6).as("acc"))
+        jround(col("correct").cast("double") / col("total"), 6).as("acc"))
   }
 
   // ---- DuckDB oracle SQL ----------------------------------------------
 
-  /** Shared prefix: ordered points, disjoint windows, their z-norm
-    * (σ-division), direct DFT values, rounded orderline and the
-    * recursive equi-depth edge scan.
+  /** Shared prefix at window length `w`: ordered points, disjoint
+    * windows, their z-norm (σ-division), direct DFT values, rounded
+    * orderline and the recursive equi-depth edge scan. The DFT norm
+    * factor is (1.0/SQRT(w)) — at w=16 identical bits to the historical
+    * literal 0.25. `src` lets grid queries pre-filter/remap the events.
     */
-  private[queries] val prefix =
-    """WITH RECURSIVE e AS (
+  private[queries] def prefixFor(w: Int, src: String = "events"): String =
+    s"""WITH RECURSIVE e AS (
       |  SELECT user_id, value,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
       |    COUNT(*) OVER (PARTITION BY user_id) AS n
-      |  FROM events
+      |  FROM $src
       |), dw AS (
-      |  SELECT user_id, idx // 16 AS win, idx % 16 AS j, value
-      |  FROM e WHERE idx // 16 < n // 16
+      |  SELECT user_id, idx // $w AS win, idx % $w AS j, value
+      |  FROM e WHERE idx // $w < n // $w
       |), dst AS (
       |  SELECT user_id, win,
-      |    SQRT(GREATEST(SUM(value*value)/16.0 - (SUM(value)/16.0)*(SUM(value)/16.0), 0.0)) AS std
+      |    SQRT(GREATEST(SUM(value*value)/$w.0 - (SUM(value)/$w.0)*(SUM(value)/$w.0), 0.0)) AS std
       |  FROM dw GROUP BY 1, 2
       |), dnx AS (
       |  SELECT d.user_id, d.win, d.j,
@@ -156,14 +159,14 @@ object SfaQ {
       |), ddft AS (
       |  SELECT n.user_id, n.win, c.coef,
       |    (CASE WHEN c.coef = 1 THEN 0.0
-      |          WHEN c.coef % 2 = 0 THEN SUM(n.x * COS(-2*PI()*n.j*(c.coef//2)/16.0))
-      |          ELSE SUM(n.x * SIN(-2*PI()*n.j*(c.coef//2)/16.0)) END)
-      |    * 0.25 * (CASE WHEN c.coef % 2 = 1 THEN -1.0 ELSE 1.0 END) AS v
+      |          WHEN c.coef % 2 = 0 THEN SUM(n.x * COS(-2*PI()*n.j*(c.coef//2)/$w.0))
+      |          ELSE SUM(n.x * SIN(-2*PI()*n.j*(c.coef//2)/$w.0)) END)
+      |    * (1.0/SQRT($w)) * (CASE WHEN c.coef % 2 = 1 THEN -1.0 ELSE 1.0 END) AS v
       |  FROM dnx n CROSS JOIN coefs c
       |  GROUP BY n.user_id, n.win, c.coef
       |), ol AS (
-      |  SELECT coef, ROUND(v, 2) AS v2,
-      |    ROW_NUMBER() OVER (PARTITION BY coef ORDER BY ROUND(v, 2)) AS rn
+      |  SELECT coef, FLOOR(v * 1e2 + 0.5) / 1e2 AS v2,
+      |    ROW_NUMBER() OVER (PARTITION BY coef ORDER BY FLOOR(v * 1e2 + 0.5) / 1e2) AS rn
       |  FROM ddft
       |), olc AS (SELECT coef, COUNT(*) AS n FROM ol GROUP BY 1
       |), bounds AS (
@@ -184,18 +187,20 @@ object SfaQ {
       |  WHERE b.pos + 1 <= 2
       |)""".stripMargin
 
-  /** Sliding-window continuation: windows, σ, DFT, symbols, packed words,
-    * numerosity-reduced bags (users with ≥16 points).
+  private[queries] val prefix = prefixFor(W)
+
+  /** Sliding-window continuation at window length `w`: windows, σ, DFT,
+    * symbols, packed words, numerosity-reduced bags (users ≥ w points).
     */
-  private[queries] val slidingCtes =
-    """, sw AS (
+  private[queries] def slidingCtesFor(w: Int): String =
+    s""", sw AS (
       |  SELECT e1.user_id, e1.idx AS win, e2.idx - e1.idx AS j, e2.value
       |  FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
-      |    AND e2.idx BETWEEN e1.idx AND e1.idx + 15
-      |  WHERE e1.idx <= e1.n - 16 AND e1.n >= 16
+      |    AND e2.idx BETWEEN e1.idx AND e1.idx + ${w - 1}
+      |  WHERE e1.idx <= e1.n - $w AND e1.n >= $w
       |), sst AS (
       |  SELECT user_id, win,
-      |    SQRT(GREATEST(SUM(value*value)/16.0 - (SUM(value)/16.0)*(SUM(value)/16.0), 0.0)) AS std
+      |    SQRT(GREATEST(SUM(value*value)/$w.0 - (SUM(value)/$w.0)*(SUM(value)/$w.0), 0.0)) AS std
       |  FROM sw GROUP BY 1, 2
       |), snx AS (
       |  SELECT w.user_id, w.win, w.j,
@@ -204,9 +209,9 @@ object SfaQ {
       |), sdft AS (
       |  SELECT n.user_id, n.win, c.coef,
       |    (CASE WHEN c.coef = 1 THEN 0.0
-      |          WHEN c.coef % 2 = 0 THEN SUM(n.x * COS(-2*PI()*n.j*(c.coef//2)/16.0))
-      |          ELSE SUM(n.x * SIN(-2*PI()*n.j*(c.coef//2)/16.0)) END)
-      |    * 0.25 * (CASE WHEN c.coef % 2 = 1 THEN -1.0 ELSE 1.0 END) AS v
+      |          WHEN c.coef % 2 = 0 THEN SUM(n.x * COS(-2*PI()*n.j*(c.coef//2)/$w.0))
+      |          ELSE SUM(n.x * SIN(-2*PI()*n.j*(c.coef//2)/$w.0)) END)
+      |    * (1.0/SQRT($w)) * (CASE WHEN c.coef % 2 = 1 THEN -1.0 ELSE 1.0 END) AS v
       |  FROM snx n CROSS JOIN coefs c
       |  GROUP BY n.user_id, n.win, c.coef
       |), ssym AS (
@@ -227,6 +232,8 @@ object SfaQ {
       |  WHERE prev IS NULL OR prev <> word
       |  GROUP BY 1, 2
       |)""".stripMargin
+
+  private[queries] val slidingCtes = slidingCtesFor(W)
 
   /** 1-NN continuation over the sliding bags (odd users = test, even =
     * train); asymmetric distance with the reference's guards.
@@ -251,7 +258,7 @@ object SfaQ {
       |)""".stripMargin
 
   private val t3Sql = prefix +
-    "\nSELECT user_id, win, coef, ROUND(v, 6) AS v FROM ddft ORDER BY user_id, win, coef"
+    s"\nSELECT user_id, win, coef, ${jroundSql("v", 6)} AS v FROM ddft ORDER BY user_id, win, coef"
 
   private val f2Sql = prefix +
     "\nSELECT coef, pos, edge FROM bounds ORDER BY coef, pos"
@@ -283,7 +290,7 @@ object SfaQ {
       |SELECT
       |  CAST(SUM(CASE WHEN nn_id % 3 = test_id % 3 THEN 1 ELSE 0 END) AS BIGINT) AS correct,
       |  tot.total AS total,
-      |  ROUND(CAST(SUM(CASE WHEN nn_id % 3 = test_id % 3 THEN 1 ELSE 0 END) AS DOUBLE) / tot.total, 6) AS acc
+      |  FLOOR(CAST(SUM(CASE WHEN nn_id % 3 = test_id % 3 THEN 1 ELSE 0 END) AS DOUBLE) / tot.total * 1e6 + 0.5) / 1e6 AS acc
       |FROM nn, tot WHERE rn = 1 GROUP BY tot.total""".stripMargin
 
   // ---- O1: orderline sort ---------------------------------------------
@@ -296,7 +303,7 @@ object SfaQ {
     val byVal = org.apache.spark.sql.expressions.Window
       .partitionBy("coef").orderBy(col("v2").asc, col("label").asc)
     disjointApprox(s, dir)
-      .select(col("coef").cast("long").as("coef"), round(col("v"), 2).as("v2"),
+      .select(col("coef").cast("long").as("coef"), jround(col("v"), 2).as("v2"),
         (col("user_id") % 3).as("label"))
       .withColumn("rn", row_number().over(byVal).cast("long"))
       .select(col("coef"), col("rn"), col("v2"), col("label"))
@@ -305,8 +312,8 @@ object SfaQ {
 
   private val o1Sql = prefix +
     """
-      |SELECT coef, CAST(ROW_NUMBER() OVER (PARTITION BY coef ORDER BY ROUND(v, 2), user_id % 3) AS BIGINT) AS rn,
-      |  ROUND(v, 2) AS v2, user_id % 3 AS label
+      |SELECT coef, CAST(ROW_NUMBER() OVER (PARTITION BY coef ORDER BY FLOOR(v * 1e2 + 0.5) / 1e2, user_id % 3) AS BIGINT) AS rn,
+      |  FLOOR(v * 1e2 + 0.5) / 1e2 AS v2, user_id % 3 AS label
       |FROM ddft ORDER BY coef, rn""".stripMargin
 
   // ---- T9: supervised quantization (ANOVA-F selected coefficients) ----
@@ -419,7 +426,7 @@ object SfaQ {
         .zipWithIndex.collect { case (e, p) if e != Double.MaxValue => (p, e) }
     }
     disjointApprox(s, dir)
-      .select(col("coef"), round(col("v"), 2).as("v2"),
+      .select(col("coef"), jround(col("v"), 2).as("v2"),
         (col("user_id") % 3).cast("double").as("label"))
       .groupBy("coef")
       .agg(edgesUdf(collect_list(struct(col("v2"), col("label")))).as("edges"))
@@ -444,12 +451,12 @@ object SfaQ {
       .select(col("user_id"), col("win").cast("long").as("win"),
         posexplode(col("wdata")).as(Seq("j", "x")))
       .select(col("user_id"), col("win"), col("j").cast("long").as("j"),
-        round(col("x"), 6).as("x"))
+        jround(col("x"), 6).as("x"))
       .orderBy("user_id", "win", "j")
   }
 
   private val p2Sql = prefix + slidingCtes +
-    "\nSELECT user_id, win, j, ROUND(x, 6) AS x FROM snx ORDER BY user_id, win, j"
+    s"\nSELECT user_id, win, j, ${jroundSql("x", 6)} AS x FROM snx ORDER BY user_id, win, j"
 
   // ---- P5: subsequence slice ------------------------------------------
 
@@ -464,7 +471,7 @@ object SfaQ {
     }
     series(s, dir).filter(size(col("data")) >= SliceFrom + W)
       .select(col("user_id"), posexplode(sliceUdf(col("data"))).as(Seq("j", "x")))
-      .select(col("user_id"), col("j").cast("long").as("j"), round(col("x"), 6).as("x"))
+      .select(col("user_id"), col("j").cast("long").as("j"), jround(col("x"), 6).as("x"))
       .orderBy("user_id", "j")
   }
 
@@ -483,7 +490,7 @@ object SfaQ {
       |  FROM sub GROUP BY 1
       |)
       |SELECT s.user_id, s.j,
-      |  ROUND((s.value - t.mean) * (CASE WHEN t.std <> 0 THEN 1.0/t.std ELSE 1.0 END), 6) AS x
+      |  FLOOR((s.value - t.mean) * (CASE WHEN t.std <> 0 THEN 1.0/t.std ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS x
       |FROM sub s JOIN sst t ON s.user_id = t.user_id
       |ORDER BY s.user_id, s.j""".stripMargin
 

@@ -8,10 +8,13 @@ import graft.ts.Loaders
 
 /** Source/sink queries (SURVEY §2.1): the reference's own file formats
   * read through the Spark loaders, and the columnar model roundtrip.
-  * Rows-only — the inputs are the reference's bundled fixtures, not the
-  * driver's parquet tables, so no DuckDB oracle runs over them; parsing
-  * semantics are asserted against the reference's loaders by
-  * LoadersSpec / ModelIOSpec.
+  *
+  * The loader queries (s1/s2/s5/s6) carry DuckDB oracles that re-parse
+  * the SAME fixture files via `read_text`/`read_csv` and replicate the
+  * loader semantics (separator sniffing, NaN/header skipping, z-norm) in
+  * SQL — an independent second implementation of the parsing contract.
+  * The roundtrip queries (s8/s9/s10) are genuinely non-SQL (they test
+  * artifact IO) and stay rows-only with ModelIOSpec as their gate.
   */
 object SourceQ {
 
@@ -21,8 +24,45 @@ object SourceQ {
   private def s1(s: SparkSession, dir: String): DataFrame =
     Loaders.loadUcr(s, s"$Base/univariate/CBF/CBF_TRAIN")
       .select(col("id"), col("label"), size(col("data")).cast("long").as("len"),
-        round(element_at(col("data"), 1), 6).as("head"))
+        graft.util.Rnd.jround(element_at(col("data"), 1), 6).as("head"))
       .orderBy("id")
+
+  /** Oracle: the UCR parse re-expressed over `read_text` — line index =
+    * id, separator sniffed per line, empty/NaN cells dropped, per-series
+    * z-norm (population σ, σ=0 ⇒ ÷1) recomputed in SQL.
+    */
+  private val s1Sql =
+    s"""WITH raw AS (
+      |  SELECT string_split(content, chr(10)) AS lines
+      |  FROM read_text('$Base/univariate/CBF/CBF_TRAIN')
+      |), l AS (
+      |  SELECT unnest(lines) AS line, generate_subscripts(lines, 1) - 1 AS id FROM raw
+      |), p AS (
+      |  SELECT id, TRIM(line) AS t FROM l
+      |  WHERE TRIM(line) <> '' AND NOT starts_with(TRIM(line), '@')
+      |), cells AS (
+      |  SELECT id, list_filter(string_split_regex(t,
+      |      CASE WHEN contains(t, ',') THEN '[,\\s]+' ELSE '\\s+' END),
+      |    c -> c <> '' AND lower(c) <> 'nan') AS cs
+      |  FROM p
+      |), ok AS (
+      |  SELECT id, CAST(cs[1] AS DOUBLE) AS label,
+      |    list_transform(cs[2:], c -> CAST(c AS DOUBLE)) AS vals
+      |  FROM cells WHERE len(cs) >= 2
+      |), st AS (
+      |  SELECT id, label, len(vals) AS n, list_sum(vals) AS s,
+      |    list_sum(list_transform(vals, x -> x * x)) AS sq, vals[1] AS v0
+      |  FROM ok
+      |), z AS (
+      |  SELECT id, label, n, s / n AS mean,
+      |    CASE WHEN (sq / n - (s / n) * (s / n)) > 0
+      |         THEN SQRT(sq / n - (s / n) * (s / n)) ELSE 0.0 END AS std,
+      |    v0
+      |  FROM st
+      |)
+      |SELECT CAST(id AS BIGINT) AS id, label, CAST(n AS BIGINT) AS len,
+      |  FLOOR((v0 - mean) * (CASE WHEN std <> 0 THEN 1.0 / std ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS head
+      |FROM z ORDER BY id""".stripMargin
 
   /** S2: multivariate file → one row per (sample, dim). */
   private def s2(s: SparkSession, dir: String): DataFrame =
@@ -30,6 +70,20 @@ object SourceQ {
       applyZNorm = false)
       .select(col("id"), col("dim"), col("label"), size(col("data")).cast("long").as("len"))
       .orderBy("id", "dim")
+
+  private val s2Sql =
+    s"""WITH r AS (
+      |  SELECT * FROM read_csv('$Base/multivariate/PenDigits/PenDigits_TRAIN3',
+      |    sep=' ', header=false, auto_detect=false,
+      |    columns={'sid': 'BIGINT', 'ts': 'DOUBLE', 'label': 'DOUBLE',
+      |             'd1': 'DOUBLE', 'd2': 'DOUBLE'})
+      |), g AS (
+      |  SELECT sid AS id, ANY_VALUE(label) AS label, COUNT(*) AS len FROM r GROUP BY sid
+      |)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(dims.dim AS INTEGER) AS dim, label,
+      |  CAST(len AS BIGINT) AS len
+      |FROM g CROSS JOIN (SELECT unnest([0, 1]) AS dim) dims
+      |ORDER BY id, dim""".stripMargin
 
   /** S5: whole-file long series (first value per line). */
   private def s5(s: SparkSession, dir: String): DataFrame = {
@@ -39,6 +93,19 @@ object SourceQ {
       .toDF("i", "v").orderBy("i")
   }
 
+  private val s5Sql =
+    s"""WITH raw AS (
+      |  SELECT string_split(content, chr(10)) AS lines
+      |  FROM read_text('$Base/indexing/power_data.dat')
+      |), l AS (
+      |  SELECT unnest(lines) AS line, generate_subscripts(lines, 1) AS ln FROM raw
+      |), p AS (
+      |  SELECT ln, TRIM(line) AS t FROM l WHERE TRIM(line) <> ''
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY ln) - 1 AS BIGINT) AS i,
+      |  CAST(string_split_regex(t, '\\s+')[1] AS DOUBLE) AS v
+      |FROM p ORDER BY i""".stripMargin
+
   /** S6: one query series per line. */
   private def s6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -46,6 +113,24 @@ object SourceQ {
     qs.zipWithIndex.map { case (q, i) => (i.toLong, q.length.toLong, q.head) }.toSeq
       .toDF("qid", "len", "head").orderBy("qid")
   }
+
+  private val s6Sql =
+    s"""WITH raw AS (
+      |  SELECT string_split(content, chr(10)) AS lines
+      |  FROM read_text('$Base/indexing/query_lightcurves.txt')
+      |), l AS (
+      |  SELECT unnest(lines) AS line, generate_subscripts(lines, 1) AS ln FROM raw
+      |), p AS (
+      |  -- Scala trim strips ALL whitespace (tabs/CR); DuckDB TRIM only
+      |  -- spaces — a trailing tab would otherwise add an empty token
+      |  SELECT ln,
+      |    list_filter(string_split_regex(TRIM(line), '\\s+'), c -> c <> '') AS toks
+      |  FROM l WHERE TRIM(line, ' ' || chr(9) || chr(13)) <> ''
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY ln) - 1 AS BIGINT) AS qid,
+      |  CAST(len(toks) AS BIGINT) AS len,
+      |  CAST(toks[1] AS DOUBLE) AS head
+      |FROM p ORDER BY qid""".stripMargin
 
   /** S8: SFA quantizer → parquet artifact → reload → emit bins. The fit
     * is the same single-config pipeline as SfaQ; the roundtrip must be
@@ -117,15 +202,16 @@ object SourceQ {
         "gate in ModelIOSpec"),
     "s10_index_layout" -> QueryDef.rowsOnly(s10,
       "prefix-partitioned index layout roundtrip; ModelIOSpec/IndexSpec"),
-    "s1_ucr_load" -> QueryDef.rowsOnly(s1,
-      "UCR loader on the reference's CBF fixture; parsing vs the " +
-        "reference loader asserted by LoadersSpec"),
-    "s2_mv_load" -> QueryDef.rowsOnly(s2,
-      "multivariate loader on the PenDigits fixture; LoadersSpec"),
-    "s5_sample_subsequence" -> QueryDef.rowsOnly(s5,
-      "whole-file long-series reader on power_data.dat"),
-    "s6_query_series" -> QueryDef.rowsOnly(s6,
-      "query-series reader on query_lightcurves.txt"),
+    "s1_ucr_load" -> QueryDef.sql(s1, s1Sql,
+      "UCR loader on the reference's CBF fixture; oracle re-parses the " +
+        "same file via read_text; also LoadersSpec"),
+    "s2_mv_load" -> QueryDef.sql(s2, s2Sql,
+      "multivariate loader on the PenDigits fixture; oracle re-parses " +
+        "via read_csv; also LoadersSpec"),
+    "s5_sample_subsequence" -> QueryDef.sql(s5, s5Sql,
+      "whole-file long-series reader on power_data.dat; read_text oracle"),
+    "s6_query_series" -> QueryDef.sql(s6, s6Sql,
+      "query-series reader on query_lightcurves.txt; read_text oracle"),
     "s8_model_roundtrip" -> QueryDef.rowsOnly(s8,
       "SFA quantizer fit → parquet artifact → reload; exact-equality " +
         "gate in ModelIOSpec"))

@@ -60,7 +60,7 @@ object Stats {
         sum(col("s_g") * col("s_g") / col("n_g")).as("sb"))
       .withColumn("ssb", col("sb") - col("ss") * col("ss") / col("nn"))
       .withColumn("ssw", col("ssqt") - col("sb"))
-      .withColumn("f_stat", round(
+      .withColumn("f_stat", graft.util.Rnd.jround(
         (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("nn") - col("k"))), 4))
       .select("i", "f_stat")
       .orderBy("i")
@@ -84,7 +84,7 @@ object Stats {
       |  FROM g GROUP BY 1
       |)
       |SELECT CAST(i AS BIGINT) AS i,
-      |  ROUND(((sb - ss*ss/nn) / (k-1)) / ((ssqt - sb) / (nn-k)), 4) AS f_stat
+      |  FLOOR(((sb - ss*ss/nn) / (k-1)) / ((ssqt - sb) / (nn-k)) * 1e4 + 0.5) / 1e4 AS f_stat
       |FROM tot ORDER BY i""".stripMargin
 
   /** F7: χ² of word × lang contingency (WEASEL feature selection), for words
@@ -104,7 +104,7 @@ object Stats {
       .groupBy("word")
       .agg(max("wtot").as("wtot"), sum("term").as("chi2raw"))
       .filter(col("wtot") >= 50)
-      .withColumn("chi2", round(col("chi2raw"), 4))
+      .withColumn("chi2", graft.util.Rnd.jround(col("chi2raw"), 4))
       .select("word", "wtot", "chi2")
       .orderBy("word")
   }
@@ -120,7 +120,7 @@ object Stats {
       |    (c.obs - CAST(bw.wtot AS DOUBLE)*bl.ltot/n.n)*(c.obs - CAST(bw.wtot AS DOUBLE)*bl.ltot/n.n)/(CAST(bw.wtot AS DOUBLE)*bl.ltot/n.n) AS term
       |  FROM cell c JOIN bw USING (word) JOIN bl USING (lang), n
       |)
-      |SELECT word, CAST(MAX(wtot) AS BIGINT) AS wtot, ROUND(SUM(term), 4) AS chi2
+      |SELECT word, CAST(MAX(wtot) AS BIGINT) AS wtot, FLOOR(SUM(term) * 1e4 + 0.5) / 1e4 AS chi2
       |FROM terms GROUP BY word HAVING MAX(wtot) >= 50 ORDER BY word""".stripMargin
 
   /** F10: BOSS VS class tf-idf vectors over (lang = class, word = pattern).
@@ -139,7 +139,7 @@ object Stats {
     val norm = Window.partitionBy("lang")
     weighted
       .withColumn("l2", sqrt(sum(col("w") * col("w")).over(norm)))
-      .withColumn("nweight", round(when(col("l2") > 0, col("w") / col("l2")).otherwise(col("w")), 5))
+      .withColumn("nweight", graft.util.Rnd.jround(when(col("l2") > 0, col("w") / col("l2")).otherwise(col("w")), 5))
       .select("lang", "word", "tf", "nweight")
       .orderBy("lang", "word")
   }
@@ -156,7 +156,7 @@ object Stats {
       |  FROM tf JOIN df USING (word), k
       |)
       |SELECT lang, word, tf,
-      |  ROUND(CASE WHEN l2 > 0 THEN w/l2 ELSE w END, 5) AS nweight
+      |  FLOOR((CASE WHEN l2 > 0 THEN w/l2 ELSE w END) * 1e5 + 0.5) / 1e5 AS nweight
       |FROM (SELECT *, SQRT(SUM(w*w) OVER (PARTITION BY lang)) AS l2 FROM wt) t
       |ORDER BY lang, word""".stripMargin
 
@@ -235,12 +235,21 @@ object Stats {
       var bestId = -1L
       for ((rid, rv) <- trainB.value) {
         var d = 0L
+        var overlap = false
         var i = 0
         while (i < tv.length && d < bestDist) {
-          if (tv(i) > 0) { val x = tv(i) - rv(i); d += x * x }
+          if (tv(i) > 0) {
+            if (rv(i) > 0) overlap = true
+            val x = tv(i) - rv(i); d += x * x
+          }
           i += 1
         }
-        if (d < bestDist) { bestDist = d; bestId = rid }
+        // candidate set = docs sharing ≥1 selected-vocabulary word —
+        // the same set the oracle's inverted-index join can produce; a
+        // zero-overlap doc (d = Σtc² exactly) must not win here when it
+        // cannot appear there. (d < bestDist at loop exit ⇒ full pass
+        // ⇒ the overlap flag is complete.)
+        if (overlap && d < bestDist) { bestDist = d; bestId = rid }
       }
       (tid, bestId, bestDist)
     }.toDF("test_id", "nn_id", "dist")

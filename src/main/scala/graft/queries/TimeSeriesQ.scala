@@ -45,7 +45,7 @@ object TimeSeriesQ {
       .withColumn("mean", col("sc") / col("n") / 100.0)
       .withColumn("ex2", col("ssq") / col("n") / 10000.0)
       .withColumn("std", sqrt(greatest(col("ex2") - col("mean") * col("mean"), lit(0.0))))
-      .withColumn("z", round(
+      .withColumn("z", graft.util.Rnd.jround(
         when(col("std") > 0, (col("value") - col("mean")) / col("std"))
           .otherwise(col("value") - col("mean")), 6))
       .select("event_id", "user_id", "z")
@@ -67,7 +67,7 @@ object TimeSeriesQ {
       |  SELECT *, SQRT(GREATEST(ex2 - mean*mean, 0.0)) AS std FROM m
       |)
       |SELECT event_id, user_id,
-      |  ROUND(CASE WHEN std > 0 THEN (value-mean)/std ELSE value-mean END, 6) AS z
+      |  FLOOR((CASE WHEN std > 0 THEN (value-mean)/std ELSE value-mean END) * 1e6 + 0.5) / 1e6 AS z
       |FROM sd ORDER BY event_id""".stripMargin
 
   /** P3: rolling mean/std over the w=8 window STARTING at each row —
@@ -81,10 +81,10 @@ object TimeSeriesQ {
       .withColumn("sc", sum("cents").over(w))
       .withColumn("ssq", sum(col("cents") * col("cents")).over(w))
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("rmean", round(col("sc") / col("n") / 100.0, 6))
+      .withColumn("rmean", graft.util.Rnd.jround(col("sc") / col("n") / 100.0, 6))
       .withColumn("ex2", col("ssq") / col("n") / 10000.0)
       .withColumn("m", col("sc") / col("n") / 100.0)
-      .withColumn("rstd", round(sqrt(greatest(col("ex2") - col("m") * col("m"), lit(0.0))), 6))
+      .withColumn("rstd", graft.util.Rnd.jround(sqrt(greatest(col("ex2") - col("m") * col("m"), lit(0.0))), 6))
       .select("event_id", "user_id", "rmean", "rstd")
       .orderBy("event_id")
   }
@@ -102,8 +102,8 @@ object TimeSeriesQ {
       |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
       |)
       |SELECT event_id, user_id,
-      |  ROUND(sc/n/100.0, 6) AS rmean,
-      |  ROUND(SQRT(GREATEST(ssq/n/10000.0 - (sc/n/100.0)*(sc/n/100.0), 0.0)), 6) AS rstd
+      |  FLOOR(sc/n/100.0 * 1e6 + 0.5) / 1e6 AS rmean,
+      |  FLOOR(SQRT(GREATEST(ssq/n/10000.0 - (sc/n/100.0)*(sc/n/100.0), 0.0)) * 1e6 + 0.5) / 1e6 AS rstd
       |FROM st ORDER BY event_id""".stripMargin
 
   /** P4: disjoint windows of length 16 (quantizer-training sampling). */
@@ -114,7 +114,7 @@ object TimeSeriesQ {
       .withColumn("win", expr("(rn - 1) div 16"))
       .groupBy("user_id", "win")
       .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
-      .withColumn("wmean", round(col("sc") / col("n") / 100.0, 6))
+      .withColumn("wmean", graft.util.Rnd.jround(col("sc") / col("n") / 100.0, 6))
       .drop("sc")
       .orderBy("user_id", "win")
   }
@@ -126,7 +126,7 @@ object TimeSeriesQ {
       |  FROM events
       |)
       |SELECT user_id, (rn-1)//16 AS win, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(cents) AS BIGINT)/COUNT(*)/100.0, 6) AS wmean
+      |  FLOOR(CAST(SUM(cents) AS BIGINT)/COUNT(*)/100.0 * 1e6 + 0.5) / 1e6 AS wmean
       |FROM e GROUP BY 1, 2 ORDER BY user_id, win""".stripMargin
 
   /** T4: PAA with l=8 segments per series — segment index by the reference's
@@ -141,7 +141,7 @@ object TimeSeriesQ {
       .withColumn("seg", expr("((rn - 1) * 8) div cnt"))
       .groupBy("user_id", "seg")
       .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
-      .withColumn("segmean", round(col("sc") / col("n") / 100.0, 6))
+      .withColumn("segmean", graft.util.Rnd.jround(col("sc") / col("n") / 100.0, 6))
       .select("user_id", "seg", "segmean")
       .orderBy("user_id", "seg")
   }
@@ -154,7 +154,7 @@ object TimeSeriesQ {
       |  FROM events
       |)
       |SELECT user_id, ((rn-1)*8)//cnt AS seg,
-      |  ROUND(CAST(SUM(cents) AS BIGINT)/COUNT(*)/100.0, 6) AS segmean
+      |  FLOOR(CAST(SUM(cents) AS BIGINT)/COUNT(*)/100.0 * 1e6 + 0.5) / 1e6 AS segmean
       |FROM e GROUP BY 1, 2 ORDER BY user_id, seg""".stripMargin
 
   /** S4: derivative channel |x[i] − x[i−1]|. */
@@ -163,13 +163,13 @@ object TimeSeriesQ {
     events(s, dir)
       .withColumn("prev", lag("value", 1).over(w))
       .filter(col("prev").isNotNull)
-      .withColumn("d", round(abs(col("value") - col("prev")), 6))
+      .withColumn("d", graft.util.Rnd.jround(abs(col("value") - col("prev")), 6))
       .select("event_id", "user_id", "d")
       .orderBy("event_id")
   }
 
   private val derivSql =
-    """SELECT event_id, user_id, ROUND(ABS(value - prev), 6) AS d FROM (
+    """SELECT event_id, user_id, FLOOR(ABS(value - prev) * 1e6 + 0.5) / 1e6 AS d FROM (
       |  SELECT event_id, user_id, value,
       |    LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |  FROM events) t

@@ -86,7 +86,7 @@ object WeaselQ {
 
   private def o4(s: SparkSession, dir: String): DataFrame =
     chiRanked(s, dir)
-      .select(col("key"), col("is_bigram"), round(col("chi2"), 6).as("chi2"), col("rn"))
+      .select(col("key"), col("is_bigram"), graft.util.Rnd.jround(col("chi2"), 6).as("chi2"), col("rn"))
       .orderBy("key")
 
   private def f9(s: SparkSession, dir: String): DataFrame =
@@ -169,7 +169,7 @@ object WeaselQ {
 
   private val o4Sql = SfaQ.prefix + SfaQ.slidingCtes + bagCtes + chiCtes +
     s"""
-      |SELECT key, CAST(is_bigram AS BIGINT) AS is_bigram, ROUND(chi2, 6) AS chi2, rn
+      |SELECT key, CAST(is_bigram AS BIGINT) AS is_bigram, FLOOR(chi2 * 1e6 + 0.5) / 1e6 AS chi2, rn
       |FROM ranked WHERE rn <= $TopK ORDER BY key""".stripMargin
 
   private val f9Sql = SfaQ.prefix + SfaQ.slidingCtes + bagCtes + chiCtes +

@@ -192,17 +192,30 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
       .select("norm", "f", "key")
   }
 
-  private def vectorsOf(b: DataFrame, dict: DataFrame, dims: Map[(Boolean, Int), Int])(
-      implicit spark: SparkSession): DataFrame = {
+  /** `samples` (id, label) = the complete sample set: a sample sharing
+    * no selected feature still gets an all-zero vector (LR intercept
+    * path) — the reference scores every sample.
+    */
+  private def vectorsOf(
+      b: DataFrame,
+      dict: DataFrame,
+      dims: Map[(Boolean, Int), Int],
+      samples: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val dimsB = spark.sparkContext.broadcast(dims)
     val toVec = udf { (norm: Boolean, f: Int, idx: Seq[Int], cnt: Seq[Long]) =>
       val dim = dimsB.value((norm, f)) + 1
-      val pairs = idx.zip(cnt.map(_.toDouble)).sortBy(_._1)
-      Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      if (idx == null) Vectors.sparse(dim, Array.empty[Int], Array.empty[Double])
+      else {
+        val pairs = idx.zip(cnt.map(_.toDouble)).sortBy(_._1)
+        Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      }
     }
-    b.join(dict, Seq("norm", "f", "key"))
-      .groupBy("norm", "f", "id", "label")
-      .agg(collect_list(col("dict_idx")).as("idx"), collect_list(col("cnt")).as("cnt"))
+    samples.select(col("id"), col("label")).distinct()
+      .crossJoin(b.select("norm", "f").distinct())
+      .join(b.join(dict, Seq("norm", "f", "key"))
+        .groupBy("norm", "f", "id", "label")
+        .agg(collect_list(col("dict_idx")).as("idx"), collect_list(col("cnt")).as("cnt")),
+        Seq("norm", "f", "id", "label"), "left")
       .select(col("norm"), col("f"), col("id"), col("label"),
         toVec(col("norm"), col("f"), col("idx"), col("cnt")).as("features"))
   }
@@ -242,7 +255,7 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
         val dims = dict.groupBy("norm", "f").agg(max("dict_idx").as("d")).collect()
           .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
         if (dims.nonEmpty) {
-          val vecs = vectorsOf(b, dict, dims).join(folds, "id").cache()
+          val vecs = vectorsOf(b, dict, dims, train).join(folds, "id").cache()
           val correct = (0 until cfg.folds).map { k =>
             val tr = vecs.filter(col("fold") =!= k)
             val te = vecs.filter(col("fold") === k)
@@ -269,7 +282,7 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
     val dict = sel.withColumn("dict_idx", row_number().over(byKey)).cache()
     val dims = dict.groupBy("norm", "f").agg(max("dict_idx").as("d")).collect()
       .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
-    val vecs = vectorsOf(fb, dict, dims)
+    val vecs = vectorsOf(fb, dict, dims, train)
     val lr = newLr(n).fit(vecs)
     fb.unpersist()
 
@@ -290,12 +303,19 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
     val b = bags(words, model.features, usedBits, allWindows.max, cfg)
     val dim = model.dictSize + 1
     val toVec = udf { (idx: Seq[Int], cnt: Seq[Long]) =>
-      val pairs = idx.zip(cnt.map(_.toDouble)).sortBy(_._1)
-      Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      if (idx == null) Vectors.sparse(dim, Array.empty[Int], Array.empty[Double])
+      else {
+        val pairs = idx.zip(cnt.map(_.toDouble)).sortBy(_._1)
+        Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      }
     }
-    val vecs = b.join(broadcast(model.selected), Seq("key"))
-      .groupBy("id", "label")
-      .agg(collect_list(col("dict_idx")).as("idx"), collect_list(col("cnt")).as("cnt"))
+    // left-join from ALL test samples: zero-feature samples still get an
+    // LR prediction via the intercept (reference behavior)
+    val vecs = test.select(col("id"), col("label")).distinct()
+      .join(b.join(broadcast(model.selected), Seq("key"))
+        .groupBy("id", "label")
+        .agg(collect_list(col("dict_idx")).as("idx"), collect_list(col("cnt")).as("cnt")),
+        Seq("id", "label"), "left")
       .select(col("id"), col("label"), toVec(col("idx"), col("cnt")).as("features"))
     model.lr.transform(vecs)
       .select(col("id"), col("label"), col("prediction").as("pred"))

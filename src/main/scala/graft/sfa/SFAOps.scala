@@ -56,7 +56,7 @@ object SFAOps {
         .zipWithIndex.collect { case (e, p) if e != Double.MaxValue => (p, e) }
     }
     approx
-      .select(col("coef"), round(col("v"), 2).as("v2"))
+      .select(col("coef"), graft.util.Rnd.jround(col("v"), 2).as("v2"))
       .groupBy(col("coef"))
       .agg(edgesUdf(collect_list(col("v2"))).as("edges"))
       .select(col("coef"), explode(col("edges")).as("pe"))

@@ -79,12 +79,21 @@ object Weasel {
 
   /** Fitted WEASEL: chosen (norm, f), per-window quantizers, selected
     * features with dense dictionary ids, and the trained LR model.
+    *
+    * `windows` is the FULL fitted window grid for the chosen norm — the
+    * w_idx encoding baked into every unigram key. It must be carried in
+    * the model (not re-derived from `quantizers.keys`) because
+    * [[fitQuantizersGrid]] omits windows whose ANOVA-F is all-NaN
+    * (degenerate/constant data): rebuilding the index from the surviving
+    * keys would compact and shift every later window's index and
+    * silently mismatch the trained dictionary at predict time.
     */
   final case class WeaselModel(
       norm: Boolean,
       features: Int,
       trainCorrect: Long,
       quantizers: Map[Int, SupervisedModel], // windowLength → model
+      windows: Seq[Int],                     // full grid (w_idx = position)
       selected: DataFrame,                   // (w_idx, key, dict_idx)
       dictSize: Int,
       lr: org.apache.spark.ml.classification.LogisticRegressionModel)
@@ -164,7 +173,7 @@ object Weasel {
     val binRows = approx
       .join(best.select("norm", "w", "coef"), Seq("norm", "w", "coef"))
       .select(col("norm"), col("w"), col("coef"),
-        struct(round(col("v"), 2).as("v2"), col("label")).as("vl"))
+        struct(graft.util.Rnd.jround(col("v"), 2).as("v2"), col("label")).as("vl"))
       .groupBy("norm", "w", "coef")
       .agg(edgesUdf(collect_list(col("vl"))).as("edges"))
 
@@ -291,9 +300,18 @@ object Weasel {
 
   /** Assemble MLlib sparse vectors per sample from dictionary-indexed
     * counts. Output: (norm, f, id, label, features VECTOR).
+    *
+    * `samples` (id, label) is the complete sample set: a sample sharing
+    * NO selected feature still gets an all-zero vector — the reference
+    * scores every sample (an empty vector goes through the LR
+    * intercept), so dropping them would skew both the CV counts and the
+    * final refit/predict.
     */
-  def vectors(bags: DataFrame, dict: DataFrame, dims: Map[(Boolean, Int), Int])(
-      implicit spark: SparkSession): DataFrame = {
+  def vectors(
+      bags: DataFrame,
+      dict: DataFrame,
+      dims: Map[(Boolean, Int), Int],
+      samples: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val joined = bags.join(dict, Seq("norm", "f", "key"))
       .select(col("norm"), col("f"), col("id"), col("label"),
@@ -301,11 +319,17 @@ object Weasel {
     val dimsB = spark.sparkContext.broadcast(dims)
     val toVec = udf { (norm: Boolean, f: Int, idx: Seq[Int], cnt: Seq[Long]) =>
       val dim = dimsB.value((norm, f)) + 1
-      val pairs = idx.zip(cnt.map(_.toDouble)).sortBy(_._1)
-      Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      if (idx == null) Vectors.sparse(dim, Array.empty[Int], Array.empty[Double])
+      else {
+        val pairs = idx.zip(cnt.map(_.toDouble)).sortBy(_._1)
+        Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      }
     }
-    joined.groupBy("norm", "f", "id", "label")
-      .agg(collect_list(col("dict_idx")).as("idx"), collect_list(col("cnt")).as("cnt"))
+    val base = samples.select(col("id"), col("label")).distinct()
+      .crossJoin(bags.select("norm", "f").distinct())
+    base.join(joined.groupBy("norm", "f", "id", "label")
+        .agg(collect_list(col("dict_idx")).as("idx"), collect_list(col("cnt")).as("cnt")),
+        Seq("norm", "f", "id", "label"), "left")
       .select(col("norm"), col("f"), col("id"), col("label"),
         toVec(col("norm"), col("f"), col("idx"), col("cnt")).as("features"))
   }
@@ -375,7 +399,7 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
         .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
       if (dims.isEmpty) (nm, f, 0L)
       else {
-        val vecs = vectors(b, dict, dims)
+        val vecs = vectors(b, dict, dims, folded)
           .join(folded.select(col("id"), col("fold")), "id").cache()
         val correct = (0 until cfg.folds).map { k =>
           val tr = vecs.filter(col("fold") =!= k)
@@ -404,13 +428,14 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
     val dict = dictionary(sel).cache()
     val dims = dict.groupBy("norm", "f").agg(max("dict_idx").as("d")).collect()
       .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
-    val vecs = vectors(fb, dict, dims)
+    val vecs = vectors(fb, dict, dims, folded)
     val lr = newLr(n).fit(vecs)
     wordsByNorm.values.foreach(_.unpersist())
     folded.unpersist()
 
     WeaselModel(bestNorm, bestF, bestCorrect,
       quantizers.collect { case ((`bestNorm`, w), m) => w -> m }.toMap,
+      windowsFor(bestNorm),
       dict.select(col("key"), col("dict_idx")).cache(),
       dims.getOrElse((bestNorm, bestF), 0),
       lr)
@@ -434,8 +459,8 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
   private def predictFull(model: WeaselModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val hb = highestBit(cfg.maxWindowLength)
-    val ws = model.quantizers.keys.toSeq.sorted
-    val wIdx = ws.zipWithIndex.toMap
+    // w_idx MUST come from the fitted full grid (see WeaselModel doc)
+    val wIdx = model.windows.zipWithIndex.toMap
     val words = wordsGrid(test,
       model.quantizers.map { case (w, m) => (model.norm, w) -> m },
       wIdx, usedBits)
@@ -443,11 +468,18 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
     val joined = b.join(broadcast(model.selected.select("key", "dict_idx")), Seq("key"))
     val dim = model.dictSize + 1
     val toVec = udf { (idx: Seq[Int], cnt: Seq[Long]) =>
-      val pairs = idx.zip(cnt.map(_.toDouble)).sortBy(_._1)
-      Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      if (idx == null) Vectors.sparse(dim, Array.empty[Int], Array.empty[Double])
+      else {
+        val pairs = idx.zip(cnt.map(_.toDouble)).sortBy(_._1)
+        Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      }
     }
-    val vecs = joined.groupBy("id", "label")
-      .agg(collect_list(col("dict_idx")).as("idx"), collect_list(col("cnt")).as("cnt"))
+    // left-join from ALL test samples: a sample with no selected feature
+    // still gets an LR prediction via the intercept (reference behavior)
+    val vecs = test.select(col("id"), col("label"))
+      .join(joined.groupBy("id", "label")
+        .agg(collect_list(col("dict_idx")).as("idx"), collect_list(col("cnt")).as("cnt")),
+        Seq("id", "label"), "left")
       .select(col("id"), col("label"), toVec(col("idx"), col("cnt")).as("features"))
     model.lr.transform(vecs)
   }

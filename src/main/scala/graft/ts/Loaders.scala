@@ -109,13 +109,16 @@ object Loaders {
 
   /** S4: derivative channels |x[i]−x[i−1]| appended with dim offset —
     * doubles the dimensionality (TimeSeriesLoader.java:225-241). Pure
-    * built-ins: no shuffle beyond the input's.
+    * built-ins: no shuffle beyond the input's. The reference allocates
+    * double[n] and fills d[0..n−2], so the derivative series KEEPS the
+    * original length with a trailing 0.0 — dropping it would lose one
+    * sliding window per derivative dimension.
     */
   def withDerivatives(mts: DataFrame, numDims: Int): DataFrame = {
     val deriv = mts
       .withColumn("dim", col("dim") + lit(numDims))
       .withColumn("data",
-        expr("transform(slice(data, 2, size(data) - 1), (x, i) -> abs(x - data[i]))"))
+        expr("concat(transform(slice(data, 2, size(data) - 1), (x, i) -> abs(x - data[i])), array(0.0D))"))
     mts.unionByName(deriv)
   }
 

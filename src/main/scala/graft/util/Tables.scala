@@ -29,6 +29,32 @@ final case class QueryDef(
     oracle: Option[String],
     doc: String = "")
 
+/** Cross-engine deterministic rounding: `floor(v·10^d + 0.5) / 10^d`.
+  *
+  * Spark's `round()` routes doubles through `BigDecimal.valueOf` (the
+  * SHORTEST decimal string), so `round(0.285, 2) = 0.29`, while DuckDB's
+  * `ROUND` sees the true binary value 0.28499999999999998 and yields
+  * 0.28 — rows_match with hash_match=false whenever a value's shortest
+  * repr ends in a tie digit. The floor form is pure IEEE mul/add/floor/
+  * div, bit-identical in any engine, and is also exactly Java
+  * `Math.round` semantics — what the reference's orderline rounding
+  * (SFA.java:402) computes.
+  */
+object Rnd {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.floor
+
+  /** Spark column form. */
+  def jround(c: Column, digits: Int): Column = {
+    val s = math.pow(10, digits)
+    floor(c * s + 0.5) / s
+  }
+
+  /** DuckDB/ANSI SQL text form (same IEEE ops → same bits). */
+  def jroundSql(e: String, digits: Int): String =
+    s"FLOOR(($e) * 1e$digits + 0.5) / 1e$digits"
+}
+
 object QueryDef {
   def sql(impl: (SparkSession, String) => DataFrame, oracleSql: String, doc: String = ""): QueryDef =
     QueryDef(impl, Some(oracleSql), doc)
