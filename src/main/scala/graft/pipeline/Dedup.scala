@@ -130,16 +130,17 @@ object Dedup {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
     // all NumHashes signature hashes per shingle in one array expression,
-    // then one element-wise-min aggregate per doc — a single shuffle of
-    // shingle rows instead of NumHashes× row blowup.
+    // then per-(doc, slot) MIN — map-side combinable, so the shuffle
+    // carries ≤ NumHashes rows per (doc × partition) instead of the full
+    // per-shingle hash arrays (the previous collect_list fold shipped
+    // ~1 KB per shingle row and folded outside codegen).
     val sigs = sh
       .withColumn("hs", expr(
         s"transform(sequence(0, ${NumHashes - 1}), i -> md5(concat(cast(i as string), '|', sh)))"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("hi", "h")))
+      .groupBy("doc_id", "hi").agg(min("h").as("h"))
       .groupBy("doc_id")
-      .agg(expr(
-        "aggregate(collect_list(hs), cast(null as array<string>), " +
-          "(acc, x) -> if(acc is null, x, zip_with(acc, x, (a, b) -> least(a, b))))")
-        .as("sig"))
+      .agg(expr("transform(sort_array(collect_list(struct(hi, h))), p -> p.h)").as("sig"))
     val bands = sigs
       .select(col("doc_id"),
         posexplode(expr(

@@ -85,6 +85,87 @@ object SourceQ {
       |FROM g CROSS JOIN (SELECT unnest([0, 1]) AS dim) dims
       |ORDER BY id, dim""".stripMargin
 
+  /** S3: ARFF multivariate loader on a deterministic fixture (the
+    * reference bundles no ARFF files; its own test writes one too). The
+    * fixture exercises every parse rule: `@`/`%`/empty skipping,
+    * `\n`-escaped dimension blocks, `?` missing values, string labels
+    * mapped to doubles in encounter order, numeric labels passed through
+    * (TimeSeriesLoader.java:93-167).
+    */
+  private val S3Path = s"${java.lang.System.getProperty("java.io.tmpdir")}/graft_s3.arff"
+
+  private def writeS3Fixture(): Unit = {
+    val content =
+      """@relation graft_s3
+        |% deterministic ARFF fixture
+        |'1.0,2.0,3.0\n4.0,?,6.0',cat
+        |'7.5,8.5,9.5\n10.5,11.5,12.5',dog
+        |'0.5,1.5,2.5\n3.5,4.5,5.5',cat
+        |'13.0,14.0,15.0\n16.0,17.0,18.0',7.5
+        |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(S3Path),
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def s3(s: SparkSession, dir: String): DataFrame = {
+    writeS3Fixture()
+    val mapping = scala.collection.mutable.Map.empty[String, Double]
+    val recs = Loaders.loadArffLocal(S3Path, "s3", mapping)
+    import s.implicits._
+    recs.toSeq
+      .map { case (id, dim, label, vals) =>
+        (id, dim, label, vals.length.toLong, vals.headOption.getOrElse(Double.NaN))
+      }
+      .toDF("id", "dim", "label", "len", "head")
+      .orderBy("id", "dim")
+  }
+
+  /** Oracle: the ARFF parse re-expressed over `read_text` — skip
+    * `@`/`%`/empty lines, body = chars 2..lastComma−1 with literal `\n`
+    * replaced by `;`, dimensions split on `;`, `?` cells dropped, string
+    * labels numbered by first appearance (size+1 order), numeric labels
+    * cast through.
+    */
+  private val s3Sql =
+    s"""WITH raw AS (
+      |  SELECT string_split(content, chr(10)) AS lines FROM read_text('$S3Path')
+      |), l AS (
+      |  SELECT unnest(lines) AS line, generate_subscripts(lines, 1) AS ln FROM raw
+      |), keep AS (
+      |  SELECT line, ln FROM l
+      |  WHERE line <> '' AND NOT contains(line, '@') AND NOT contains(line, '%')
+      |), ids AS (
+      |  SELECT line, ROW_NUMBER() OVER (ORDER BY ln) - 1 AS id FROM keep
+      |), parts AS (
+      |  SELECT id,
+      |    regexp_extract(line, '[^,]*$$') AS lbl,
+      |    replace(substr(regexp_replace(line, ',[^,]*$$', ''), 2,
+      |      len(regexp_replace(line, ',[^,]*$$', '')) - 2), '\\n', ';') AS body
+      |  FROM ids
+      |), lmap AS (
+      |  SELECT lbl, ROW_NUMBER() OVER (ORDER BY MIN(id)) AS lid
+      |  FROM parts WHERE TRY_CAST(lbl AS DOUBLE) IS NULL GROUP BY lbl
+      |), lab AS (
+      |  SELECT p.id, p.body,
+      |    COALESCE(TRY_CAST(p.lbl AS DOUBLE), CAST(m.lid AS DOUBLE)) AS label
+      |  FROM parts p LEFT JOIN lmap m ON p.lbl = m.lbl
+      |), dims AS (
+      |  SELECT id, label, unnest(string_split(body, ';')) AS dstr,
+      |    generate_subscripts(string_split(body, ';'), 1) - 1 AS dim
+      |  FROM lab
+      |), vals AS (
+      |  SELECT id, dim, label,
+      |    list_transform(
+      |      list_filter(string_split(dstr, ','),
+      |        c -> c <> '?' AND TRY_CAST(c AS DOUBLE) IS NOT NULL),
+      |      c -> CAST(c AS DOUBLE)) AS vs
+      |  FROM dims
+      |)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(dim AS INTEGER) AS dim, label,
+      |  CAST(len(vs) AS BIGINT) AS len,
+      |  COALESCE(vs[1], CAST('nan' AS DOUBLE)) AS head
+      |FROM vals ORDER BY id, dim""".stripMargin
+
   /** S5: whole-file long series (first value per line). */
   private def s5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -208,6 +289,9 @@ object SourceQ {
     "s2_mv_load" -> QueryDef.sql(s2, s2Sql,
       "multivariate loader on the PenDigits fixture; oracle re-parses " +
         "via read_csv; also LoadersSpec"),
+    "s3_arff_load" -> QueryDef.sql(s3, s3Sql,
+      "ARFF multivariate loader on a deterministic fixture; oracle " +
+        "re-parses the same file via read_text; also LoadersSpec"),
     "s5_sample_subsequence" -> QueryDef.sql(s5, s5Sql,
       "whole-file long-series reader on power_data.dat; read_text oracle"),
     "s6_query_series" -> QueryDef.sql(s6, s6Sql,

@@ -111,11 +111,16 @@ object WeaselQ {
         .sortBy(_._1)
       Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
     }
+    // the vector table is tiny (one row per series); collapse it to a
+    // few partitions so each L-BFGS iteration's treeAggregate doesn't
+    // pay 32-task scheduling overhead — at real scale the partition
+    // count follows the data and this coalesce is a no-op cost-wise
     val feat = bagsDF
       .groupBy("user_id")
       .agg(collect_list(col("key")).as("ks"), collect_list(col("cnt")).as("cs"))
       .withColumn("features", vecUdf(col("ks"), col("cs")))
       .withColumn("label", (col("user_id") % 3).cast("double"))
+      .coalesce(4)
     val train = feat.filter(col("user_id") % 2 === 0)
     val test = feat.filter(col("user_id") % 2 === 1)
     val lr = new LogisticRegression()

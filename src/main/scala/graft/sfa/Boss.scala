@@ -240,14 +240,17 @@ class BossEnsemble(cfg: Boss.Config = Boss.Config()) {
     val words = slidingWordsGrid(train, models, cfg.maxF).cache()
     words.count() // materialize once; reused for every f
 
-    // f-sweep: LOO correct count per (norm, w, f) — ONE batched job over
-    // the f-tagged union instead of a job chain per f value
+    // f-sweep: LOO per-sample predictions per (norm, w, f) — ONE batched
+    // job over the f-tagged union instead of a job chain per f value.
+    // Cached: the ensemble vote below reuses these rows instead of
+    // re-running the whole 1-NN join on the selected configs.
     val fValues = (cfg.minF to cfg.maxF by 2).toSeq
     val allBags = fValues
       .map(f => bagsAt(words, f, usedBits).withColumn("f", lit(f)))
       .reduce(_ unionByName _)
+    val looAll = nn1(allBags, allBags, keys = Seq("norm", "w", "f")).cache()
     val scores: Map[(Boolean, Int, Int), Long] =
-      nn1(allBags, allBags, keys = Seq("norm", "w", "f"))
+      looAll
         .filter(col("predLabel") === col("label"))
         .groupBy(col("norm"), col("w"), col("f")).agg(count(lit(1)).as("correct"))
         .collect()
@@ -272,18 +275,17 @@ class BossEnsemble(cfg: Boss.Config = Boss.Config()) {
         .sortBy(m => (-m.trainCorrect, -m.windowLength))
     }.toMap
 
-    // evaluate each norm's ensemble by its weighted vote on train (LOO
-    // predictions, recomputed grouped by f — one job per distinct f, not
-    // per model), keep the better norm (ties → first norm in order).
+    // evaluate each norm's ensemble by its weighted vote on train: the
+    // per-sample LOO predictions at each model's own f are already in
+    // the cached sweep result — select them, attach weights, vote.
     def looPreds(ms: Seq[WindowModel]): Option[DataFrame] = {
       import spark.implicits._
-      ms.groupBy(_.features).map { case (f, group) =>
-        val sel = group.map(m => (m.norm, m.windowLength)).toDF("norm", "w")
-        val bags = bagsAt(words.join(broadcast(sel), Seq("norm", "w")), f, usedBits)
-        val wts = group.map(m => (m.norm, m.windowLength, m.trainCorrect))
-          .toDF("norm", "w", "weight")
-        nn1(bags, bags).join(broadcast(wts), Seq("norm", "w"))
-      }.reduceOption(_ unionByName _)
+      if (ms.isEmpty) None
+      else {
+        val sel = ms.map(m => (m.norm, m.windowLength, m.features, m.trainCorrect))
+          .toDF("norm", "w", "f", "weight")
+        Some(looAll.join(broadcast(sel), Seq("norm", "w", "f")))
+      }
     }
 
     val evaluated = cfg.normalization.map { n =>
@@ -294,6 +296,7 @@ class BossEnsemble(cfg: Boss.Config = Boss.Config()) {
       (n, candidates(n), correct)
     }
     val (_, ensemble, _) = evaluated.maxBy(_._3)
+    looAll.unpersist()
 
     // persist train bags of the selected models (each at its own f);
     // carry f so predict-side bags can be matched per model.

@@ -50,6 +50,7 @@ object Muse {
       features: Int,
       trainCorrect: Long,
       quantizers: Map[(Int, Int), SFAModel], // (windowLength, dim) → model
+      windows: Seq[Int],                     // full fitted grid (w_idx = position)
       selected: DataFrame,                   // (key, dict_idx)
       dictSize: Int,
       lr: org.apache.spark.ml.classification.LogisticRegressionModel)
@@ -288,15 +289,16 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
 
     MuseModel(bestHist, bestNorm, bestF, bestCorrect,
       models.map { case ((_, w, d), m) => (w, d) -> m },
+      allWindows,
       dict.select("key", "dict_idx").cache(), dims.getOrElse((bestNorm, bestF), 0), lr)
   }
 
   def predict(model: MuseModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    // rebuild the SAME window-index mapping the fit used: the grid is
-    // indexed over the full (norm=false) window list starting at
-    // cfg.minWindowLength, even when the chosen norm skips window 2
-    val maxWindowFitted = model.quantizers.keys.map(_._1).max
-    val allWindows = (cfg.minWindowLength to maxWindowFitted).toSeq
+    // the w_idx mapping and the bigram maxWindow toggle MUST come from
+    // the fitted full grid carried in the model — re-deriving from
+    // quantizers.keys compacts indices when fit drops a window and can
+    // flip the `maxWindow < 200` bigram decision at the boundary
+    val allWindows = model.windows
     val wIdx = allWindows.zipWithIndex.toMap
     val models = model.quantizers.map { case ((w, d), m) => (model.norm, w, d) -> m }
     val words = wordsGrid(test, models, wIdx, cfg.maxF)
