@@ -22,9 +22,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch every table + exercise codegen/shuffle machinery once
-    SparkEntry.queries.get("q1_agg").foreach { fn =>
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // warmup: touch the tables and exercise each machinery class once —
+    // scan+agg (q1), per-series UDF + broadcast-bins join + window lag
+    // (a1_sfa_bags) — so the first measured query doesn't absorb
+    // codegen/JIT compilation of the whole pipeline family
+    Seq("q1_agg", "a1_sfa_bags").foreach { q =>
+      SparkEntry.queries.get(q).foreach { fn =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
     }
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]

@@ -120,24 +120,32 @@ object Dedup {
   private val NumHashes = 32
   private val RowsPerBand = 4
 
-  /** MinHash signatures: h_i(doc) = min over shingles of md5(i‖'|'‖shingle)
-    * (lexicographic min of hex digests — portable, deterministic, no RNG).
-    * Candidates share a band key; the exact-jaccard verify semi-joins the
-    * shingle index down to candidate docs first, so the quadratic
-    * intersection work is gated by the LSH prefilter. The candidate-pair
-    * count is logged.
+  /** Parametric minhash over a 28-bit base hash: ONE md5 per shingle
+    * (truncated to 7 hex chars), then NumHashes affine permutations
+    * h_i = (a_i·h + b_i) mod p with p = 2³¹−1 — pure codegen'd integer
+    * arithmetic, engine-portable, no RNG. a_i·h ≤ 2³¹·2²⁸ < 2⁶³: no
+    * overflow. Constants are fixed (Knuth multiplicative mixes of i).
+    */
+  private val MinhashP = 2147483647L // 2^31 − 1, prime
+  private def permA(i: Int): Long = ((i * 2654435761L) % (MinhashP - 1)) + 1
+  private def permB(i: Int): Long = (i * 40503L * 65537L) % MinhashP
+
+  /** MinHash signatures via per-(doc, slot) MIN of the permuted base
+    * hash — map-side combinable longs, so the shuffle carries ≤
+    * NumHashes rows per (doc × partition) and the min is a numeric
+    * comparison, not a 32-char string compare. Candidates share a band
+    * key; the exact-jaccard verify semi-joins the shingle index down to
+    * candidate docs first, so the quadratic intersection work is gated
+    * by the LSH prefilter. The candidate-pair count is logged.
     */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
-    // all NumHashes signature hashes per shingle in one array expression,
-    // then per-(doc, slot) MIN — map-side combinable, so the shuffle
-    // carries ≤ NumHashes rows per (doc × partition) instead of the full
-    // per-shingle hash arrays (the previous collect_list fold shipped
-    // ~1 KB per shingle row and folded outside codegen).
+    val perms = (0 until NumHashes)
+      .map(i => s"(${permA(i)}L * hv + ${permB(i)}L) % ${MinhashP}L")
+      .mkString("array(", ", ", ")")
     val sigs = sh
-      .withColumn("hs", expr(
-        s"transform(sequence(0, ${NumHashes - 1}), i -> md5(concat(cast(i as string), '|', sh)))"))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("hi", "h")))
+      .withColumn("hv", expr("cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)"))
+      .select(col("doc_id"), posexplode(expr(perms)).as(Seq("hi", "h")))
       .groupBy("doc_id", "hi").agg(min("h").as("h"))
       .groupBy("doc_id")
       .agg(expr("transform(sort_array(collect_list(struct(hi, h))), p -> p.h)").as("sig"))
@@ -145,7 +153,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, ${NumHashes / RowsPerBand - 1}), " +
-            s"b -> md5(concat_ws('', slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))"))
+            s"b -> md5(concat_ws('|', transform(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), x -> cast(x as string)))))"))
           .as(Seq("band", "bandkey")))
     val l = bands.select(col("band"), col("bandkey"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("bandkey"), col("doc_id").as("b"))
@@ -171,16 +179,25 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  private val minhashSql =
+  private val minhashSql = {
+    val permCases = (0 until NumHashes)
+      .map(i => s"WHEN ${i} THEN (${permA(i)} * hv + ${permB(i)}) % $MinhashP")
+      .mkString("\n      ")
     s"""WITH $shinglesCte,
+      |base AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT) AS hv FROM sh
+      |),
       |hashed AS (
-      |  SELECT doc_id, hi, MIN(md5(CAST(hi AS VARCHAR) || '|' || sh)) AS sig
-      |  FROM sh, UNNEST(generate_series(0, ${NumHashes - 1})) AS h(hi)
+      |  SELECT doc_id, hi,
+      |    MIN(CASE hi
+      |      $permCases
+      |    END) AS sig
+      |  FROM base, UNNEST(generate_series(0, ${NumHashes - 1})) AS h(hi)
       |  GROUP BY 1, 2
       |),
       |bands AS (
       |  SELECT doc_id, hi//$RowsPerBand AS band,
-      |    md5(string_agg(sig, '' ORDER BY hi)) AS bandkey
+      |    md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY hi)) AS bandkey
       |  FROM hashed GROUP BY 1, 2
       |),
       |cand AS (
@@ -208,6 +225,7 @@ object Dedup {
       |LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
       |JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
       |ORDER BY c.a, c.b""".stripMargin
+  }
 
   /** SimHash bits (60 = 15 hex chars of md5, always a positive BIGINT). */
   private val SimBits = 60
