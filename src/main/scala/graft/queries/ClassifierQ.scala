@@ -37,7 +37,7 @@ object ClassifierQ {
   private val NumClasses = 3
 
   private def j2(s: SparkSession, dir: String): DataFrame = {
-    val bags = SfaQ.slidingBags(s, dir).cache()
+    val bags = SfaQ.slidingBags(s, dir)
     val train = bags.filter(col("user_id") % 2 === 0)
       .withColumn("cls", col("user_id") % NumClasses)
     val tf = train.groupBy("cls", "word").agg(sum(col("cnt")).as("tf"))
@@ -104,7 +104,7 @@ object ClassifierQ {
   // ---- A7: earliness stats --------------------------------------------
 
   private def a7(s: SparkSession, dir: String): DataFrame = {
-    val words = SfaQ.slidingWords(s, dir).cache()
+    val words = SfaQ.slidingWords(s, dir)
     val lastw = words.groupBy("user_id")
       .agg(max_by(col("word"), col("win")).as("last_word"))
     val hit = words.join(lastw, Seq("user_id"))
@@ -269,15 +269,24 @@ object ClassifierQ {
     * BossGoldenSpec (CBF 0.999). Grid clipped to w ∈ [15, 16] at bench
     * scale (the full [10, 250] grid is exercised by the golden spec).
     */
+  /** Shared grid fit: m1 reports it, s9 roundtrips it through ModelIO —
+    * one training pass per session (the fit-once / consume-many pattern
+    * a model store serves at cluster scale).
+    */
+  private[queries] def bossGridFit(s: SparkSession, dir: String): graft.sfa.Boss.EnsembleModel =
+    graft.util.Pipelines.cachedObj(s, s"boss.gridFit:$dir") {
+      implicit val sp: SparkSession = s
+      val train = SfaQ.series(s, dir)
+        .filter(size(col("data")) >= 16)
+        .select(col("user_id").as("id"), (col("user_id") % 3).cast("double").as("label"),
+          col("data"))
+      val cfg = graft.sfa.Boss.Config(minWindowLength = 15, maxWindowLength = 16,
+        maxF = 8, normalization = Seq(false))
+      new graft.sfa.BossEnsemble(cfg).fit(train)
+    }
+
   private def m1(s: SparkSession, dir: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    val train = SfaQ.series(s, dir)
-      .filter(size(col("data")) >= 16)
-      .select(col("user_id").as("id"), (col("user_id") % 3).cast("double").as("label"),
-        col("data"))
-    val cfg = graft.sfa.Boss.Config(minWindowLength = 15, maxWindowLength = 16,
-      maxF = 8, normalization = Seq(false))
-    val model = new graft.sfa.BossEnsemble(cfg).fit(train)
+    val model = bossGridFit(s, dir)
     import s.implicits._
     model.models.map(m => (m.norm, m.windowLength.toLong, m.features.toLong, m.trainCorrect))
       .toDF("norm", "w", "features", "train_correct")

@@ -149,7 +149,7 @@ object GridQ {
     * per-(f, uni/bigram) χ² ≥ limit feature counts emitted.
     */
   private def m3(s: SparkSession, dir: String): DataFrame = {
-    val words = SfaQ.slidingWords(s, dir).cache()
+    val words = SfaQ.slidingWords(s, dir)
     val byWin = Window.partitionBy("user_id").orderBy("win")
     val branches = M3Fs.map { f =>
       val mask = 1L << (Bits * f)
@@ -228,9 +228,8 @@ object GridQ {
     * counts per histogram type.
     */
   private def m4(s: SparkSession, dir: String): DataFrame = {
-    val ser = SfaQ.series(s, dir).cache()
-    val disjoint = SFAOps.disjointApprox(ser, 16, L, normMean = false).cache()
-    val sliding = SFAOps.slidingApproxDirect(ser, 16, L, normMean = false).cache()
+    val disjoint = SfaQ.disjointApprox(s, dir)
+    val sliding = SfaQ.slidingApprox(s, dir)
 
     val edBins = SFAOps.equiDepthBins(disjoint, Alpha)
     val mm = disjoint

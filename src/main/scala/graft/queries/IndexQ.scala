@@ -58,7 +58,10 @@ object IndexQ {
     bins
   }
 
-  private def prepared(s: SparkSession, dir: String): (DataFrame, DataFrame, Array[Array[Double]]) = {
+  private def prepared(s: SparkSession, dir: String): (DataFrame, DataFrame, Array[Array[Double]]) =
+    graft.util.Pipelines.cachedObj(s, s"index.prepared:$dir") { preparedBuild(s, dir) }
+
+  private def preparedBuild(s: SparkSession, dir: String): (DataFrame, DataFrame, Array[Array[Double]]) = {
     val sl = slices(s, dir).withColumn("approx", approxUdf(col("data"))).cache()
     val corpus0 = sl.filter(col("user_id") % 2 === 0)
     val queries0 = sl.filter(col("user_id") % 2 === 1)

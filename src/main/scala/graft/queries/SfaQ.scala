@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.{QueryDef, Rnd, Tables}
+import graft.util.{Pipelines, QueryDef, Rnd, Tables}
 import graft.util.Rnd.{jround, jroundSql}
 import graft.sfa.{SFA, SFAOps}
 
@@ -19,10 +19,9 @@ import graft.sfa.{SFA, SFAOps}
   *  - t8_sfa_words       → SFA.quantization + word packing
   *                         (SFA.java:194-231, Classifier.java:163-192)
   *  - t2_mft_sliding     → MFT.transformWindowing recurrence
-  *                         (MFT.java:102-161); rows-only — its equality
-  *                         with the per-window transform is proven by the
-  *                         FourierSpec parity suite, and the per-window
-  *                         form is oracle-checked via a1/j1
+  *                         (MFT.java:102-161); oracle = the per-window
+  *                         direct DFT in SQL, i.e. the FourierSpec
+  *                         MFT≡DFT parity gate run cross-engine
   *  - a1_sfa_bags        → BOSS bag of patterns with numerosity reduction
   *                         (BOSS.java:116-145)
   *  - j1_nn_sfa_join     → asymmetric 1-NN bag distance
@@ -53,10 +52,11 @@ object SfaQ {
     Tables.load(s, dir, "events")
 
   private[queries] def series(s: SparkSession, dir: String): DataFrame =
-    SFAOps.seriesOf(events(s, dir))
+    Pipelines.cachedDF(s, s"sfa.series:$dir")(SFAOps.seriesOf(events(s, dir)))
 
-  private def disjointApprox(s: SparkSession, dir: String): DataFrame =
-    SFAOps.disjointApprox(series(s, dir), W, L, normMean = false)
+  private[queries] def disjointApprox(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sfa.disjointApprox:$dir")(
+      SFAOps.disjointApprox(series(s, dir), W, L, normMean = false))
 
   private def binsDF(approx: DataFrame): DataFrame =
     SFAOps.equiDepthBins(approx, Alpha)
@@ -71,11 +71,17 @@ object SfaQ {
     SFAOps.packWords(sliding, bins, Bits)
   }
 
+  private[queries] def slidingApprox(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sfa.slidingApprox:$dir")(
+      SFAOps.slidingApproxDirect(series(s, dir), W, L, normMean = false))
+
   private[queries] def slidingWords(s: SparkSession, dir: String): DataFrame =
-    slidingWordsOf(events(s, dir))
+    Pipelines.cachedDF(s, s"sfa.slidingWords:$dir")(
+      SFAOps.packWords(slidingApprox(s, dir), binsDF(disjointApprox(s, dir)), Bits))
 
   private[queries] def slidingBags(s: SparkSession, dir: String): DataFrame =
-    SFAOps.bagOfWords(slidingWords(s, dir))
+    Pipelines.cachedDF(s, s"sfa.slidingBags:$dir")(
+      SFAOps.bagOfWords(slidingWords(s, dir)))
 
   // ---- Spark implementations ------------------------------------------
 
@@ -92,7 +98,7 @@ object SfaQ {
       .orderBy("coef", "pos")
 
   private def t8(s: SparkSession, dir: String): DataFrame = {
-    val approx = disjointApprox(s, dir).cache()
+    val approx = disjointApprox(s, dir)
     SFAOps.packWords(approx, binsDF(approx), Bits)
       .select(col("user_id"), col("win").cast("long").as("win"), col("word"))
       .orderBy("user_id", "win")
@@ -101,7 +107,7 @@ object SfaQ {
   private def t2(s: SparkSession, dir: String): DataFrame =
     SFAOps.slidingApproxMft(series(s, dir), W, L, normMean = false)
       .select(col("user_id"), col("win").cast("long").as("win"),
-        col("coef").cast("long").as("coef"), round(col("v"), 4).as("v"))
+        col("coef").cast("long").as("coef"), jround(col("v"), 4).as("v"))
       .orderBy("user_id", "win", "coef")
 
   private def a1(s: SparkSession, dir: String): DataFrame =
@@ -110,7 +116,7 @@ object SfaQ {
       .orderBy("user_id", "word")
 
   private def j1(s: SparkSession, dir: String): DataFrame = {
-    val bags = slidingBags(s, dir).cache()
+    val bags = slidingBags(s, dir)
     SFAOps.nnBagJoin(
       bags.filter(col("user_id") % 2 === 1),
       bags.filter(col("user_id") % 2 === 0))
@@ -257,6 +263,9 @@ object SfaQ {
       |  FROM pd
       |)""".stripMargin
 
+  private val t2Sql = prefix + slidingCtes +
+    s"\nSELECT user_id, win, coef, ${jroundSql("v", 4)} AS v FROM sdft ORDER BY user_id, win, coef"
+
   private val t3Sql = prefix +
     s"\nSELECT user_id, win, coef, ${jroundSql("v", 6)} AS v FROM ddft ORDER BY user_id, win, coef"
 
@@ -326,7 +335,7 @@ object SfaQ {
     * [[graft.sfa.Weasel.fitQuantizersGrid]]).
     */
   private def t9(s: SparkSession, dir: String): DataFrame = {
-    val approx = disjointApprox(s, dir).cache()
+    val approx = disjointApprox(s, dir)
     val perClass = approx
       .groupBy(col("coef"), (col("user_id") % 3).as("g"))
       .agg(count(lit(1)).as("n_g"), sum("v").as("s_g"),
@@ -500,8 +509,11 @@ object SfaQ {
     "t3_dft_window" -> QueryDef.sql(t3, t3Sql),
     "f2_equidepth_bins" -> QueryDef.sql(f2, f2Sql),
     "t8_sfa_words" -> QueryDef.sql(t8, t8Sql),
-    "t2_mft_sliding" -> QueryDef.rowsOnly(t2,
-      "MFT recurrence sliding transform; ≡ per-window DFT by FourierSpec parity"),
+    "t2_mft_sliding" -> QueryDef.sql(t2, t2Sql,
+      "MFT recurrence sliding transform vs the oracle's per-window direct " +
+        "DFT — the cross-engine form of the FourierSpec MFT≡DFT parity gate; " +
+        "4-decimal rounding leaves ~7 orders of magnitude headroom over the " +
+        "recurrence's FP drift"),
     "a1_sfa_bags" -> QueryDef.sql(a1, a1Sql),
     "j1_nn_sfa_join" -> QueryDef.sql(j1, j1Sql),
     "a6_accuracy_eval" -> QueryDef.sql(a6, a6Sql),

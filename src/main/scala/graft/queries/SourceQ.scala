@@ -236,19 +236,14 @@ object SourceQ {
       .toDF("coef", "pos", "edge").orderBy("coef", "pos")
   }
 
-  /** S9: a 1-window BOSS ensemble fitted on the events series → columnar
-    * classifier artifact → reload → emit the model table. The full
-    * multi-window roundtrip is exercised by ModelIOSpec.
+  /** S9: the session's grid-fitted BOSS ensemble (shared with m1 — the
+    * roundtrip under test is the ModelIO sink/source, not the fit) →
+    * columnar classifier artifact → reload → emit the model table. The
+    * full multi-window roundtrip is exercised by ModelIOSpec.
     */
   private def s9(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    val train = graft.queries.SfaQ.series(s, dir)
-      .filter(size(col("data")) >= 16)
-      .select(col("user_id").as("id"), (col("user_id") % 3).cast("double").as("label"),
-        col("data"))
-    val cfg = graft.sfa.Boss.Config(minWindowLength = 16, maxWindowLength = 16,
-      maxF = 8, normalization = Seq(false))
-    val model = new graft.sfa.BossEnsemble(cfg).fit(train)
+    val model = graft.queries.ClassifierQ.bossGridFit(s, dir)
     val path = s"${java.lang.System.getProperty("java.io.tmpdir")}/graft_s9_clf"
     ModelIO.saveBossEnsemble(model, path)
     val loaded = ModelIO.loadBossEnsemble(path)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.util.QueryDef
+import graft.util.{Pipelines, QueryDef}
 
 /** WEASEL feature-space queries (SURVEY §2.4/§2.6/§2.7) over the events
   * series' sliding SFA words (single config, see [[SfaQ]]). The full
@@ -37,8 +37,9 @@ object WeaselQ {
   /** (user_id, key, cnt) uni+bigram bags. The sliding-words input is
     * cached — it feeds both the unigram and bigram branches.
     */
-  private def bags(s: SparkSession, dir: String): DataFrame = {
-    val words = SfaQ.slidingWords(s, dir).cache()
+  private def bags(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"weasel.bags:$dir") {
+    val words = SfaQ.slidingWords(s, dir)
     val byWin = Window.partitionBy("user_id").orderBy("win")
     val uni = words.select(col("user_id"), (col("word") * UniShift).as("key"))
     val big = words
@@ -48,7 +49,7 @@ object WeaselQ {
     uni.unionByName(big)
       .groupBy("user_id", "key")
       .agg(count(lit(1)).as("cnt"))
-  }
+    }
 
   private def a2(s: SparkSession, dir: String): DataFrame =
     bags(s, dir).orderBy("user_id", "key")
@@ -98,7 +99,7 @@ object WeaselQ {
   private def f12(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.linalg.Vectors
-    val bagsDF = bags(s, dir).cache()
+    val bagsDF = bags(s, dir)
     val dict = chiRankedFrom(bagsDF)
       .select(col("key"))
       .withColumn("fid", row_number().over(Window.orderBy("key")).cast("long"))
