@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit forked run output raw (no "[info] " prefix): the driver parses
+// Bench's single JSON line from the process stdout tail, and sbt's
+// LoggedOutput prefix breaks JSON-line detection.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // exclude long-running goldens (graft.Slow) from the default test run;
 // run them explicitly: sbt "testOnly ... -- -n graft.Slow"
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")

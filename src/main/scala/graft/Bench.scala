@@ -49,10 +49,33 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def line(rs: Seq[(String, Double)], omitted: Int): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs$om,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    // The driver greps its stdout tail (last ~2000 chars) for the JSON
+    // line; sbt's closing "[success] ..." line eats ~80 of those. Keep
+    // the line comfortably inside the window by dropping the fastest
+    // queries first (total still covers all of them).
+    var keep = results.sortBy(-_._2)
+    var out = line(keep.sortBy(_._1), 0)
+    while (out.length > 1700 && keep.nonEmpty) {
+      keep = keep.dropRight(1)
+      out = line(keep.sortBy(_._1), results.size - keep.size)
+    }
+    // Full per-query timings for local analysis (not a driver artifact).
+    try {
+      val fw = new java.io.FileWriter("/tmp/graft_bench_full.json")
+      fw.write(line(results.sortBy(_._1), 0)); fw.close()
+    } catch { case _: Throwable => () }
+    // Write straight to the process stdout: even with StdoutOutput set,
+    // going through the real fd guarantees no logger prefix.
+    val raw = new java.io.PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    raw.println(out)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
