@@ -69,13 +69,19 @@ object Dedup {
     * excluded from intersection counting (stop-shingles). */
   private val PostingsCap = 200
 
-  private def rareShingles(s: SparkSession, sh: DataFrame): DataFrame = {
-    val postings = sh.groupBy("sh").agg(count(lit(1)).as("pf"))
-    val dropped = postings.filter(col("pf") > PostingsCap).count()
-    // silent-cap rule: surface what the cap removed
-    System.err.println(s"[dedup] postings cap $PostingsCap dropped $dropped stop-shingles")
-    sh.join(postings.filter(col("pf") <= PostingsCap), "sh")
-  }
+  /** Capped shingle index, computed once per session: both the Jaccard
+    * and the MinHash verify stages consume it, and the dropped-count
+    * logging action would otherwise re-run the postings aggregation per
+    * caller.
+    */
+  private def rareShingles(s: SparkSession, dir: String, sh: DataFrame): DataFrame =
+    Pipelines.cachedDF(s, s"dedup.rareShingles:$dir") {
+      val postings = sh.groupBy("sh").agg(count(lit(1)).as("pf")).cache()
+      val dropped = postings.filter(col("pf") > PostingsCap).count()
+      // silent-cap rule: surface what the cap removed
+      System.err.println(s"[dedup] postings cap $PostingsCap dropped $dropped stop-shingles")
+      sh.join(postings.filter(col("pf") <= PostingsCap), "sh")
+    }
 
   /** N-gram Jaccard near-dup: candidate pairs share ≥1 capped shingle;
     * jaccard = |∩|/|∪| from exact integer set sizes; pairs with
@@ -85,7 +91,7 @@ object Dedup {
   private def jaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val rare = rareShingles(s, sh)
+    val rare = rareShingles(s, dir, sh)
     val a = rare.select(col("sh"), col("doc_id").as("a"))
     val b = rare.select(col("sh"), col("doc_id").as("b"))
     val inter = a.join(b, "sh").filter(col("a") < col("b"))
@@ -141,15 +147,16 @@ object Dedup {
     */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
-    val perms = (0 until NumHashes)
-      .map(i => s"(${permA(i)}L * hv + ${permB(i)}L) % ${MinhashP}L")
-      .mkString("array(", ", ", ")")
+    // one min-aggregate per hash slot instead of a 32× posexplode: the
+    // per-doc signature falls out of a single groupBy(doc_id) whose
+    // map-side partials are 32 longs — no row multiplication, one shuffle
+    val minCols = (0 until NumHashes).map(i =>
+      min(expr(s"(${permA(i)}L * hv + ${permB(i)}L) % ${MinhashP}L")).as(s"m$i"))
     val sigs = sh
       .withColumn("hv", expr("cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)"))
-      .select(col("doc_id"), posexplode(expr(perms)).as(Seq("hi", "h")))
-      .groupBy("doc_id", "hi").agg(min("h").as("h"))
       .groupBy("doc_id")
-      .agg(expr("transform(sort_array(collect_list(struct(hi, h))), p -> p.h)").as("sig"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
     val bands = sigs
       .select(col("doc_id"),
         posexplode(expr(
@@ -165,7 +172,7 @@ object Dedup {
     // verify: exact jaccard over capped shingles of CANDIDATE docs only
     val candIds = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val rsh = rareShingles(s, sh).join(candIds, "doc_id")
+    val rsh = rareShingles(s, dir, sh).join(candIds, "doc_id")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val x = rsh.select(col("sh"), col("doc_id").as("a"))
     val y = rsh.select(col("sh"), col("doc_id").as("b"))

@@ -91,23 +91,27 @@ object Similarity {
     * engine-portable).
     */
   private def sketchesOf(s: SparkSession, e: DataFrame, tables: Int, bits: Int): DataFrame = {
-    import s.implicits._
     val numPlanes = tables * bits
     val digest = java.security.MessageDigest.getInstance("MD5")
     val signs = Array.tabulate(numPlanes, 64) { (i, d) =>
       val h = digest.digest(s"$i,$d".getBytes("UTF-8"))
       if ((h(0) & 1) == 0) 1 else -1
     }
-    val signsDf = signs.zipWithIndex.flatMap { case (row, i) =>
-      row.zipWithIndex.map { case (sv, d) => (i, d, sv.toLong) }
-    }.toSeq.toDF("plane", "d", "sgn")
-    val flat = e.select(col("vec_id"), posexplode(col("iv")).as(Seq("d", "x")))
-    flat.join(broadcast(signsDf), "d")
-      .groupBy(col("vec_id"), expr(s"plane div $bits").as("tbl"),
-        expr(s"plane % $bits").as("bit"))
-      .agg(sum(col("sgn") * col("x")).as("dot"))
-      .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(when(col("dot") > 0, expr(s"shiftleft(1L, bit)")).otherwise(0L)).as("bucket"))
+    // the sign matrix is a compile-time constant: fold each plane's dot
+    // product into a codegen'd aggregate(zip_with(...)) expression — no
+    // dimension explosion, no join, no extra shuffle; the sketch is a
+    // per-row projection
+    def planeDot(i: Int): String = {
+      val arr = signs(i).map(v => s"${v}L").mkString("array(", ",", ")")
+      s"aggregate(zip_with(iv, $arr, (x, s) -> x * s), 0L, (acc, x) -> acc + x)"
+    }
+    val bucketExprs = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        s"(case when ${planeDot(t * bits + b)} > 0 then ${1L << b}L else 0L end)"
+      }.mkString("(", " + ", ")")
+    }
+    e.select(col("vec_id"),
+      posexplode(expr(bucketExprs.mkString("array(", ",", ")"))).as(Seq("tbl", "bucket")))
   }
 
   private def lshAnn(s: SparkSession, dir: String): DataFrame = {
