@@ -60,6 +60,10 @@ object GridQ {
       val bags = SFAOps.bagOfWords(
         SFAOps.packWords(SFAOps.slidingApproxDirect(ser, w, L, normMean = false), bins, Bits))
         .cache()
+      // materialize before composing the tf-idf chain: its broadcast
+      // subtrees are submitted concurrently, and against a cold cache
+      // each would recompute the whole word pipeline independently
+      bags.count()
       val train = bags.filter(col("user_id") % 2 === 0)
         .withColumn("cls", col("user_id") % NumClasses)
       val tf = train.groupBy("cls", "word").agg(sum(col("cnt")).as("tf"))

@@ -75,23 +75,31 @@ object SFAOps {
   /** Quantize per-window approximations against broadcast bins and pack
     * into words: symbol = #edges ≤ value, word = Σ symbol_c << (bits·c).
     * Input rows: (user_id, win, coef, v); output: (user_id, win, word).
-    * Pure built-in expressions — stays in whole-stage codegen. The bin
-    * edges are pre-collapsed to one sorted array per coefficient so the
-    * symbol is a higher-order `filter` over the broadcast row, not an
-    * aggregation — ONE shuffle (the word groupBy), not two.
+    * The bin edges are pre-collapsed to one sorted array per coefficient
+    * so the broadcast is a row per coefficient and the join adds no
+    * shuffle — ONE shuffle total (the word groupBy).
+    *
+    * The edge count is unrolled into `when(size ≥ i ∧ v ≥ edges[i])`
+    * conditional sums rather than a higher-order `filter(edges, …)`:
+    * lambda functions evaluate interpreted per row, and this expression
+    * runs once per (window, coefficient) — the hottest row count in the
+    * engine. The unrolled form stays inside whole-stage codegen.
     */
   def packWords(
       approx: DataFrame,
       bins: DataFrame,
       usedBits: Int): DataFrame = {
+    val maxEdges = (1 << usedBits) - 1
     val edgeArrays = bins
       .groupBy(col("coef"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, edge))), p -> p.edge)")
         .as("edges"))
+    val symbol = (1 to maxEdges)
+      .map(i => when(size(col("edges")) >= i && col("v") >= element_at(col("edges"), i), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
     approx.join(broadcast(edgeArrays), Seq("coef"), "left")
-      .withColumn("symbol",
-        when(col("edges").isNull, 0L)
-          .otherwise(expr("cast(size(filter(edges, e -> v >= e)) as long)")))
+      .withColumn("symbol", symbol)
       .groupBy(col("user_id"), col("win"))
       .agg(sum(col("symbol") * expr(s"shiftleft(1L, coef * $usedBits)")).as("word"))
   }
