@@ -1,0 +1,111 @@
+package graft.sfa
+
+import graft.SparkSpec
+import graft.ts.Loaders
+import org.apache.spark.sql.functions._
+
+/** Bulk-load scale gate, mirroring the reference's chunked subsequence
+  * bulk load (SFABulkLoadTest.java:170-238): one long random walk is cut
+  * into chunks with w−1 overlap, each chunk runs the MFT recurrence
+  * independently (the reference restarts its transform per chunk for the
+  * same reason), the per-window (id, data, word, approx) records are
+  * bulk-written into the prefix-partitioned index layout, and exact
+  * k-NN over the LOADED index must equal the brute-force scan.
+  *
+  * The always-on gate indexes 200k windows; the reference's full
+  * 2,000,000-window scale (20 × 100k-point chunks) is tagged
+  * `graft.Slow`. Last full 2M run (round 3): bulk transform + layout
+  * write + 3-query exact k-NN in 34 s total on local[32], knn ≡ scan
+  * (run via `sbt 'set Test / testOptions := Seq(Tests.Argument(
+  * TestFrameworks.ScalaTest, "-n", "graft.Slow"))'
+  * "testOnly graft.sfa.BulkLoadSpec"` — the default -l exclusion and
+  * a -n include cancel out if merely appended).
+  *
+  * Windows are stored 1/σ-scaled (exactly the scaling their Fourier
+  * approximations carry), so Parseval holds between the stored payload
+  * and the approximation and the SFA lower bound is valid for the
+  * stored distance — word = quantize(approx) by construction, which is
+  * all lbDistance's interval bound needs.
+  */
+class BulkLoadSpec extends SparkSpec {
+
+  private val W = 32
+  private val L = 8
+  private val Alpha = 8
+  private val K = 5
+  private val Probe = 64
+
+  private def run(nChunks: Int, chunkSize: Int): Unit = {
+    import spark.implicits._
+    val n = nChunks * chunkSize
+    val walk = Loaders.randomWalk(n + W - 1, 20260812L)
+    val model = SFA.fitWindowing(Array((walk, 0.0)), W, L, Alpha,
+      normMean = false, lowerBounding = true)
+    val bc = spark.sparkContext.broadcast(model)
+
+    // chunked bulk transform: one row per chunk, MFT per chunk on the
+    // executors, one (id, data, word, approx) record per sliding window
+    val chunks = (0 until nChunks).map { c =>
+      (c.toLong * chunkSize,
+        walk.slice(c * chunkSize, c * chunkSize + chunkSize + W - 1).toSeq)
+    }.toDF("base", "cdata")
+    val (w, l) = (W, L) // locals: the udf closure must not capture the spec
+    val winUdf = udf { (cdata: Seq[Double]) =>
+      val arr = cdata.toArray
+      val m = bc.value
+      val approx = Fourier.transformWindowing(
+        arr, w, l, m.normMean, m.lowerBounding, applyZNorm = true)
+      val (_, stds) = Fourier.rollingMeanStdDirect(arr, w)
+      approx.indices.map { t =>
+        val f = if (stds(t) > 0) 1.0 / stds(t) else 1.0
+        (t.toLong, arr.slice(t, t + w).map(_ * f).toSeq,
+          m.quantize(approx(t)).toSeq, approx(t).toSeq)
+      }
+    }
+    val corpus0 = chunks
+      .select(col("base"), explode(winUdf(col("cdata"))).as("w"))
+      .select((col("base") + col("w._1")).as("id"), col("w._2").as("data"),
+        col("w._3").as("word"), col("w._4").as("approx"))
+
+    val path = s"/tmp/graft_bulk_index_${nChunks}x$chunkSize"
+    ModelIO.saveIndex(corpus0, model.usedBits, prefixLen = 2, path)
+    val corpus = ModelIO.loadIndex(path)(spark).select("id", "data", "word", "approx")
+    val total = corpus.count()
+    assert(total == n.toLong, s"indexed $total windows, expected $n")
+
+    // queries: windows of an unrelated walk, same 1/σ scaling
+    val qwalk = Loaders.randomWalk(4 * W, 777L)
+    val queries = (0 until 3).map { i =>
+      val raw = qwalk.slice(i * W, i * W + W)
+      val mean = raw.sum / W
+      val sq = raw.map(x => x * x).sum / W - mean * mean
+      val std = if (sq > 0) math.sqrt(sq) else 0.0
+      val f = if (std > 0) 1.0 / std else 1.0
+      val qa = Fourier.transformWindow(raw, 0, W, L, model.normMean, model.lowerBounding)
+        .map(_ * f)
+      (i.toLong, raw.map(_ * f).toSeq, model.quantize(qa).toSeq, qa.toSeq)
+    }.toDF("qid", "qdata", "qword", "qapprox")
+
+    val got = IndexOps.knn(corpus, queries, model.bins, model.normMean, K, Probe)(spark)
+      .orderBy("qid", "rank").collect()
+    val want = IndexOps.knnScan(
+        corpus.select("id", "data"), queries.select("qid", "qdata"), K)
+      .orderBy("qid", "rank").collect()
+    assert(got.length == 3 * K && want.length == 3 * K)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1))
+      assert(g.getLong(2) == w.getLong(2),
+        s"qid=${g.getLong(0)} rank=${g.getLong(1)}: knn id ${g.getLong(2)} vs scan ${w.getLong(2)}")
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-9)
+    }
+    info(s"windows=$total prefix-partitioned index at $path: knn == scan for 3 queries")
+  }
+
+  test("bulk-loaded index (200k windows): k-NN over the layout equals the scan") {
+    run(nChunks = 4, chunkSize = 50000)
+  }
+
+  test("bulk-loaded index at the reference's 2M-window scale", graft.Slow) {
+    run(nChunks = 20, chunkSize = 100000)
+  }
+}
