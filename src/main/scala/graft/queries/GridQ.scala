@@ -168,6 +168,7 @@ object GridQ {
         .groupBy((col("user_id") % NumClasses).as("cls"), col("key"))
         .agg(sum(col("cnt")).as("obs"))
         .cache()
+      cell.count() // materialize before the concurrently-submitted chi² subtrees
       val wt = cell.groupBy("key").agg(sum(col("obs")).as("wtot"))
       val lt = cell.groupBy("cls").agg(sum(col("obs")).as("ltot"))
       val nt = cell.agg(sum(col("obs")).as("n"))

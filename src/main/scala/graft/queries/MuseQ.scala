@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.util.{QueryDef, Tables}
+import graft.util.{Pipelines, QueryDef, Tables}
 
 /** MUSE (multivariate) query surface over a 2-dimension view of the
   * events table (dim = event_id % 2, series key = (user_id, dim) packed
@@ -26,15 +26,19 @@ object MuseQ {
     Tables.load(s, dir, "events")
       .withColumn("user_id", col("user_id") * 2 + col("event_id") % 2)
 
-  /** (user_id, dim, key, cnt) — dimension-keyed word bags. */
+  /** (user_id, dim, key, cnt) — dimension-keyed word bags. Session-cached:
+    * a3 and f8 both consume the full MUSE word chain.
+    */
   private def bags(s: SparkSession, dir: String): DataFrame =
-    SfaQ.slidingWordsOf(mtsEvents(s, dir))
-      .groupBy(col("user_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("dim", col("user_id") % 2)
-      .withColumn("doc", ((col("user_id") - col("dim")) / 2).cast("long"))
-      .select(col("doc").as("user_id"), col("dim"),
-        (col("word") * 2 + col("dim")).as("key"), col("cnt"))
+    Pipelines.cachedDF(s, s"muse.bags:$dir") {
+      SfaQ.slidingWordsOf(mtsEvents(s, dir))
+        .groupBy(col("user_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dim", col("user_id") % 2)
+        .withColumn("doc", ((col("user_id") - col("dim")) / 2).cast("long"))
+        .select(col("doc").as("user_id"), col("dim"),
+          (col("word") * 2 + col("dim")).as("key"), col("cnt"))
+    }
 
   private def a3(s: SparkSession, dir: String): DataFrame =
     bags(s, dir).orderBy("user_id", "dim", "key")
@@ -44,6 +48,9 @@ object MuseQ {
       .groupBy((col("user_id") % 3).as("cls"), col("key"))
       .agg(sum(col("cnt")).as("obs"))
       .cache()
+    cell.count() // materialize: the chi² compose consumes it from
+    // concurrently-submitted subtrees, each of which would recompute
+    // the word chain against a cold cache
     val wt = cell.groupBy("key").agg(sum(col("obs")).as("wtot"))
     val lt = cell.groupBy("cls").agg(sum(col("obs")).as("ltot"))
     val nt = cell.agg(sum(col("obs")).as("n"))

@@ -68,6 +68,7 @@ object WeaselQ {
       .groupBy((col("user_id") % 3).as("cls"), col("key"))
       .agg(sum(col("cnt")).as("obs"))
       .cache()
+    cell.count() // materialize before the concurrently-submitted chi² subtrees
     val wt = cell.groupBy("key").agg(sum(col("obs")).as("wtot"))
     val lt = cell.groupBy("cls").agg(sum(col("obs")).as("ltot"))
     val nt = cell.agg(sum(col("obs")).as("n"))

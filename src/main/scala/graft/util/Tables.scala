@@ -28,9 +28,18 @@ object Pipelines {
   private val dfs = TrieMap.empty[(Int, String), DataFrame]
   private val objs = TrieMap.empty[(Int, String), AnyRef]
 
-  /** Build-once cached DataFrame for this session. */
+  /** Build-once cached DataFrame for this session, materialized eagerly:
+    * a shared stage is by definition multi-consumer, and consumers inside
+    * one composed plan (broadcast/subquery subtrees) are submitted
+    * concurrently — against a lazily-cached stage each would recompute
+    * the whole build independently.
+    */
   def cachedDF(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    dfs.getOrElseUpdate((System.identityHashCode(s), key), build.cache())
+    dfs.getOrElseUpdate((System.identityHashCode(s), key), {
+      val df = build.cache()
+      df.count()
+      df
+    })
 
   /** Build-once shared object (fitted model, broadcast bins) for this session. */
   def cachedObj[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
