@@ -197,13 +197,18 @@ object ClassifierQ {
       |  FROM qx q JOIN tx c ON q.j = c.j
       |  GROUP BY 1, 2, 3, 4
       |), mn AS (SELECT tid, rid, win, MIN(d2) AS md FROM ed GROUP BY 1, 2, 3
-      |), tot AS (SELECT tid, rid, SUM(md) AS dist FROM mn GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT tid, rid, FLOOR(SUM(md) * 1e6 + 0.5) / 1e6 AS dist FROM mn GROUP BY 1, 2
       |), rk AS (
+      |  -- rank on the ROUNDED dist (ties -> smaller rid), matching the
+      |  -- Spark side, which row_numbers over the jround'ed column: raw
+      |  -- doubles differing below 1e-6 must not flip the winner between
+      |  -- engines
       |  SELECT tid, rid, dist,
       |    ROW_NUMBER() OVER (PARTITION BY tid ORDER BY dist, rid) AS rn
       |  FROM tot
       |)
-      |SELECT tid AS test_id, rid AS nn_id, FLOOR(dist * 1e6 + 0.5) / 1e6 AS dist
+      |SELECT tid AS test_id, rid AS nn_id, dist
       |FROM rk WHERE rn = 1 ORDER BY test_id""".stripMargin
 
   // ---- F13: one-class acceptance radius -------------------------------

@@ -258,15 +258,8 @@ object GridQ {
   private def m4Sql: String = {
     val ed = "(" + SfaQ.prefixFor(16) + SfaQ.slidingCtesFor(16) +
       "\nSELECT 'EQUI_DEPTH' AS hist, COUNT(DISTINCT word) AS n_words, COUNT(*) AS n_windows FROM sword)"
-    val ssymEd =
-      s"""), ssym AS (
-        |  SELECT d.user_id, d.win, d.coef,
-        |    SUM(CASE WHEN b.edge IS NOT NULL AND d.v >= b.edge THEN 1 ELSE 0 END) AS symbol
-        |  FROM sdft d LEFT JOIN bounds b ON d.coef = b.coef
-        |  GROUP BY 1, 2, 3
-        |)""".stripMargin
     val ssymEw =
-      s"""), mm AS (
+      s""", mm AS (
         |  SELECT coef, MIN(v2) AS mn, MAX(v2) AS mx FROM ol GROUP BY 1
         |), ssym AS (
         |  SELECT d.user_id, d.win, d.coef,
@@ -274,7 +267,7 @@ object GridQ {
         |     WHERE d.v >= (mm.mx - mm.mn) / $Alpha * (cs.c + 1) + mm.mn) AS symbol
         |  FROM sdft d JOIN mm ON d.coef = mm.coef
         |)""".stripMargin
-    val ew = "(" + SfaQ.prefixFor(16) + SfaQ.slidingCtesFor(16).replace(ssymEd, ssymEw) +
+    val ew = "(" + SfaQ.prefixFor(16) + SfaQ.slidingCtesFor(16, ssymEw) +
       "\nSELECT 'EQUI_WIDTH' AS hist, COUNT(DISTINCT word) AS n_words, COUNT(*) AS n_windows FROM sword)"
     s"SELECT * FROM ($ed UNION ALL $ew) g ORDER BY hist"
   }

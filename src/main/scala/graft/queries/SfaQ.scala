@@ -105,7 +105,10 @@ object SfaQ {
   }
 
   private def t2(s: SparkSession, dir: String): DataFrame =
-    SFAOps.slidingApproxMft(series(s, dir), W, L, normMean = false)
+    // exclude series shorter than the window: the library op pads them
+    // to one truncated window (reference semantics) but the SQL oracle
+    // models complete windows only
+    SFAOps.slidingApproxMft(series(s, dir).filter(size(col("data")) >= W), W, L, normMean = false)
       .select(col("user_id"), col("win").cast("long").as("win"),
         col("coef").cast("long").as("coef"), jround(col("v"), 4).as("v"))
       .orderBy("user_id", "win", "coef")
@@ -195,10 +198,23 @@ object SfaQ {
 
   private[queries] val prefix = prefixFor(W)
 
+  /** The default (equi-depth `bounds`) symbol CTE — grid queries may
+    * substitute their own quantization by passing a replacement to
+    * [[slidingCtesFor]] (it must read `sdft` and emit
+    * `ssym(user_id, win, coef, symbol)`).
+    */
+  private[queries] val ssymEquiDepth: String =
+    """, ssym AS (
+      |  SELECT d.user_id, d.win, d.coef,
+      |    SUM(CASE WHEN b.edge IS NOT NULL AND d.v >= b.edge THEN 1 ELSE 0 END) AS symbol
+      |  FROM sdft d LEFT JOIN bounds b ON d.coef = b.coef
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
   /** Sliding-window continuation at window length `w`: windows, σ, DFT,
     * symbols, packed words, numerosity-reduced bags (users ≥ w points).
     */
-  private[queries] def slidingCtesFor(w: Int): String =
+  private[queries] def slidingCtesFor(w: Int, ssymCte: String = ssymEquiDepth): String =
     s""", sw AS (
       |  SELECT e1.user_id, e1.idx AS win, e2.idx - e1.idx AS j, e2.value
       |  FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
@@ -220,12 +236,7 @@ object SfaQ {
       |    * (1.0/SQRT($w)) * (CASE WHEN c.coef % 2 = 1 THEN -1.0 ELSE 1.0 END) AS v
       |  FROM snx n CROSS JOIN coefs c
       |  GROUP BY n.user_id, n.win, c.coef
-      |), ssym AS (
-      |  SELECT d.user_id, d.win, d.coef,
-      |    SUM(CASE WHEN b.edge IS NOT NULL AND d.v >= b.edge THEN 1 ELSE 0 END) AS symbol
-      |  FROM sdft d LEFT JOIN bounds b ON d.coef = b.coef
-      |  GROUP BY 1, 2, 3
-      |), sword AS (
+      |)$ssymCte, sword AS (
       |  SELECT user_id, win,
       |    CAST(SUM(symbol * (CAST(1 AS BIGINT) << CAST(2 * coef AS INTEGER))) AS BIGINT) AS word
       |  FROM ssym GROUP BY 1, 2
