@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming BOSS VS model scoring (SURVEY §7.1 step 11: "BOSS VS model
+  * scoring as a streaming join" — README.md:239-241 motivates scoring
+  * event streams against a periodically refitted model).
+  *
+  * Consumes the word stream ([[StreamingWords]]) and maintains, per
+  * series key, the numerosity-reduction state (last word) plus the
+  * RUNNING class scores Σ tc·nweight — adding one bag increment updates
+  * every class score in O(#labels), so no bag is ever materialized in
+  * state and the per-key state size is #labels + 2 scalars regardless
+  * of stream length. Each micro-batch emits the key's current
+  * prediction (ties → smaller label, the engine-wide rule), so the
+  * stream yields early, monotonically-refining classifications — the
+  * same anytime shape TEASER consumes.
+  *
+  * The class matrix is a driver-side map (word → per-label weights),
+  * bounded by the SFA vocabulary (≤ α^l) — the batch fit stays a batch
+  * job; the stream applies the broadcast model.
+  */
+object StreamingScore {
+
+  final case class ScoreState(lastWord: Long, windows: Long, scores: Array[Double])
+  final case class Prediction(user_id: Long, windows: Long, pred: Double)
+
+  /** Attach scoring to a word stream. `weights(word)` = per-label
+    * nweight vector aligned with `labels`; words outside the trained
+    * vocabulary contribute nothing (exactly the batch join semantics).
+    */
+  def scoreStream(
+      words: Dataset[StreamingWords.WordEvent],
+      weights: Map[Long, Array[Double]],
+      labels: Array[Double])(
+      implicit spark: SparkSession): Dataset[Prediction] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(weights)
+    words
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: Long, events: Iterator[StreamingWords.WordEvent], state: GroupState[ScoreState]) => {
+          var st = state.getOption.getOrElse(
+            ScoreState(-1L, 0L, new Array[Double](labels.length)))
+          events.toSeq.sortBy(_.offset).foreach { we =>
+            // numerosity reduction: a window repeating the previous
+            // window's word is seen but adds nothing to the bag
+            if (we.word != st.lastWord) {
+              val sc = st.scores.clone()
+              bc.value.get(we.word).foreach { ws =>
+                var i = 0
+                while (i < sc.length) { sc(i) += ws(i); i += 1 }
+              }
+              st = ScoreState(we.word, st.windows + 1, sc)
+            } else {
+              st = st.copy(windows = st.windows + 1)
+            }
+          }
+          state.update(st)
+          if (st.windows == 0L) Iterator.empty
+          else {
+            var best = 0
+            var i = 1
+            while (i < labels.length) {
+              if (st.scores(i) > st.scores(best) ||
+                (st.scores(i) == st.scores(best) && labels(i) < labels(best))) best = i
+              i += 1
+            }
+            Iterator.single(Prediction(key, st.windows, labels(best)))
+          }
+        })
+  }
+}
