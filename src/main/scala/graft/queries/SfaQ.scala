@@ -71,13 +71,27 @@ object SfaQ {
     SFAOps.packWords(sliding, bins, Bits)
   }
 
+  /** Sliding approximations as one array row per window — the shared
+    * stage both the exploded view and the fused word path derive from.
+    */
+  private[queries] def slidingApproxArr(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sfa.slidingApproxArr:$dir")(
+      SFAOps.slidingApproxArrays(series(s, dir), W, L, normMean = false))
+
   private[queries] def slidingApprox(s: SparkSession, dir: String): DataFrame =
     Pipelines.cachedDF(s, s"sfa.slidingApprox:$dir")(
-      SFAOps.slidingApproxDirect(series(s, dir), W, L, normMean = false))
+      slidingApproxArr(s, dir)
+        .select(col("user_id"), col("win"), posexplode(col("approx")).as(Seq("coef", "v"))))
 
+  /** Sliding packed words through the fused native expression
+    * ([[graft.sfa.expr.SfaWordExpr]]) — one codegen'd pass per window
+    * row instead of explode → broadcast join → re-aggregate.
+    */
   private[queries] def slidingWords(s: SparkSession, dir: String): DataFrame =
-    Pipelines.cachedDF(s, s"sfa.slidingWords:$dir")(
-      SFAOps.packWords(slidingApprox(s, dir), binsDF(disjointApprox(s, dir)), Bits))
+    Pipelines.cachedDF(s, s"sfa.slidingWords:$dir") {
+      val bins = SFAOps.collectBins(binsDF(disjointApprox(s, dir)), L, Alpha)
+      SFAOps.packWordsFused(slidingApproxArr(s, dir), bins, Bits)
+    }
 
   private[queries] def slidingBags(s: SparkSession, dir: String): DataFrame =
     Pipelines.cachedDF(s, s"sfa.slidingBags:$dir")(

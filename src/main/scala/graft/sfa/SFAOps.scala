@@ -131,6 +131,48 @@ object SFAOps {
       .select(col("user_id"), col("win"), posexplode(col("approx")).as(Seq("coef", "v")))
   }
 
+  /** Sliding approximations kept as ONE array row per window — the
+    * input shape of the fused-expression word path (no per-coefficient
+    * explosion). Same values as [[slidingApproxDirect]] pre-explode.
+    */
+  def slidingApproxArrays(
+      series: DataFrame,
+      windowSize: Int,
+      l: Int,
+      normMean: Boolean): DataFrame = {
+    val udfApprox = udf { (data: Seq[Double]) =>
+      val arr = data.toArray
+      val (_, stds) = Fourier.rollingMeanStdDirect(arr, windowSize)
+      Array.tabulate(arr.length - windowSize + 1) { t =>
+        val direct = Fourier.transformWindow(arr, t, windowSize, l, normMean, lowerBounding = true)
+        val f = if (stds(t) > 0) 1.0 / stds(t) else 1.0
+        direct.map(_ * f)
+      }
+    }
+    series
+      .filter(size(col("data")) >= windowSize)
+      .select(col("user_id"), posexplode(udfApprox(col("data"))).as(Seq("win", "approx")))
+  }
+
+  /** Fused quantize + pack via the native codegen expression
+    * [[graft.sfa.expr.SfaWordExpr]]: one pass per window row, bins as a
+    * nested-array literal (assigned edges only). Value-identical to
+    * [[packWords]]; preferred on hot paths — no explosion, no join, no
+    * aggregation, stays inside whole-stage codegen.
+    */
+  def packWordsFused(
+      approxArrays: DataFrame,
+      bins: Array[Array[Double]],
+      usedBits: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val edges: Seq[Seq[Double]] = bins.map(_.filter(_ != Double.MaxValue).toSeq).toSeq
+    val wordExpr = graft.sfa.expr.SfaWordExpr(
+      Bridge.expression(col("approx")),
+      Bridge.expression(typedlit(edges)),
+      usedBits)
+    approxArrays.select(col("user_id"), col("win"), Bridge.column(wordExpr).as("word"))
+  }
+
   /** Sliding approximations via the MFT recurrence (the scale path). */
   def slidingApproxMft(
       series: DataFrame,
