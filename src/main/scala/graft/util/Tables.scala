@@ -23,6 +23,11 @@ object Tables {
   * Bench calls [[clear]] after its warmup so the first *measured*
   * consumer of a stage still pays for building it.
   */
+/** Session-scoped shared-stage cache. Keyed on the session's identity
+  * hash — correct for the driver mains and tests (one live session per
+  * JVM); a JVM cycling many sessions would need a weak-keyed map (a
+  * GC'd session's hash can alias) and explicit eviction.
+  */
 object Pipelines {
   import scala.collection.concurrent.TrieMap
   private val dfs = TrieMap.empty[(Int, String), DataFrame]

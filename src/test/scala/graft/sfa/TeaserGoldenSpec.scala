@@ -10,10 +10,11 @@ import graft.ts.Loaders
   * runs ~75 min on local[8] — it is tagged `graft.Slow` and excluded
   * from the default `sbt test` (run explicitly via
   * `testOnly graft.sfa.TeaserGoldenSpec -- -n graft.Slow`).
-  * Last full run (this round, with the (1−2ν)-quantile master): accuracy
-  * 0.973 vs golden 0.982 (±0.05 ✓), earliness 0.771 vs 0.64 (±0.15 ✓) —
-  * the documented distance-quantile master substitute trades some
-  * earliness for accuracy relative to the reference's one-class SVM.
+  * Recent full runs (with the (1−2ν)-quantile master): accuracy 0.973 /
+  * 0.967 vs golden 0.982 (±0.05 ✓ both), earliness 0.771 / 0.764 vs
+  * 0.64 (±0.15 ✓ both) — the documented distance-quantile master
+  * substitute trades some earliness for accuracy relative to the
+  * reference's one-class SVM.
   *
   * The smoke gate below keeps TEASER exercised in CI: a reduced cascade
   * (S=6, single-norm f=6 slave, 3-fold CV) on a 100-sample CBF subset
