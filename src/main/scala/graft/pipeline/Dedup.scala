@@ -74,14 +74,21 @@ object Dedup {
     * logging action would otherwise re-run the postings aggregation per
     * caller.
     */
-  private def rareShingles(s: SparkSession, dir: String, sh: DataFrame): DataFrame =
-    Pipelines.cachedDF(s, s"dedup.rareShingles:$dir") {
-      val postings = sh.groupBy("sh").agg(count(lit(1)).as("pf")).cache()
+  private def rareShingles(s: SparkSession, dir: String, sh: DataFrame): DataFrame = {
+    // the postings cache only serves the dropped-count action plus the
+    // join inside ONE build; once the outer cachedDF has materialized
+    // (eager count) it is dead weight — release it after the build
+    var postings: DataFrame = null
+    val out = Pipelines.cachedDF(s, s"dedup.rareShingles:$dir") {
+      postings = sh.groupBy("sh").agg(count(lit(1)).as("pf")).cache()
       val dropped = postings.filter(col("pf") > PostingsCap).count()
       // silent-cap rule: surface what the cap removed
       System.err.println(s"[dedup] postings cap $PostingsCap dropped $dropped stop-shingles")
       sh.join(postings.filter(col("pf") <= PostingsCap), "sh")
     }
+    if (postings != null) postings.unpersist()
+    out
+  }
 
   /** N-gram Jaccard near-dup: candidate pairs share ≥1 capped shingle;
     * jaccard = |∩|/|∪| from exact integer set sizes; pairs with

@@ -109,6 +109,12 @@ object Similarity {
     Pipelines.cachedDF(s, s"sim.sketch:$dir:$tables:$bits") { sketchesOf0(e, tables, bits) }
 
   private def sketchesOf0(e: DataFrame, tables: Int, bits: Int): DataFrame = {
+    // the sign matrix below is built for exactly 64 dimensions; zip_with
+    // null-pads on length mismatch, which would silently NULL every plane
+    // dot and send all vectors to bucket 0 (blocking degenerates to
+    // all-pairs). Fail loudly instead.
+    val dim = e.select(size(col("iv")).as("d")).head().getInt(0)
+    require(dim == 64, s"sign-LSH sketch expects 64-dim embeddings, got $dim")
     val numPlanes = tables * bits
     val digest = java.security.MessageDigest.getInstance("MD5")
     val signs = Array.tabulate(numPlanes, 64) { (i, d) =>

@@ -206,56 +206,31 @@ object Stats {
       .filter(col("df") <= col("nd") * VocabDfFrac)
     val bags = allBags.join(df_.select("word"), "word")
 
-    // Plan choice: the selected vocabulary is BOUNDED (it fits a
-    // dictionary), so the scalable plan is dense-vector 1-NN with the
-    // train side broadcast and a tight early-abandoning loop per test
-    // doc — zero shuffles after the bag build. The inverted-index join
-    // (see graft.sfa.SFAOps.nnBagJoin) is the right plan when the
-    // vocabulary is huge and bags are sparse; here every doc shares
-    // most of a ~31-word vocabulary, which makes the join dense and
-    // quadratic in rows. Same reference distance either way
-    // (asymmetric Σ over test words of (tc−nc)²).
-    val vocab = bags.select("word").distinct().orderBy("word")
-      .collect().map(_.getString(0))
-    val vIdx = vocab.zipWithIndex.toMap
-    val vIdxB = s.sparkContext.broadcast(vIdx)
-    val vecs = bags
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("word"), col("c"))).as("wc"))
-      .as[(Long, Seq[(String, Long)])]
-      .map { case (id, wc) =>
-        val v = new Array[Long](vIdxB.value.size)
-        wc.foreach { case (w, c) => v(vIdxB.value(w)) = c }
-        (id, v)
-      }
-    val train = vecs.filter(_._1 % 10 != 0).collect()
-    val trainB = s.sparkContext.broadcast(train.sortBy(_._1))
-    val nn = vecs.filter(_._1 % 10 == 0).map { case (tid, tv) =>
-      var bestDist = Long.MaxValue
-      var bestId = -1L
-      for ((rid, rv) <- trainB.value) {
-        var d = 0L
-        var overlap = false
-        var i = 0
-        while (i < tv.length && d < bestDist) {
-          if (tv(i) > 0) {
-            if (rv(i) > 0) overlap = true
-            val x = tv(i) - rv(i); d += x * x
-          }
-          i += 1
-        }
-        // candidate set = docs sharing ≥1 selected-vocabulary word —
-        // the same set the oracle's inverted-index join can produce; a
-        // zero-overlap doc (d = Σtc² exactly) must not win here when it
-        // cannot appear there. (d < bestDist at loop exit ⇒ full pass
-        // ⇒ the overlap flag is complete.)
-        if (overlap && d < bestDist) { bestDist = d; bestId = rid }
-      }
-      (tid, bestId, bestDist)
-    }.toDF("test_id", "nn_id", "dist")
+    // Plan: inverted-index equi-join on word (the same decomposition the
+    // oracle uses): candidates = pairs sharing ≥1 selected word,
+    // dist = Σ_shared(tc−rc)² − Σ_shared tc² + Σ_all tc². Everything
+    // stays distributed — no train-corpus collect, no driver-sized
+    // state; the join is gated by the vocabulary selection above
+    // (stop-word pruning keeps the postings lists bounded), which is
+    // exactly how WEASEL keeps its own joins sparse
+    // (WEASEL.java:217-339). Zero-overlap train docs never appear
+    // (inner join), matching the reference's candidate semantics.
+    val test = bags.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("tid"), col("word"), col("c").as("tc"))
+    val train = bags.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("rid"), col("word"), col("c").as("rc"))
+    val selfsq = test.groupBy("tid").agg(sum(col("tc") * col("tc")).as("selfsq"))
+    val shared = test.join(train, Seq("word"))
+      .groupBy("tid", "rid")
+      .agg(sum((col("tc") - col("rc")) * (col("tc") - col("rc"))).as("sdist"),
+        sum(col("tc") * col("tc")).as("tshared"))
+    val dists = shared.join(selfsq, Seq("tid"))
+      .withColumn("dist", col("sdist") - col("tshared") + col("selfsq"))
+    val byT = Window.partitionBy(col("tid")).orderBy(col("dist").asc, col("rid").asc)
+    val nn = dists.withColumn("rn", row_number().over(byT)).filter(col("rn") === 1)
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang").as("pred_lang"))
-    nn.join(broadcast(docs), nn("nn_id") === docs("doc_id"))
-      .select(col("test_id"), col("nn_id"), col("dist"), col("pred_lang"))
+    nn.join(broadcast(docs), nn("rid") === docs("doc_id"))
+      .select(col("tid").as("test_id"), col("rid").as("nn_id"), col("dist"), col("pred_lang"))
       .orderBy("test_id")
   }
 

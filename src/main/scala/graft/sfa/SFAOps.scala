@@ -165,6 +165,11 @@ object SFAOps {
       bins: Array[Array[Double]],
       usedBits: Int): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
+    // a coefficient with ≥ 2^usedBits−1 assigned edges would overflow its
+    // bit field and the OR-pack would corrupt neighboring symbols — the
+    // grouped packWords caps structurally; the fused form must check
+    require(bins.forall(_.count(_ != Double.MaxValue) <= (1 << usedBits) - 1),
+      s"bin edges exceed symbol capacity for usedBits=$usedBits")
     val edges: Seq[Seq[Double]] = bins.map(_.filter(_ != Double.MaxValue).toSeq).toSeq
     val wordExpr = graft.sfa.expr.SfaWordExpr(
       Bridge.expression(col("approx")),

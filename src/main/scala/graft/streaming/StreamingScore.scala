@@ -29,6 +29,15 @@ object StreamingScore {
   /** Attach scoring to a word stream. `weights(word)` = per-label
     * nweight vector aligned with `labels`; words outside the trained
     * vocabulary contribute nothing (exactly the batch join semantics).
+    *
+    * CONSUMER CONTRACT (anytime semantics, Append mode): one prediction
+    * row is emitted per key per micro-batch that touches it, each row
+    * SUPERSEDING the key's earlier rows — an appended row is a refining
+    * snapshot, not a final fact. A sink reading this stream must keep
+    * only the latest row per key: dedup by (user_id, max(windows)), or
+    * feed a keyed store that upserts. This is deliberate — TEASER-style
+    * consumers want the whole refinement trajectory; a consumer that
+    * wants only finals should window/aggregate downstream.
     */
   def scoreStream(
       words: Dataset[StreamingWords.WordEvent],

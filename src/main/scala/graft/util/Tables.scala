@@ -23,15 +23,20 @@ object Tables {
   * Bench calls [[clear]] after its warmup so the first *measured*
   * consumer of a stage still pays for building it.
   */
-/** Session-scoped shared-stage cache. Keyed on the session's identity
-  * hash — correct for the driver mains and tests (one live session per
-  * JVM); a JVM cycling many sessions would need a weak-keyed map (a
-  * GC'd session's hash can alias) and explicit eviction.
+/** Session-scoped shared-stage cache, keyed on the session's UUID (a
+  * stable string — unlike an identity hash it cannot alias after a
+  * session is GC'd, and entries don't pin the session object). A JVM
+  * cycling sessions evicts a stopped session's entries with [[evict]];
+  * [[clear]] drops everything (Bench does this between warmup and the
+  * measured pass).
   */
 object Pipelines {
   import scala.collection.concurrent.TrieMap
-  private val dfs = TrieMap.empty[(Int, String), DataFrame]
-  private val objs = TrieMap.empty[(Int, String), AnyRef]
+  private val dfs = TrieMap.empty[(String, String), DataFrame]
+  private val objs = TrieMap.empty[(String, String), AnyRef]
+
+  private def sid(s: SparkSession): String =
+    org.apache.spark.sql.graft.Bridge.sessionUUID(s)
 
   /** Build-once cached DataFrame for this session, materialized eagerly:
     * a shared stage is by definition multi-consumer, and consumers inside
@@ -40,7 +45,7 @@ object Pipelines {
     * the whole build independently.
     */
   def cachedDF(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    dfs.getOrElseUpdate((System.identityHashCode(s), key), {
+    dfs.getOrElseUpdate((sid(s), key), {
       val df = build.cache()
       df.count()
       df
@@ -48,7 +53,18 @@ object Pipelines {
 
   /** Build-once shared object (fitted model, broadcast bins) for this session. */
   def cachedObj[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
-    objs.getOrElseUpdate((System.identityHashCode(s), key), build).asInstanceOf[T]
+    objs.getOrElseUpdate((sid(s), key), build).asInstanceOf[T]
+
+  /** Drop (and unpersist) every entry cached for `s` — call when a
+    * session stops to release its storage.
+    */
+  def evict(s: SparkSession): Unit = {
+    val id = sid(s)
+    dfs.keys.filter(_._1 == id).foreach { k =>
+      dfs.remove(k).foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    }
+    objs.keys.filter(_._1 == id).foreach(objs.remove)
+  }
 
   def clear(): Unit = {
     dfs.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })

@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Stable per-session UUID (`private[sql]` on the classic session) —
+    * used as a cache key that can't alias after a session is GC'd.
+    */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): String = s match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => System.identityHashCode(other).toString
+  }
 }
