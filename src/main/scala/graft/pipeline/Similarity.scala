@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.util.{Pipelines, QueryDef, Tables}
@@ -22,10 +22,20 @@ import graft.util.{Pipelines, QueryDef, Tables}
   */
 object Similarity {
 
+  /** Native codegen'd integer dot product — the re-score kernel. The
+    * SQL-lambda `aggregate(zip_with(...))` form evaluates interpreted
+    * per row; [[graft.sfa.expr.LongDotExpr]] is one fused loop inside
+    * whole-stage codegen.
+    */
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.sfa.expr.LongDotExpr(Bridge.expression(a), Bridge.expression(b)))
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .withColumn("iv", expr("transform(embedding, v -> cast(round(cast(v as double) * 10000) as bigint))"))
-      .withColumn("nrm2", expr("aggregate(iv, 0L, (acc, x) -> acc + x*x)"))
+      .withColumn("nrm2", dot(col("iv"), col("iv")))
 
   /** Brute-force cosine top-5: queries = vec_id < 10, corpus = the rest. */
   private def cosineTopK(s: SparkSession, dir: String): DataFrame =
@@ -38,8 +48,7 @@ object Similarity {
     val c = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qiv, civ, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot", dot(col("qiv"), col("civ")))
       .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -121,21 +130,19 @@ object Similarity {
       val h = digest.digest(s"$i,$d".getBytes("UTF-8"))
       if ((h(0) & 1) == 0) 1 else -1
     }
-    // the sign matrix is a compile-time constant: fold each plane's dot
-    // product into a codegen'd aggregate(zip_with(...)) expression — no
+    // the sign matrix is a compile-time constant: each plane's dot is a
+    // native codegen'd LongDotExpr against an array literal — no
     // dimension explosion, no join, no extra shuffle; the sketch is a
     // per-row projection
-    def planeDot(i: Int): String = {
-      val arr = signs(i).map(v => s"${v}L").mkString("array(", ",", ")")
-      s"aggregate(zip_with(iv, $arr, (x, s) -> x * s), 0L, (acc, x) -> acc + x)"
-    }
-    val bucketExprs = (0 until tables).map { t =>
+    def planeDot(i: Int): Column =
+      dot(col("iv"), typedlit(signs(i).map(_.toLong).toSeq))
+    val bucketCols = (0 until tables).map { t =>
       (0 until bits).map { b =>
-        s"(case when ${planeDot(t * bits + b)} > 0 then ${1L << b}L else 0L end)"
-      }.mkString("(", " + ", ")")
+        when(planeDot(t * bits + b) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
     }
     e.select(col("vec_id"),
-      posexplode(expr(bucketExprs.mkString("array(", ",", ")"))).as(Seq("tbl", "bucket")))
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
   }
 
   private def lshAnn(s: SparkSession, dir: String): DataFrame =
@@ -156,8 +163,7 @@ object Similarity {
     val c = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
     val scored = cand.join(broadcast(q), "q_id").join(c, "c_id")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qiv, civ, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot", dot(col("qiv"), col("civ")))
       .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -257,28 +263,40 @@ object Similarity {
   private def ivfAnn(s: SparkSession, dir: String): DataFrame =
     Pipelines.cachedDF(s, s"sim.ivf:$dir") { ivfAnn0(s, dir) }
 
-  private def ivfAnn0(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val c = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("c_id"), col("iv").as("cv0"), col("nrm2").as("cn0"))
-    val seeds = c.orderBy("c_id").limit(IvfCells)
-      .select(col("c_id").as("cell"), col("cv0").as("sv"), col("cn0").as("sn2"))
-    val byCell = Window.partitionBy("c_id").orderBy(desc("score"), col("cell"))
-    val m0 = c.crossJoin(broadcast(seeds))
-      .withColumn("dot", expr("aggregate(zip_with(cv0, sv, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("score", col("dot") / sqrt(col("sn2")))
-      .withColumn("rn", row_number().over(byCell))
+  /** One-Lloyd-step deterministic integer centroids over `base`
+    * ((id, iv) rows): seeds = the `cells` smallest ids, assignment by
+    * cosine to the seed, centroid = element-wise INTEGER SUM of its
+    * members (cosine is scale-invariant so the sum stands in for the
+    * mean and scores stay exact/engine-portable). Cells that lose all
+    * members in the Lloyd step drop out (both engines GROUP them away
+    * identically). Returns (cell, cv ARRAY<BIGINT>, cn2).
+    */
+  private def ivfCentroids(base: DataFrame, cells: Int): DataFrame = {
+    val seeds = base.orderBy("id").limit(cells)
+      .select(col("id").as("cell"), col("iv").as("sv"))
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+    val byId = Window.partitionBy("id").orderBy(desc("score"), col("cell"))
+    val m0 = base.crossJoin(broadcast(seeds))
+      .withColumn("score", dot(col("iv"), col("sv")) / sqrt(col("sn2")))
+      .withColumn("rn", row_number().over(byId))
       .filter(col("rn") === 1)
-      .select("c_id", "cell")
-    val cent = m0.join(c, "c_id")
-      .select(col("cell"), posexplode(col("cv0")).as(Seq("i", "x")))
+      .select("id", "cell")
+    m0.join(base, "id")
+      .select(col("cell"), posexplode(col("iv")).as(Seq("i", "x")))
       .groupBy("cell", "i").agg(sum("x").as("cx"))
       .groupBy("cell")
       .agg(expr("transform(sort_array(collect_list(struct(i, cx))), p -> p.cx)").as("cv"))
-      .withColumn("cn2", expr("aggregate(cv, 0L, (acc, x) -> acc + x*x)"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+  }
+
+  private def ivfAnn0(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
+    val cent = ivfCentroids(c.select(col("c_id").as("id"), col("civ").as("iv")), IvfCells)
+    val byCell = Window.partitionBy("c_id").orderBy(desc("score"), col("cell"))
     val m1 = c.crossJoin(broadcast(cent))
-      .withColumn("dot", expr("aggregate(zip_with(cv0, cv, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("score", col("dot") / sqrt(col("cn2")))
+      .withColumn("score", dot(col("civ"), col("cv")) / sqrt(col("cn2")))
       .withColumn("rn", row_number().over(byCell))
       .filter(col("rn") === 1)
       .select("c_id", "cell")
@@ -286,17 +304,13 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
     val byQ = Window.partitionBy("q_id").orderBy(desc("score"), col("cell"))
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("dot", expr("aggregate(zip_with(qiv, cv, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("score", col("dot") / sqrt(col("cn2")))
+      .withColumn("score", dot(col("qiv"), col("cv")) / sqrt(col("cn2")))
       .withColumn("rn", row_number().over(byQ))
       .filter(col("rn") <= IvfProbes)
       .select("q_id", "cell")
     val cand = probes.join(m1, "cell").select("q_id", "c_id").distinct()
-    val cc = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
-    val scored = cand.join(broadcast(q), "q_id").join(cc, "c_id")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qiv, civ, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
+    val scored = cand.join(broadcast(q), "q_id").join(c, "c_id")
+      .withColumn("dot", dot(col("qiv"), col("civ")))
       .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -405,33 +419,60 @@ object Similarity {
 
   // ---- embedding-cosine near-dup (dedup family) -----------------------
 
-  /** Near-duplicate pairs by embedding cosine ≥ $DupThreshold, blocked by
-    * a recall-oriented sign-LSH banding (8 tables × 4 bits — more, shorter
-    * bands than the ANN search path: near-dup blocking wants recall at a
-    * fixed similarity floor, not top-k precision). Candidates = pairs
-    * sharing ≥1 bucket; exact integer cosine re-scores candidates; the
-    * (unrounded) threshold filter is identical in both engines. At 100 TB
-    * the plan is: one shuffle to sketch, one equi-join per table on the
-    * bucket key, exact re-rank only on candidates — the all-pairs join
-    * never happens. Blocking recall (~93% at 0.45 on the test corpus) is
-    * deterministic and replicated bit-exactly by the oracle.
+  /** Near-duplicate pairs by embedding cosine ≥ $DupThreshold, blocked
+    * by multi-probe IVF cells rather than sign-LSH banding: at this weak
+    * similarity floor (the corpus's ≥0.45 pairs sit barely above the
+    * random-pair background) banding has no amplification gap — r3's
+    * 8×4-bit config made ~40% of ALL pairs candidates, a Θ(N²)
+    * scale-killer. The IVF pivot: every vector joins its $DupProbes
+    * nearest of $DupCells one-Lloyd-step integer centroids; candidates =
+    * pairs sharing ≥1 cell; exact integer cosine re-scores candidates
+    * (native codegen'd dot). At scale the cell count grows with the
+    * corpus (C ≈ N / targetCellSize), so the candidate fraction
+    * ~P²/C FALLS as N grows — blocking that actually blocks; the
+    * candidate count is logged and blocking recall is a measured,
+    * oracle-checked number (`dedup_block_recall`), not a claim.
     */
-  private val DupTables = 8
-  private val DupBits = 4
+  private val DupCells = 64
+  private val DupProbes = 4
   private val DupThreshold = 0.45
+
+  /** Multi-probe IVF cell membership over ALL vectors: (id, cell),
+    * $DupProbes rows per vector. Cached — blocking + recall share it.
+    */
+  private def dupMembership(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sim.dupmemb:$dir") {
+      val base = emb(s, dir).select(col("vec_id").as("id"), col("iv"))
+      val cent = ivfCentroids(base, DupCells)
+      val byId = Window.partitionBy("id").orderBy(desc("score"), col("cell"))
+      base.crossJoin(broadcast(cent))
+        .withColumn("score", dot(col("iv"), col("cv")) / sqrt(col("cn2")))
+        .withColumn("rn", row_number().over(byId))
+        .filter(col("rn") <= DupProbes)
+        .select("id", "cell")
+    }
+
+  /** Candidate pairs sharing ≥1 probed cell (a < b). Cached + logged. */
+  private def dupCandidates(s: SparkSession, dir: String): DataFrame = {
+    val cand = Pipelines.cachedDF(s, s"sim.dupcand:$dir") {
+      val memb = dupMembership(s, dir)
+      val l = memb.select(col("cell"), col("id").as("a"))
+      val r = memb.select(col("cell"), col("id").as("b"))
+      l.join(r, Seq("cell")).filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+    }
+    // silent-cap rule: candidate volume is the scale-defining number
+    System.err.println(s"[dedup] embed-cosine IVF blocking candidate pairs: ${cand.count()}")
+    cand
+  }
 
   private def embedCosine(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val sk = sketchesOf(s, dir, e, DupTables, DupBits)
-    val l = sk.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
-    val r = sk.select(col("tbl"), col("bucket"), col("vec_id").as("b"))
-    val cand = l.join(r, Seq("tbl", "bucket")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val cand = dupCandidates(s, dir)
     val va = e.select(col("vec_id").as("a"), col("iv").as("aiv"), col("nrm2").as("an"))
     val vb = e.select(col("vec_id").as("b"), col("iv").as("biv"), col("nrm2").as("bn"))
     cand.join(va, "a").join(vb, "b")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(aiv, biv, (x, y) -> x*y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot", dot(col("aiv"), col("biv")))
       .withColumn("cosRaw", col("dot") / (sqrt(col("an")) * sqrt(col("bn"))))
       .filter(col("cosRaw") >= DupThreshold)
       .withColumn("cos", graft.util.Rnd.jround(col("cosRaw"), 6))
@@ -439,48 +480,103 @@ object Similarity {
       .orderBy("a", "b")
   }
 
-  private val embedCosineSql = {
-    val numPlanes = DupTables * DupBits
-    s"""WITH iv AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS iv
-      |  FROM embeddings
-      |), flat AS (
-      |  SELECT vec_id, UNNEST(iv) AS x, UNNEST(generate_series(1, len(iv))) AS i FROM iv
-      |), nrm AS (
-      |  SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM flat GROUP BY 1
-      |), planes AS (
-      |  SELECT p.plane, d.d,
-      |    CASE WHEN CAST(('0x' || substring(md5(p.plane || ',' || d.d), 1, 2)) AS INTEGER) % 2 = 0
-      |         THEN 1 ELSE -1 END AS sgn
-      |  FROM (SELECT UNNEST(RANGE($numPlanes)) AS plane) p,
-      |       (SELECT UNNEST(RANGE(64)) AS d) d
-      |), sketch AS (
-      |  SELECT f.vec_id, pl.plane // $DupBits AS tbl,
-      |    CASE WHEN SUM(pl.sgn * f.x) > 0
-      |         THEN CAST(1 AS BIGINT) << CAST(pl.plane % $DupBits AS INTEGER)
-      |         ELSE 0 END AS bitv
-      |  FROM flat f JOIN planes pl ON f.i - 1 = pl.d
-      |  GROUP BY f.vec_id, pl.plane
-      |), buckets AS (
-      |  SELECT vec_id, tbl, CAST(SUM(bitv) AS BIGINT) AS bucket FROM sketch GROUP BY 1, 2
-      |), cand AS (
-      |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-      |  FROM buckets l JOIN buckets r ON l.tbl = r.tbl AND l.bucket = r.bucket
-      |  WHERE l.vec_id < r.vec_id
-      |), dots AS (
+  /** All-vector multi-probe IVF CTEs (seeds → assign → integer centroid
+    * sums → top-$DupProbes membership → candidate pairs `dcand`).
+    */
+  private val dupCandCtes =
+    s"""dseeds AS (SELECT vec_id AS cell FROM iv ORDER BY vec_id LIMIT $DupCells
+      |), da0 AS (
+      |  SELECT f.vec_id AS id, s.cell, SUM(f.x * sf.x) AS dot
+      |  FROM flat f, dseeds s, flat sf
+      |  WHERE sf.vec_id = s.cell AND sf.i = f.i
+      |  GROUP BY 1, 2
+      |), da0r AS (
+      |  SELECT da0.id, da0.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY da0.id ORDER BY da0.dot / SQRT(n.n2) DESC, da0.cell) AS rn
+      |  FROM da0 JOIN nrm n ON n.vec_id = da0.cell
+      |), dm0 AS (SELECT id, cell FROM da0r WHERE rn = 1
+      |), dcent AS (
+      |  SELECT dm0.cell, f.i, SUM(f.x) AS cx
+      |  FROM dm0 JOIN flat f ON f.vec_id = dm0.id
+      |  GROUP BY 1, 2
+      |), dcn AS (SELECT cell, SUM(cx * cx) AS cn2 FROM dcent GROUP BY 1
+      |), da1 AS (
+      |  SELECT f.vec_id AS id, c.cell, SUM(f.x * c.cx) AS dot
+      |  FROM flat f JOIN dcent c ON c.i = f.i
+      |  GROUP BY 1, 2
+      |), da1r AS (
+      |  SELECT da1.id, da1.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY da1.id ORDER BY da1.dot / SQRT(dcn.cn2) DESC, da1.cell) AS rn
+      |  FROM da1 JOIN dcn ON dcn.cell = da1.cell
+      |), dmemb AS (SELECT id, cell FROM da1r WHERE rn <= $DupProbes
+      |), dcand AS (
+      |  SELECT DISTINCT l.id AS a, r.id AS b
+      |  FROM dmemb l JOIN dmemb r ON l.cell = r.cell
+      |  WHERE l.id < r.id
+      |)""".stripMargin
+
+  private val embedCosineSql =
+    s"""WITH $baseCtes, $dupCandCtes, ddots AS (
       |  SELECT cd.a, cd.b, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
-      |  FROM cand cd
+      |  FROM dcand cd
       |  JOIN flat q ON q.vec_id = cd.a
       |  JOIN flat c ON c.vec_id = cd.b AND q.i = c.i
       |  GROUP BY 1, 2
       |)
       |SELECT d.a, d.b,
       |  FLOOR(d.dot / (SQRT(na.n2) * SQRT(nb.n2)) * 1e6 + 0.5) / 1e6 AS cos
-      |FROM dots d JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
+      |FROM ddots d JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
       |WHERE d.dot / (SQRT(na.n2) * SQRT(nb.n2)) >= $DupThreshold
       |ORDER BY a, b""".stripMargin
+
+  /** Measured blocking recall of the IVF-cell near-dup blocking against
+    * exact ground truth on a deterministic probe sample (vec_id % 20 ==
+    * 0 — at corpus scale the full all-pairs truth is uncomputable, so
+    * the gate samples, exactly like `sim_ann_recall` samples queries).
+    * One row: candidate volume, sampled truth/hits, recall — the
+    * recall-vs-cost tradeoff as an oracle-checked number.
+    */
+  private def blockRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cand = dupCandidates(s, dir)
+    val p = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("pid"), col("iv").as("piv"), col("nrm2").as("pn"))
+    val o = e.select(col("vec_id").as("oid"), col("iv").as("oiv"), col("nrm2").as("on2"))
+    val truth = o.crossJoin(broadcast(p))
+      .filter(col("oid") =!= col("pid"))
+      .withColumn("dot", dot(col("piv"), col("oiv")))
+      .filter(col("dot") / (sqrt(col("pn")) * sqrt(col("on2"))) >= DupThreshold)
+      .select(least(col("pid"), col("oid")).as("a"), greatest(col("pid"), col("oid")).as("b"))
+      .distinct()
+    val hits = truth.join(cand, Seq("a", "b"))
+    val candN = cand.agg(count(lit(1)).as("cand_pairs"))
+    val trueN = truth.agg(count(lit(1)).as("true_pairs"))
+    val hitN = hits.agg(count(lit(1)).as("hit_pairs"))
+    candN.crossJoin(trueN).crossJoin(hitN)
+      .select(lit("ivf_cell").as("method"), col("cand_pairs"), col("true_pairs"), col("hit_pairs"),
+        graft.util.Rnd.jround(col("hit_pairs") / greatest(col("true_pairs"), lit(1L)).cast("double"), 6)
+          .as("recall"))
   }
+
+  private val blockRecallSql =
+    s"""WITH $baseCtes, $dupCandCtes,
+      |probes AS (SELECT vec_id FROM iv WHERE vec_id % 20 = 0),
+      |tdots AS (
+      |  SELECT p.vec_id AS pa, f.vec_id AS pb, CAST(SUM(pf.x * f.x) AS BIGINT) AS dot
+      |  FROM probes p
+      |  JOIN flat pf ON pf.vec_id = p.vec_id
+      |  JOIN flat f ON f.i = pf.i AND f.vec_id <> p.vec_id
+      |  GROUP BY 1, 2
+      |), tpair AS (
+      |  SELECT DISTINCT LEAST(d.pa, d.pb) AS a, GREATEST(d.pa, d.pb) AS b
+      |  FROM tdots d JOIN nrm n1 ON n1.vec_id = d.pa JOIN nrm n2 ON n2.vec_id = d.pb
+      |  WHERE d.dot / (SQRT(n1.n2) * SQRT(n2.n2)) >= $DupThreshold
+      |), hits AS (SELECT t.a, t.b FROM tpair t JOIN dcand c ON c.a = t.a AND c.b = t.b)
+      |SELECT 'ivf_cell' AS method,
+      |  (SELECT COUNT(*) FROM dcand) AS cand_pairs,
+      |  (SELECT COUNT(*) FROM tpair) AS true_pairs,
+      |  (SELECT COUNT(*) FROM hits) AS hit_pairs,
+      |  FLOOR((SELECT COUNT(*) FROM hits) / CAST(GREATEST((SELECT COUNT(*) FROM tpair), 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "sim_cosine_topk" -> QueryDef.sql(cosineTopK, cosineSql),
@@ -491,5 +587,9 @@ object Similarity {
     "sim_ann_recall" -> QueryDef.sql(annRecall, recallSql,
       "recall@3 of the LSH and IVF ANN paths vs the brute-force top-3"),
     "dedup_embed_cosine" -> QueryDef.sql(embedCosine, embedCosineSql,
-      "embedding-cosine near-dup pairs via recall-oriented sign-LSH blocking"))
+      s"embedding-cosine near-dup pairs via multi-probe IVF-cell blocking " +
+        s"($DupProbes of $DupCells cells)"),
+    "dedup_block_recall" -> QueryDef.sql(blockRecall, blockRecallSql,
+      "measured blocking recall of the IVF-cell near-dup blocking vs exact " +
+        "ground truth on a deterministic probe sample"))
 }
