@@ -95,7 +95,10 @@ object IndexQ {
   private def j6(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     val (corpus, queries, bins) = prepared(s, dir)
-    IndexOps.knn(corpus, queries, bins, normed = false, k = K, probe = 10)
+    // prefix on symbols 2..3: 0/1 are the degenerate DC pair of z-normed
+    // slices (one giant group — no pruning there), same choice as j8/a8
+    IndexOps.knn(corpus, queries, bins, normed = false, k = K, probe = 10,
+      prefixStart = 2, prefixLen = PrefixLen)
       .withColumn("d2", jround(col("d2"), 6))
       .orderBy("qid", "rank")
   }

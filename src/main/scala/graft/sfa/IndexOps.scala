@@ -74,13 +74,45 @@ object IndexOps {
     d
   }
 
-  /** Exact k-NN by LB filter-and-refine.
+  /** Pruning telemetry of one [[knn]] run: how much of the corpus the LB
+    * pass actually touched (the trie's subtree-skip, measured).
+    */
+  final case class KnnStats(
+      corpusRows: Long,
+      queryRows: Long,
+      probeVerified: Long,
+      lbScanned: Long) {
+    /** Fraction of (corpus × query) pairs LB-evaluated after box pruning. */
+    def scanFraction: Double =
+      if (corpusRows == 0 || queryRows == 0) 0.0
+      else lbScanned.toDouble / (corpusRows.toDouble * queryRows.toDouble)
+  }
+
+  /** Exact k-NN by box-pruned LB filter-and-refine — the distributed
+    * analogue of the trie's best-first descent (SFATrie.java:651-718):
+    * the trie prunes a subtree when the query's distance to the node's
+    * Fourier min/max bounding box exceeds τ; here a *prefix partition*
+    * plays the node, its box is the per-coefficient min/max of member
+    * approximations (what `a8_minmax_boxes` computes and
+    * `ModelIO.saveIndex` lays down as parquet column stats), and a
+    * pruned prefix is never LB-scanned at all.
+    *
+    * Phases: (0) per-prefix boxes (index-build side at rest);
+    * (1) probe = the members of the lowest-box-LB prefixes (cumulative
+    * size ≥ `probe`), verified exactly → τ = per-query kth-best;
+    * (2) prefixes with boxLB > τ dropped, survivors LB-scanned, rows
+    * with LB ≤ τ verified. Exact because box-LB ≤ member word-LB ≤ true
+    * distance (box ⊇ member approx; Parseval), so no τ-qualifying row
+    * can sit in a pruned prefix.
     *
     * @param corpus  (id, data ARRAY<DOUBLE>, word ARRAY<INT>, approx ARRAY<DOUBLE>)
     * @param queries (qid, qdata, qword, qapprox)
     * @param bins    fitted SFA bin edges (broadcast with the closure)
     * @param k       neighbors per query
     * @param probe   phase-1 verification budget per query (≥ k)
+    * @param prefixStart first word symbol of the grouping prefix (use 2
+    *                    to skip a degenerate DC pair, matching j8/a8)
+    * @param prefixLen   symbols in the grouping prefix
     * @return (qid, rank, id, dist2) — identical to a brute scan
     */
   def knn(
@@ -89,20 +121,55 @@ object IndexOps {
       bins: Array[Array[Double]],
       normed: Boolean,
       k: Int,
-      probe: Int)(implicit spark: SparkSession): DataFrame = {
+      probe: Int,
+      prefixStart: Int = 0,
+      prefixLen: Int = 2)(implicit spark: SparkSession): DataFrame =
+    knnWithStats(corpus, queries, bins, normed, k, probe, prefixStart, prefixLen)._1
+
+  /** [[knn]] plus its pruning telemetry (computed eagerly; the stats
+    * actions only touch the tiny box/prefix tables).
+    */
+  def knnWithStats(
+      corpus: DataFrame,
+      queries: DataFrame,
+      bins: Array[Array[Double]],
+      normed: Boolean,
+      k: Int,
+      probe: Int,
+      prefixStart: Int = 0,
+      prefixLen: Int = 2)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
     val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
       lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed)
     }
-    // LB pass reads only the narrow (id, word) columns of the corpus —
-    // at rest this is the columnar scan the prefix-partitioned layout
-    // prunes; series payloads are joined back by id at verify time only.
-    val narrow = corpus.select(col("id"), col("word"))
+    // the same DC/symmetric-coefficient weighting lbDistance applies;
+    // per coefficient the distance is to the [mn, mx] interval, which
+    // contains every member's approx value — box-LB ≤ member approx
+    // distance ≤ true distance
+    val boxLbUdf = udf { (mns: Seq[Double], mxs: Seq[Double], qa: Seq[Double]) =>
+      def dist(i: Int): Double =
+        if (qa(i) < mns(i)) mns(i) - qa(i)
+        else if (qa(i) > mxs(i)) qa(i) - mxs(i)
+        else 0.0
+      val n = math.min(qa.length, mns.length)
+      var d = 0.0
+      var i = 0
+      if (!normed && n > 0) {
+        val v = dist(0)
+        d = v * v
+        i = 2
+      }
+      while (i < n) {
+        val v = dist(i)
+        d += 2.0 * v * v
+        i += 1
+      }
+      d
+    }
+    val prefixCol = expr(s"slice(word, ${prefixStart + 1}, $prefixLen)")
+    val narrow = corpus.select(col("id"), col("word"), prefixCol.as("prefix"))
     val payload = corpus.select(col("id"), col("data"))
     val qNarrow = queries.select(col("qid"), col("qword"), col("qapprox"))
     val qPayload = queries.select(col("qid"), col("qdata"))
-    val pairs = narrow.crossJoin(broadcast(qNarrow))
-      .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
-      .select(col("qid"), col("id"), col("lb"))
 
     def verify(cand: DataFrame): DataFrame = cand
       .join(payload, Seq("id"))
@@ -110,21 +177,70 @@ object IndexOps {
       .withColumn("d2", ed2Udf(col("data"), col("qdata")))
       .drop("data", "qdata")
 
-    // phase 1: verify the `probe` best-LB candidates → τ = kth best dist
-    val byLb = Window.partitionBy(col("qid")).orderBy(col("lb").asc, col("id").asc)
+    // phase 0: per-prefix Fourier bounding boxes + member counts —
+    // one narrow scan at build time (persisted layouts carry these as
+    // parquet column stats; see ModelIO.saveIndex / a8_minmax_boxes)
+    val boxes = corpus
+      .select(prefixCol.as("prefix"), posexplode(col("approx")).as(Seq("coef", "v")))
+      .groupBy("prefix", "coef")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("cnt"))
+      .groupBy("prefix")
+      .agg(max("cnt").as("cnt"),
+        expr("transform(sort_array(collect_list(struct(coef, mn))), p -> p.mn)").as("mns"),
+        expr("transform(sort_array(collect_list(struct(coef, mx))), p -> p.mx)").as("mxs"))
+      .cache()
+
+    // box LB per (query × prefix) — a tiny table (prefix count × Q)
+    val qb = boxes.crossJoin(broadcast(qNarrow))
+      .withColumn("boxlb", boxLbUdf(col("mns"), col("mxs"), col("qapprox")))
+      .select(col("qid"), col("prefix"), col("cnt"), col("boxlb"))
+      .cache()
+    qb.count()
+
+    // phase 1: probe the lowest-box-LB prefixes until their cumulative
+    // member count reaches `probe`; verify those members exactly
+    val byBox = Window.partitionBy(col("qid"))
+      .orderBy(col("boxlb").asc, col("prefix").asc)
+    val cum = qb.withColumn("cum",
+      sum(col("cnt")).over(byBox.rowsBetween(Window.unboundedPreceding, 0)))
+    val probePrefixes = cum.filter(col("cum") - col("cnt") < probe)
+      .select(col("qid"), col("prefix"), col("cnt"))
+    val probed0 = narrow.join(broadcast(probePrefixes.select("qid", "prefix")), Seq("prefix"))
+      .select(col("qid"), col("id"))
     val byD = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
-    val probed = verify(pairs.withColumn("lbrn", row_number().over(byLb))
-      .filter(col("lbrn") <= probe).drop("lbrn"))
-    val tau = probed.withColumn("drn", row_number().over(byD))
+    val tau = verify(probed0)
+      .withColumn("drn", row_number().over(byD))
       .filter(col("drn") === k)
       .select(col("qid"), col("d2").as("tau"))
 
-    // phase 2: verify every record whose LB ≤ τ (exactness: LB ≤ true d2)
-    val fin = verify(pairs.join(broadcast(tau), Seq("qid"))
-      .filter(col("lb") <= col("tau")))
-    fin.withColumn("rank", row_number().over(byD).cast("long"))
+    // phase 2: drop prefixes whose box LB exceeds τ; LB-scan only the
+    // survivors; verify rows with LB ≤ τ (exactness: boxLB ≤ LB ≤ d2)
+    val surv = qb.join(broadcast(tau), Seq("qid"))
+      .filter(col("boxlb") <= col("tau"))
+      .select(col("qid"), col("prefix"), col("cnt"))
+    val phase2 = narrow.join(broadcast(surv.select("qid", "prefix")), Seq("prefix"))
+      .join(broadcast(qNarrow), Seq("qid"))
+      .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
+      .join(broadcast(tau), Seq("qid"))
+      .filter(col("lb") <= col("tau"))
+      .select(col("qid"), col("id"))
+    // a query whose probe bucket held < k rows yields no τ row and no
+    // phase-2 rows; its probed candidates alone rank (complete corpus)
+    val fin = verify(phase2.union(probed0).distinct())
+      .withColumn("rank", row_number().over(byD).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("d2"))
+
+    // pruning telemetry from the tiny prefix tables
+    val corpusRows = boxes.agg(sum("cnt")).head.getLong(0)
+    val queryRows = qNarrow.count()
+    val probeVerified = probePrefixes.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    val lbScanned = surv.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    val stats = KnnStats(corpusRows, queryRows, probeVerified, lbScanned)
+    System.err.println(
+      f"[knn] box pruning: LB-scanned ${stats.lbScanned} of ${corpusRows * queryRows} " +
+        f"(corpus×query) pairs = ${stats.scanFraction * 100}%.1f%%")
+    (fin, stats)
   }
 
   /** Brute-force scan k-NN — the exactness oracle (J9,

@@ -86,8 +86,12 @@ class BulkLoadSpec extends SparkSpec {
       (i.toLong, raw.map(_ * f).toSeq, model.quantize(qa).toSeq, qa.toSeq)
     }.toDF("qid", "qdata", "qword", "qapprox")
 
-    val got = IndexOps.knn(corpus, queries, model.bins, model.normMean, K, Probe)(spark)
-      .orderBy("qid", "rank").collect()
+    val (gotDf, stats) = IndexOps.knnWithStats(
+      corpus, queries, model.bins, model.normMean, K, Probe)(spark)
+    val got = gotDf.orderBy("qid", "rank").collect()
+    // the box prune must actually prune: the trie's subtree-skip analogue
+    assert(stats.scanFraction < 0.30,
+      f"box pruning LB-scanned ${stats.scanFraction * 100}%.1f%% of corpus×query (≥30%%)")
     val want = IndexOps.knnScan(
         corpus.select("id", "data"), queries.select("qid", "qdata"), K)
       .orderBy("qid", "rank").collect()
