@@ -216,11 +216,13 @@ object ClassifierQ {
   private val Nu = 0.05
 
   /** One-class acceptance radius per class over the 32-point z-normed
-    * slices (TEASER's master, TEASERClassifier.java:196-232): the
-    * reference trains a one-class RBF SVM; the distributed substitute
-    * (documented in [[graft.sfa.Teaser]]) is the (1−2ν) quantile of
-    * within-class 1-NN distances. Train = even user_ids, class =
-    * user_id % 3.
+    * slices (the F13 novelty-acceptance operator family,
+    * TEASERClassifier.java:196-232): a fully SQL-expressible novelty
+    * rule — accept within the (1−2ν) quantile of within-class 1-NN
+    * distances. (TEASER itself now embeds the reference's actual
+    * one-class RBF SVM, [[graft.sfa.OneClassSVM]]; this query keeps the
+    * distance-quantile variant as the oracle-checkable distributed
+    * form.) Train = even user_ids, class = user_id % 3.
     */
   private def f13(s: SparkSession, dir: String): DataFrame = {
     val ed2 = udf { (a: Seq[Double], b: Seq[Double]) =>

@@ -236,21 +236,38 @@ object SourceQ {
       .toDF("coef", "pos", "edge").orderBy("coef", "pos")
   }
 
-  /** S9: the session's grid-fitted BOSS ensemble (shared with m1 — the
-    * roundtrip under test is the ModelIO sink/source, not the fit) →
-    * columnar classifier artifact → reload → emit the model table. The
-    * full multi-window roundtrip is exercised by ModelIOSpec.
+  /** S9: classifier sink/source round-trips (the roundtrip under test is
+    * the ModelIO sink/source, not the fit): the session's grid-fitted
+    * BOSS ensemble (shared with m1) AND a reduced-config WEASEL (fitted
+    * on the bundled CBF fixture) → columnar artifacts → reload → emit
+    * each loaded model's table. Predictions-equal gates for
+    * BOSS/WEASEL/MUSE/TEASER live in ModelIOSpec.
     */
   private def s9(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    val model = graft.queries.ClassifierQ.bossGridFit(s, dir)
-    val path = s"${java.lang.System.getProperty("java.io.tmpdir")}/graft_s9_clf"
-    ModelIO.saveBossEnsemble(model, path)
-    val loaded = ModelIO.loadBossEnsemble(path)
     import s.implicits._
-    loaded.models.map(m => (m.norm, m.windowLength.toLong, m.features.toLong, m.trainCorrect))
-      .toDF("norm", "w", "features", "train_correct")
-      .orderBy("w")
+    val tmpDir = java.lang.System.getProperty("java.io.tmpdir")
+    val model = graft.queries.ClassifierQ.bossGridFit(s, dir)
+    ModelIO.saveBossEnsemble(model, s"$tmpDir/graft_s9_clf")
+    val boss = ModelIO.loadBossEnsemble(s"$tmpDir/graft_s9_clf")
+    val bossRows = boss.models
+      .map(m => ("boss", m.norm, m.windowLength.toLong, m.features.toLong, m.trainCorrect))
+
+    val weasel = graft.util.Pipelines.cachedObj(s, "weasel.s9fit") {
+      val train = graft.ts.Loaders.loadUcr(s,
+        "/root/reference/src/main/resources/datasets/univariate/CBF/CBF_TRAIN")
+      new graft.sfa.WeaselClassifier(graft.sfa.Weasel.Config(
+        minF = 4, maxF = 4, folds = 2, normalization = Seq(true),
+        minWindowLength = 8, maxWindowLength = 16)).fit(train)
+    }
+    ModelIO.saveWeasel(weasel, s"$tmpDir/graft_s9_weasel")
+    val w = ModelIO.loadWeasel(s"$tmpDir/graft_s9_weasel")
+    val weaselRows = Seq(
+      ("weasel", w.norm, w.windows.size.toLong, w.features.toLong, w.trainCorrect))
+
+    (bossRows ++ weaselRows)
+      .toDF("algo", "norm", "w", "features", "train_correct")
+      .orderBy("algo", "w")
   }
 
   /** S10: the k-NN corpus persisted partitioned by word prefix (the

@@ -75,6 +75,138 @@ object ModelIO {
     Boss.EnsembleModel(models, bags, trainSize)
   }
 
+  // ---- S9: WEASEL ----------------------------------------------------
+
+  /** WEASEL classifier persistence (Classifier.java:748-766 analogue):
+    * quantizer meta + bins + selected-feature dictionary as parquet,
+    * the LR stage via MLlib's own writer. Round-trip gate
+    * (predictions-equal, AbstractClassifierTest.java:39-61) in
+    * ModelIOSpec.
+    */
+  def saveWeasel(model: Weasel.WeaselModel, path: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    model.quantizers.toSeq.map { case (w, q) =>
+      (w, q.windowSize, q.normMean, q.maxWordLength, q.bestValues.toSeq)
+    }.toDF("w", "windowSize", "normMean", "maxWordLength", "bestValues")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizers")
+    model.quantizers.toSeq.flatMap { case (w, q) =>
+      q.bins.toSeq.map { case (coef, edges) => (w, coef, edges.toSeq) }
+    }.toDF("w", "coef", "edges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bins")
+    model.selected.write.mode("overwrite").parquet(s"$path/selected")
+    model.lr.write.overwrite().save(s"$path/lr")
+    Seq((model.norm, model.features, model.trainCorrect, model.windows, model.dictSize))
+      .toDF("norm", "features", "trainCorrect", "windows", "dictSize")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadWeasel(path: String)(implicit spark: SparkSession): Weasel.WeaselModel = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    val bins = spark.read.parquet(s"$path/bins").collect()
+      .groupBy(_.getInt(0))
+      .map { case (w, rows) =>
+        w -> rows.map(r => r.getInt(1) -> r.getSeq[Double](2).toArray).toMap
+      }
+    val quantizers = spark.read.parquet(s"$path/quantizers").collect().map { r =>
+      r.getInt(0) -> Weasel.SupervisedModel(
+        r.getInt(1), r.getBoolean(2),
+        r.getSeq[Int](4).toArray, r.getInt(3),
+        bins.getOrElse(r.getInt(0), Map.empty))
+    }.toMap
+    Weasel.WeaselModel(
+      meta.getBoolean(0), meta.getInt(1), meta.getLong(2), quantizers,
+      meta.getSeq[Int](3), spark.read.parquet(s"$path/selected"), meta.getInt(4),
+      org.apache.spark.ml.classification.LogisticRegressionModel.load(s"$path/lr"))
+  }
+
+  // ---- S9: MUSE ------------------------------------------------------
+
+  private def histName(h: HistogramType): String = h match {
+    case HistogramType.EquiDepth => "EQUI_DEPTH"
+    case HistogramType.EquiWidth => "EQUI_WIDTH"
+    case HistogramType.InformationGain => "INFORMATION_GAIN"
+  }
+
+  private def histOf(n: String): HistogramType = n match {
+    case "EQUI_DEPTH" => HistogramType.EquiDepth
+    case "EQUI_WIDTH" => HistogramType.EquiWidth
+    case "INFORMATION_GAIN" => HistogramType.InformationGain
+  }
+
+  def saveMuse(model: Muse.MuseModel, path: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    model.quantizers.toSeq.map { case ((w, dim), m) =>
+      (w, dim, m.windowSize, m.wordLength, m.alphabetSize, m.normMean,
+        m.lowerBounding, m.applyZNorm)
+    }.toDF("w", "dim", "windowSize", "wordLength", "alphabetSize",
+      "normMean", "lowerBounding", "applyZNorm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizers")
+    model.quantizers.toSeq.flatMap { case ((w, dim), m) =>
+      for {
+        (row, coef) <- m.bins.zipWithIndex.toSeq
+        (edge, pos) <- row.zipWithIndex
+        if edge != Double.MaxValue
+      } yield (w, dim, coef, pos, edge)
+    }.toDF("w", "dim", "coef", "pos", "edge")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bins")
+    model.selected.write.mode("overwrite").parquet(s"$path/selected")
+    model.lr.write.overwrite().save(s"$path/lr")
+    Seq((histName(model.hist), model.norm, model.features, model.trainCorrect,
+      model.windows, model.dictSize))
+      .toDF("hist", "norm", "features", "trainCorrect", "windows", "dictSize")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadMuse(path: String)(implicit spark: SparkSession): Muse.MuseModel = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    val qMeta = spark.read.parquet(s"$path/quantizers").collect()
+    val binRows = spark.read.parquet(s"$path/bins").collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+    val quantizers = qMeta.map { r =>
+      val key = (r.getInt(0), r.getInt(1))
+      val wordLength = r.getInt(3)
+      val alpha = r.getInt(4)
+      val bins = Array.fill(wordLength)(Array.fill(alpha - 1)(Double.MaxValue))
+      binRows.getOrElse(key, Array.empty).foreach { b =>
+        bins(b.getInt(2))(b.getInt(3)) = b.getDouble(4)
+      }
+      key -> SFAModel(r.getInt(2), wordLength, alpha, r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7), bins)
+    }.toMap
+    Muse.MuseModel(
+      histOf(meta.getString(0)), meta.getBoolean(1), meta.getInt(2), meta.getLong(3),
+      quantizers, meta.getSeq[Int](4), spark.read.parquet(s"$path/selected"),
+      meta.getInt(5),
+      org.apache.spark.ml.classification.LogisticRegressionModel.load(s"$path/lr"))
+  }
+
+  // ---- S9: TEASER ----------------------------------------------------
+
+  def saveTeaser(model: Teaser.TeaserModel, path: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    model.slaves.foreach { case (s, slave) => saveWeasel(slave, s"$path/slaves/s$s") }
+    model.masters.toSeq.map { case (s, m) =>
+      (s, m.svs.map(_.toSeq).toSeq, m.coefs.toSeq, m.rho, m.gamma)
+    }.toDF("s", "svs", "coefs", "rho", "gamma")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/masters")
+    Seq((model.offsets.toSeq, model.threshold))
+      .toDF("offsets", "threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadTeaser(path: String)(implicit spark: SparkSession): Teaser.TeaserModel = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    val masters = spark.read.parquet(s"$path/masters").collect().map { r =>
+      r.getInt(0) -> OneClassSVM.Model(
+        r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toArray,
+        r.getSeq[Double](2).toArray, r.getDouble(3), r.getDouble(4))
+    }.toMap
+    val slaves = masters.keys.map { s =>
+      s -> loadWeasel(s"$path/slaves/s$s")
+    }.toMap
+    Teaser.TeaserModel(meta.getSeq[Int](0).toArray, slaves, masters, meta.getInt(1))
+  }
+
   // ---- S10: k-NN index layout ----------------------------------------
 
   /** Persist an index corpus partitioned by the word's first `prefixLen`

@@ -1,6 +1,6 @@
 package graft.sfa
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** TEASER — Two-tier Early and Accurate Series classifiER
@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   * the threshold (2..5) maximizes the harmonic mean of train accuracy
   * and earliness (TEASERClassifier.java:163-189).
   *
-  * Master substitute (SURVEY §7.3): the reference's libsvm one-class
-  * RBF SVM (ν=0.05, γ grid) has no offline Spark equivalent. The
-  * master input is tiny (≤ trainN vectors of K+1 dims), so we use a
-  * deterministic novelty rule with the same contract: accept a feature
-  * vector iff its nearest-neighbor distance to the training vectors is
-  * within the 95th percentile (≙ ν=0.05 outlier budget) of the training
-  * vectors' own leave-one-out nearest-neighbor distances. Golden
-  * accuracy/earliness tolerances (±0.05) absorb the substitution.
+  * Master = a one-class RBF SVM with the reference's own configuration
+  * (ν=0.05, γ grid {100…1} by 10-fold CV — [[OneClassSVM]] replicates
+  * libsvm's solver and the reference's CV permutation). Its training
+  * input is model-sized by design (correct-sample probability vectors,
+  * ≤ trainN × (#classes+1) doubles — the same driver-side libsvm
+  * problem the reference builds); ACCEPTANCE is applied distributedly
+  * via a broadcast model inside a UDF.
+  *
+  * The cascade itself is a distributed fold: per snapshot the slave's
+  * (id, pred, accepted) outcomes join the per-sample streak state —
+  * a DataFrame, never a driver map — so the test side scales out.
+  * Driver-side state is O(S) DataFrame handles plus the models.
   *
   * Feature vector = class probabilities :+ (max − closest runner-up),
   * the reference's generateFeatures (TEASERClassifier.java:405-425).
@@ -36,27 +40,10 @@ object Teaser {
       minLen: Int = 3,
       maxWindowLength: Int = 250)
 
-  /** One-class novelty master: training vectors + acceptance radius. */
-  final case class Master(vectors: Array[Array[Double]], tau: Double) {
-    def accepts(x: Array[Double]): Boolean = {
-      if (vectors.isEmpty) false
-      else {
-        var best = Double.MaxValue
-        vectors.foreach { v =>
-          var d = 0.0
-          var i = 0
-          while (i < v.length && i < x.length) { val t = v(i) - x(i); d += t * t; i += 1 }
-          if (d < best) best = d
-        }
-        math.sqrt(best) <= tau
-      }
-    }
-  }
-
   final case class TeaserModel(
       offsets: Array[Int], // index s → prefix length (0 = unused slot)
       slaves: Map[Int, Weasel.WeaselModel],
-      masters: Map[Int, Master],
+      masters: Map[Int, OneClassSVM.Model],
       threshold: Int)
 
   /** Per-sample cascade outcome. */
@@ -69,32 +56,6 @@ object Teaser {
     var minDiff = 1.0
     probs.indices.foreach { i => if (i != maxId) minDiff = math.min(minDiff, mx - probs(i)) }
     probs :+ minDiff
-  }
-
-  private[sfa] def fitMaster(correctFeatures: Array[Array[Double]], nu: Double): Master = {
-    if (correctFeatures.length < 2) Master(correctFeatures, Double.MaxValue)
-    else {
-      val nnDists = correctFeatures.indices.map { i =>
-        var best = Double.MaxValue
-        correctFeatures.indices.foreach { j =>
-          if (j != i) {
-            var d = 0.0
-            var k = 0
-            val a = correctFeatures(i); val b = correctFeatures(j)
-            while (k < a.length) { val t = a(k) - b(k); d += t * t; k += 1 }
-            if (d < best) best = d
-          }
-        }
-        math.sqrt(best)
-      }.sorted
-      // acceptance radius at the (1−2ν) quantile: an NN-ball union is a
-      // looser boundary than the reference's one-class RBF SVM, so the
-      // quantile is tightened beyond the ν outlier budget to compensate
-      // (eager acceptance trades accuracy for earliness)
-      val q = math.max(0.0, 1.0 - 2 * nu)
-      val idx = math.min(nnDists.length - 1, math.ceil(q * nnDists.length).toInt)
-      Master(correctFeatures, math.max(nnDists(idx), 1e-9))
-    }
   }
 
   /** Truncate every series to `offset` points and re-z-norm the prefix
@@ -114,54 +75,48 @@ class TeaserClassifier(
     slaveCfg: Weasel.Config = Weasel.Config(maxWindowLength = 250)) {
   import Teaser._
 
-  /** Per-snapshot slave probabilities for a data set, collected per id:
-    * Map(id → (trueLabel, pred, features)).
-    */
-  private def snapshotProba(
-      slave: Weasel.WeaselModel,
-      weasel: WeaselClassifier,
-      data: DataFrame,
-      offset: Int)(implicit spark: SparkSession): Map[Long, (Double, Double, Array[Double])] = {
-    weasel.predictProba(slave, truncate(data, offset))(spark).collect().map { r =>
-      r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
-        features(r.getSeq[Double](3).toArray))
-    }.toMap
+  /** (id, p, accepted) from slave probabilities + broadcast master. */
+  private def outcomeOf(
+      proba: DataFrame,
+      master: OneClassSVM.Model)(implicit spark: SparkSession): DataFrame = {
+    val bc = spark.sparkContext.broadcast(master)
+    val acceptUdf = udf { (probs: Seq[Double]) =>
+      bc.value.accepts(features(probs.toArray))
+    }
+    proba.select(col("id"), col("pred").as("p"), acceptUdf(col("probs")).as("accepted"))
   }
 
-  /** Walk the cascade over precomputed per-snapshot outcomes. */
-  private def cascade(
-      ids: Seq[(Long, Double, Int)], // (id, label, seriesLen)
-      offsets: Array[Int],
-      outcomes: Map[Int, Map[Long, (Double, Double, Array[Double])]],
-      masters: Map[Int, Master],
-      threshold: Int): Seq[Early] = {
-    ids.map { case (id, label, len) =>
-      var pred = Double.NaN
-      var predOffset = 0
-      var streakLabel = Double.NaN
-      var streak = 0
-      var s = 2
-      var done = false
-      while (s < offsets.length && !done) {
-        outcomes.get(s).flatMap(_.get(id)).foreach { case (_, p, feats) =>
-          val forced = s >= cfg.s || offsets(s) >= len
-          val acceptedByMaster = masters.get(s).exists(_.accepts(feats))
-          if (forced || acceptedByMaster) {
-            if (p == streakLabel) streak += 1
-            else { streakLabel = p; streak = 1 }
-            if (streak >= threshold || forced) {
-              pred = p
-              predOffset = offsets(s)
-              done = true
-            }
-          }
-        }
-        s += 1
-      }
-      val earliness = math.min(1.0, predOffset.toDouble / len)
-      Early(id, label, pred, predOffset, earliness)
-    }
+  /** One distributed cascade step: join a snapshot's outcomes into the
+    * undecided rows of `state` and update streaks/decisions. State
+    * schema: (id, t, label, len, slabel, streak, pred, off).
+    */
+  private def cascadeStep(
+      state: DataFrame,
+      out: DataFrame,
+      offset: Int,
+      sIdx: Int): DataFrame = {
+    val undec = state.filter(col("pred").isNull)
+    val dec = state.filter(col("pred").isNotNull)
+    val forced: Column = lit(sIdx >= cfg.s) || (lit(offset) >= col("len"))
+    val acc = col("p").isNotNull && (col("accepted") || forced)
+    val newLabel = when(acc, col("p")).otherwise(col("slabel"))
+    val newStreak = when(!acc, col("streak"))
+      .when(col("p") === col("slabel"), col("streak") + 1)
+      .otherwise(lit(1))
+    val decide = acc && (newStreak >= col("t") || forced)
+    val stepped = undec.join(out, Seq("id"), "left")
+      .select(col("id"), col("t"), col("label"), col("len"),
+        when(decide, lit(null).cast("double")).otherwise(newLabel).as("slabel"),
+        when(decide, lit(0)).otherwise(newStreak).as("streak"),
+        when(decide, col("p")).otherwise(lit(null).cast("double")).as("pred"),
+        when(decide, lit(offset)).otherwise(lit(0)).as("off"))
+    dec.unionByName(stepped)
   }
+
+  /** Final per-sample results from a finished state. */
+  private def finish(state: DataFrame): DataFrame =
+    state.select(col("id"), col("label"), col("pred"), col("off"),
+      least(lit(1.0), col("off").cast("double") / col("len")).as("earliness"))
 
   def fit(train: DataFrame)(implicit spark: SparkSession): TeaserModel = {
     val weasel = new WeaselClassifier(slaveCfg)
@@ -171,8 +126,8 @@ class TeaserClassifier(
     val offsets = new Array[Int](cfg.s + 1)
 
     val slaves = scala.collection.mutable.Map.empty[Int, Weasel.WeaselModel]
-    val masters = scala.collection.mutable.Map.empty[Int, Master]
-    val trainOutcomes = scala.collection.mutable.Map.empty[Int, Map[Long, (Double, Double, Array[Double])]]
+    val masters = scala.collection.mutable.Map.empty[Int, OneClassSVM.Model]
+    val outcomes = scala.collection.mutable.Map.empty[Int, DataFrame]
 
     for (s <- 2 to cfg.s) {
       offsets(s) = math.round(step * s).toInt
@@ -180,81 +135,110 @@ class TeaserClassifier(
         val truncated = truncate(train, offsets(s))
         val slave = weasel.fit(truncated)
         slaves(s) = slave
-        val out = snapshotProba(slave, weasel, train, offsets(s))
-        trainOutcomes(s) = out
-        val correctFeats = out.values.collect {
-          case (label, pred, feats) if label == pred => feats
-        }.toArray
-        masters(s) = fitMaster(correctFeats, cfg.nu)
+        val proba = weasel.predictProba(slave, truncated).cache()
+        // the ONLY collect: correct-sample features — the reference's
+        // driver-side libsvm problem (model-sized by design)
+        val correctFeats = proba.filter(col("label") === col("pred"))
+          .select(col("probs")).collect()
+          .map(r => features(r.getSeq[Double](0).toArray))
+        val master = OneClassSVM.fitGrid(correctFeats, cfg.nu)
+        masters(s) = master
+        val out = outcomeOf(proba, master).cache()
+        out.count()
+        proba.unpersist()
+        outcomes(s) = out
       }
     }
 
-    // tune the consecutive-acceptance threshold on the harmonic mean of
-    // train accuracy and earliness
-    val ids = train.select(col("id"), col("label"), size(col("data")).as("len"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    // threshold tuning: ONE distributed fold evaluating every candidate
+    // threshold at once (state rows carry t; streak logic reads it)
+    val thresholds: List[Int] = (cfg.minThreshold to cfg.maxThreshold).toList
+    var state = train
+      .select(col("id"), col("label"), size(col("data")).as("len"))
+      .withColumn("t", explode(typedlit(thresholds)))
+      .withColumn("slabel", lit(null).cast("double"))
+      .withColumn("streak", lit(0))
+      .withColumn("pred", lit(null).cast("double"))
+      .withColumn("off", lit(0))
+      .select("id", "t", "label", "len", "slabel", "streak", "pred", "off")
+      .localCheckpoint(true)
+    // localCheckpoint per step: an iterative fold's LOGICAL plan grows
+    // per iteration even under cache(); checkpointing truncates lineage
+    for (s <- 2 to cfg.s if outcomes.contains(s)) {
+      state = cascadeStep(state, outcomes(s), offsets(s), s).localCheckpoint(true)
+    }
+    val byT = state.groupBy("t").agg(
+      avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)).as("acc"),
+      avg(least(lit(1.0), col("off").cast("double") / col("len"))).as("earl"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    outcomes.values.foreach(_.unpersist())
     var bestF1 = -1.0
     var bestT = cfg.minThreshold
-    for (t <- cfg.minThreshold to cfg.maxThreshold) {
-      val res = cascade(ids, offsets, trainOutcomes.toMap, masters.toMap, t)
-      val acc = res.count(e => e.pred == e.label).toDouble / res.length
-      val earl = 1.0 - res.map(_.earliness).sum / res.length
-      val f1 = 2 * acc * earl / (acc + earl)
+    byT.foreach { case (t, acc, earl) =>
+      val e = 1.0 - earl
+      val f1 = if (acc + e == 0) 0.0 else 2 * acc * e / (acc + e)
       if (f1 > bestF1) { bestF1 = f1; bestT = t }
     }
 
     TeaserModel(offsets, slaves.toMap, masters.toMap, bestT)
   }
 
-  /** Early-classify test rows → per-sample (pred, offset, earliness).
-    * Snapshots are evaluated in order and only for still-undecided
-    * samples (the reference's early exit): most series decide on an
-    * early prefix and never pay for the late slaves.
+  /** Early-classify test rows, fully distributed: per snapshot the
+    * slave runs on the still-undecided subset (the reference's early
+    * exit) and the streak state folds forward as a DataFrame.
+    * Output: (id, label, pred, off, earliness).
     */
-  def predict(model: TeaserModel, test: DataFrame)(implicit spark: SparkSession): Seq[Early] = {
+  def predictDF(model: TeaserModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val weasel = new WeaselClassifier(slaveCfg)
-    val all = test.select(col("id"), col("label"), size(col("data")).as("len"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
-    var undecided = all.map(_._1).toSet
-    val streaks = scala.collection.mutable.Map.empty[Long, (Double, Int)]
-    val decided = scala.collection.mutable.Map.empty[Long, (Double, Int)]
-    val lenOf = all.map(t => t._1 -> t._3).toMap
-
+    var state = test
+      .select(col("id"), col("label"), size(col("data")).as("len"))
+      .withColumn("t", lit(model.threshold))
+      .withColumn("slabel", lit(null).cast("double"))
+      .withColumn("streak", lit(0))
+      .withColumn("pred", lit(null).cast("double"))
+      .withColumn("off", lit(0))
+      .select("id", "t", "label", "len", "slabel", "streak", "pred", "off")
+      .localCheckpoint(true)
+    var undecided = state.count()
     var s = 2
-    while (s < model.offsets.length && undecided.nonEmpty) {
+    while (s < model.offsets.length && undecided > 0) {
       model.slaves.get(s).foreach { slave =>
-        val subset = test.filter(col("id").isInCollection(undecided))
-        val out = snapshotProba(slave, weasel, subset, model.offsets(s))
-        out.foreach { case (id, (_, p, feats)) =>
-          if (undecided.contains(id)) {
-            val forced = s >= cfg.s || model.offsets(s) >= lenOf(id)
-            val accepted = model.masters.get(s).exists(_.accepts(feats))
-            if (forced || accepted) {
-              val (lbl, cnt) = streaks.getOrElse(id, (Double.NaN, 0))
-              val streak = if (p == lbl) cnt + 1 else 1
-              streaks(id) = (p, streak)
-              if (streak >= model.threshold || forced) {
-                decided(id) = (p, model.offsets(s))
-                undecided -= id
-              }
-            }
-          }
-        }
+        val subset = test.join(
+          state.filter(col("pred").isNull).select("id"), Seq("id"), "left_semi")
+        val out = outcomeOf(
+          weasel.predictProba(slave, truncate(subset, model.offsets(s))),
+          model.masters(s))
+        // localCheckpoint truncates the per-iteration lineage growth
+        state = cascadeStep(state, out, model.offsets(s), s).localCheckpoint(true)
+        undecided = state.filter(col("pred").isNull).count()
       }
       s += 1
     }
-    all.map { case (id, label, len) =>
-      val (pred, off) = decided.getOrElse(id, (Double.NaN, 0))
-      Early(id, label, pred, off, math.min(1.0, off.toDouble / len))
-    }
+    finish(state)
   }
 
-  /** (accuracy, average earliness) — A7 evaluation. */
+  /** Compatibility form of [[predictDF]] (collects the per-sample
+    * RESULT rows — 5 scalars each — not any intermediate state).
+    */
+  def predict(model: TeaserModel, test: DataFrame)(implicit spark: SparkSession): Seq[Early] =
+    predictDF(model, test).collect().toSeq.map { r =>
+      Early(r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        r.getInt(3), r.getDouble(4))
+    }
+
+  /** (accuracy, average earliness) — A7 evaluation, aggregated
+    * distributedly.
+    */
   def eval(train: DataFrame, test: DataFrame)(implicit spark: SparkSession): (TeaserModel, Double, Double) = {
     val model = fit(train)
-    val res = predict(model, test)
-    val acc = res.count(e => e.pred == e.label).toDouble / res.length
-    val earliness = res.map(_.earliness).sum / res.length
-    (model, acc, earliness)
+    val res = predictDF(model, test).cache()
+    val row = res.agg(
+      avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)),
+      avg(col("earliness"))).head
+    res.unpersist()
+    (model, row.getDouble(0), row.getDouble(1))
   }
 }

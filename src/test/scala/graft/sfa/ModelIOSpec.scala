@@ -63,4 +63,81 @@ class ModelIOSpec extends SparkSpec {
     val labels = rows.filter(_._2 == 0).sortBy(_._1).map(_._3)
     assert(labels(0) == labels(2) && labels(0) != labels(1))
   }
+
+  private val uniBase = "/root/reference/src/main/resources/datasets/univariate"
+  private val mtsBase = "/root/reference/src/main/resources/datasets/multivariate"
+
+  test("WEASEL classifier round-trips with identical predictions") {
+    import spark.implicits._
+    val train = Loaders.loadUcrLocal(s"$uniBase/CBF/CBF_TRAIN").toSeq.toDF()
+    val test = Loaders.loadUcrLocal(s"$uniBase/CBF/CBF_TEST")
+      .filter(_.id % 18 == 0).toSeq.toDF()
+    val clf = new WeaselClassifier(Weasel.Config(
+      minF = 6, maxF = 6, folds = 3, normalization = Seq(true)))
+    val model = clf.fit(train)
+    val path = tmp("weasel-model")
+    ModelIO.saveWeasel(model, path)
+    val loaded = ModelIO.loadWeasel(path)
+    assert(loaded.norm == model.norm && loaded.features == model.features)
+    assert(loaded.windows == model.windows && loaded.dictSize == model.dictSize)
+    assert(loaded.quantizers.keySet == model.quantizers.keySet)
+    val p0 = clf.predict(model, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val p1 = clf.predict(loaded, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(p0 == p1, "loaded WEASEL predicts differently")
+    assert(p0.nonEmpty)
+  }
+
+  test("MUSE classifier round-trips with identical predictions") {
+    val train0 = Loaders.loadMultivariate(spark, s"$mtsBase/PenDigits/PenDigits_TRAIN3",
+      applyZNorm = false)
+    val test0 = Loaders.loadMultivariate(spark, s"$mtsBase/PenDigits/PenDigits_TEST3",
+      applyZNorm = false)
+    val test = test0.filter(col("id") <= 300)
+    val clf = new MuseClassifier(Muse.Config(
+      minF = 2, maxF = 2, bigrams = false, folds = 3,
+      histTypes = Seq(HistogramType.EquiDepth), normalization = Seq(false)))
+    val model = clf.fit(train0)
+    val path = tmp("muse-model")
+    ModelIO.saveMuse(model, path)
+    val loaded = ModelIO.loadMuse(path)
+    assert(loaded.hist == model.hist && loaded.norm == model.norm)
+    assert(loaded.windows == model.windows && loaded.dictSize == model.dictSize)
+    assert(loaded.quantizers.keySet == model.quantizers.keySet)
+    val p0 = clf.predict(model, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val p1 = clf.predict(loaded, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(p0 == p1, "loaded MUSE predicts differently")
+    assert(p0.nonEmpty)
+  }
+
+  test("TEASER classifier round-trips with identical early predictions") {
+    import spark.implicits._
+    val train = Loaders.loadUcrLocal(s"$uniBase/CBF/CBF_TRAIN").toSeq.toDF()
+    val test = Loaders.loadUcrLocal(s"$uniBase/CBF/CBF_TEST")
+      .filter(_.id % 18 == 0).toSeq.toDF()
+    val clf = new TeaserClassifier(
+      Teaser.Config(s = 6),
+      Weasel.Config(minF = 6, maxF = 6, folds = 3, normalization = Seq(true)))
+    val model = clf.fit(train)
+    val path = tmp("teaser-model")
+    ModelIO.saveTeaser(model, path)
+    val loaded = ModelIO.loadTeaser(path)
+    assert(loaded.threshold == model.threshold)
+    assert(loaded.offsets.toSeq == model.offsets.toSeq)
+    assert(loaded.slaves.keySet == model.slaves.keySet)
+    assert(loaded.masters.keySet == model.masters.keySet)
+    loaded.masters.foreach { case (k, m) =>
+      val o = model.masters(k)
+      assert(m.rho == o.rho && m.gamma == o.gamma && m.coefs.toSeq == o.coefs.toSeq)
+    }
+    val p0 = clf.predictDF(model, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), if (r.isNullAt(2)) 0.0 else r.getDouble(2), r.getInt(3))).toSeq
+    val p1 = clf.predictDF(loaded, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), if (r.isNullAt(2)) 0.0 else r.getDouble(2), r.getInt(3))).toSeq
+    assert(p0 == p1, "loaded TEASER predicts differently")
+    assert(p0.nonEmpty)
+  }
 }
