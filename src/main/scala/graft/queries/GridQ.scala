@@ -341,6 +341,42 @@ object GridQ {
       |  FLOOR(CAST(correct AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS acc
       |FROM (${M5Snaps.map(m5Branch).mkString(" UNION ALL ")}) g ORDER BY snap""".stripMargin
 
+  // ---- MTEASER: multivariate early-classification cascade -------------
+
+  /** The real MTEASER (MUSE slave + one-class SVM masters +
+    * distributed streak fold, MTEASERClassifier.java) on the bundled
+    * PenDigits MTS fixture with a reduced slave grid; output = the
+    * decision histogram of the early classifier (offset at which each
+    * test sample was decided, with per-offset accuracy). Rows-only by
+    * design (an iterative classifier fit is not SQL-expressible);
+    * semantics gated by MteaserSpec.
+    */
+  private def mteaser(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val base = "/root/reference/src/main/resources/datasets/multivariate"
+    val res = graft.util.Pipelines.cachedDF(s, "mteaser.pendigits") {
+      val train0 = graft.ts.Loaders.loadMultivariate(s, s"$base/PenDigits/PenDigits_TRAIN3",
+        applyZNorm = false)
+      val test0 = graft.ts.Loaders.loadMultivariate(s, s"$base/PenDigits/PenDigits_TEST3",
+        applyZNorm = false)
+      // raw 2-dim channels (no derivatives) and 3 snapshots: the cascade
+      // mechanics under test, the full driver config is MteaserSpec's
+      val train = train0.filter(col("id") <= 120)
+      val test = test0.filter(col("id") <= 80)
+      val clf = new graft.sfa.MteaserClassifier(
+        graft.sfa.Mteaser.Config(s = 4),
+        graft.sfa.Muse.Config(minF = 2, maxF = 2, folds = 2, bigrams = false,
+          histTypes = Seq(graft.sfa.HistogramType.EquiDepth),
+          normalization = Seq(false)))
+      val model = clf.fit(train)
+      clf.predictDF(model, test)
+    }
+    res.groupBy(col("off").cast("long").as("off"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("correct"))
+      .orderBy("off")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "m2_window_grid" -> QueryDef.sql(m2, m2Sql,
       "BOSS VS window grid + O3 ranked model sort"),
@@ -349,5 +385,7 @@ object GridQ {
     "m4_muse_grid" -> QueryDef.sql(m4, m4Sql,
       "MUSE histogram-type grid: EQUI_DEPTH vs EQUI_WIDTH vocabularies"),
     "m5_teaser_cascade" -> QueryDef.sql(m5, m5Sql,
-      "TEASER snapshot cascade: per-snapshot slave accuracy curve"))
+      "TEASER snapshot cascade: per-snapshot slave accuracy curve"),
+    "mteaser_cascade" -> QueryDef.rowsOnly(mteaser,
+      "MTEASER (MUSE slave) early-decision histogram on PenDigits; gated by MteaserSpec"))
 }

@@ -449,9 +449,9 @@ object SfaQ {
   // ---- F4: information-gain binning (rows-only) -----------------------
 
   /** Info-gain bin edges per coefficient (SFA.java:455-557): recursive
-    * best-entropy split on the (value, label) orderline — the sequential
-    * recursion has no SQL form; determinism and reference semantics are
-    * asserted by SFASpec. Rows-only.
+    * best-entropy split on the (value, label) orderline. The alphabet-4
+    * recursion is exactly two levels deep, so the DuckDB oracle unrolls
+    * it ([[f4Sql]]); reference semantics also asserted by SFASpec.
     */
   private def f4(s: SparkSession, dir: String): DataFrame = {
     val edgesUdf = udf { (pairs: Seq[org.apache.spark.sql.Row]) =>
@@ -468,6 +468,124 @@ object SfaQ {
       .select(col("coef"), col("pe._1").cast("long").as("pos"), round(col("pe._2"), 6).as("edge"))
       .orderBy("coef", "pos")
   }
+
+  /** Entropy term −Σ p·log₂p replicated with the reference's exact
+    * guards (SFA.java entropy(): a class term joins only when
+    * count > 0 AND its total > 0; count > 0 with total = 0 yields +∞,
+    * matching c/0.0 = ∞ on the JVM).
+    */
+  private def entSql(c0: String, c1: String, c2: String, t: String): String = {
+    def term(c: String) =
+      s"""(CASE WHEN ($c) > 0 AND ($t) > 0
+         |  THEN (CAST($c AS DOUBLE)/($t)) * LN(CAST($c AS DOUBLE)/($t)) / LN(2)
+         |  WHEN ($c) > 0 AND ($t) = 0 THEN CAST('infinity' AS DOUBLE)
+         |  ELSE 0 END)""".stripMargin
+    s"(-(${term(c0)} + ${term(c1)} + ${term(c2)}))"
+  }
+
+  /** Best info-gain split of each segment in `seg` (coef, s, e), with
+    * SFA.java:495-536's exact semantics: scan positions s+1..e−2 where
+    * the label changes; in-split total = ABSOLUTE index p+1 (the
+    * reference's scan-index quirk, SFA.java:528); gain rounded to 3
+    * decimals half-up (NaN → 0, matching Math.round(NaN) = 0); best =
+    * max gain ≥ −1 with later positions winning ties (`>=` update).
+    */
+  private def bestSplitCtes(seg: String, sfx: String): String =
+    s""", cand$sfx AS (
+      |  SELECT g.coef, g.s, g.e, r.idx AS p,
+      |    (re.r0 - COALESCE(rs.r0, 0)) AS s0, (re.r1 - COALESCE(rs.r1, 0)) AS s1,
+      |    (re.r2 - COALESCE(rs.r2, 0)) AS s2,
+      |    (r.r0 - COALESCE(rs.r0, 0)) AS i0, (r.r1 - COALESCE(rs.r1, 0)) AS i1,
+      |    (r.r2 - COALESCE(rs.r2, 0)) AS i2,
+      |    CAST(g.e - g.s AS DOUBLE) AS tot,
+      |    CAST(r.idx + 1 AS DOUBLE) AS tin,
+      |    CAST(g.e - g.s AS DOUBLE) - CAST(r.idx + 1 AS DOUBLE) AS tout
+      |  FROM $seg g
+      |  JOIN olrun r ON r.coef = g.coef AND r.idx BETWEEN g.s + 1 AND g.e - 2
+      |    AND r.label <> r.plabel
+      |  JOIN olrun re ON re.coef = g.coef AND re.idx = g.e - 1
+      |  LEFT JOIN olrun rs ON rs.coef = g.coef AND rs.idx = g.s - 1
+      |), gain$sfx AS (
+      |  SELECT coef, s, e, p,
+      |    CASE WHEN ISNAN(graw * 1000.0) THEN 0.0
+      |         ELSE FLOOR(graw * 1000.0 + 0.5) / 1000.0 END AS gain
+      |  FROM (
+      |    SELECT *,
+      |      (${entSql("s0", "s1", "s2", "tot")}
+      |       - (tin / tot) * ${entSql("i0", "i1", "i2", "tin")}
+      |       - (tout / tot) * ${entSql("s0 - i0", "s1 - i1", "s2 - i2", "tout")}) AS graw
+      |    FROM cand$sfx)
+      |), best$sfx AS (
+      |  SELECT coef, s, e, p FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY coef, s, e
+      |      ORDER BY gain DESC, p DESC) AS rn
+      |    FROM gain$sfx WHERE gain >= -1.0)
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  /** F4 oracle: the two-level (alphabet 4) info-gain recursion unrolled —
+    * root split over the full orderline, then the reference's child
+    * segments (incl. its odd small-segment fallback boundaries,
+    * SFA.java:539-553), each via [[bestSplitCtes]]; edges = orderline
+    * value at split+1, positions = ascending split rank.
+    */
+  private val f4Sql = prefix +
+    s"""
+      |, olf AS (
+      |  SELECT coef, ${jroundSql("v", 2)} AS v2,
+      |    CAST(user_id % 3 AS DOUBLE) AS label
+      |  FROM ddft
+      |), olsrt AS (
+      |  SELECT coef, v2, label,
+      |    ROW_NUMBER() OVER (PARTITION BY coef ORDER BY v2, label) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY coef) AS n
+      |  FROM olf
+      |), olrun AS (
+      |  SELECT coef, v2, label, idx, n,
+      |    SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) OVER w AS r0,
+      |    SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) OVER w AS r1,
+      |    SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END) OVER w AS r2,
+      |    LAG(label) OVER w AS plabel
+      |  FROM olsrt
+      |  WINDOW w AS (PARTITION BY coef ORDER BY idx)
+      |), olcnt AS (SELECT coef, MAX(n) AS n FROM olsrt GROUP BY coef
+      |), seg0 AS (SELECT coef, CAST(0 AS BIGINT) AS s, n AS e FROM olcnt)""".stripMargin +
+    bestSplitCtes("seg0", "0") +
+    s"""
+      |, seg1 AS (
+      |  SELECT coef, s, e FROM (
+      |    SELECT b.coef,
+      |      CASE WHEN b.p > 2 AND c.n - b.p > 2 THEN CAST(0 AS BIGINT)
+      |           WHEN c.n - b.p > 4 THEN b.p
+      |           WHEN b.p > 4 THEN CAST(0 AS BIGINT) END AS s,
+      |      CASE WHEN b.p > 2 AND c.n - b.p > 2 THEN b.p
+      |           WHEN c.n - b.p > 4 THEN (c.n - b.p) // 2
+      |           WHEN b.p > 4 THEN b.p // 2 END AS e
+      |    FROM best0 b JOIN olcnt c USING (coef)
+      |    UNION ALL
+      |    SELECT b.coef,
+      |      CASE WHEN b.p > 2 AND c.n - b.p > 2 THEN b.p
+      |           WHEN c.n - b.p > 4 THEN (c.n - b.p) // 2
+      |           WHEN b.p > 4 THEN b.p // 2 END AS s,
+      |      CASE WHEN b.p > 2 AND c.n - b.p > 2 THEN c.n
+      |           WHEN c.n - b.p > 4 THEN c.n
+      |           WHEN b.p > 4 THEN c.n END AS e
+      |    FROM best0 b JOIN olcnt c USING (coef))
+      |  WHERE s IS NOT NULL)""".stripMargin +
+    bestSplitCtes("seg1", "1") +
+    s"""
+      |, spl AS (
+      |  SELECT coef, p FROM best0
+      |  UNION ALL
+      |  SELECT coef, p FROM best1
+      |)
+      |SELECT sp.coef, sp.pos, r.v2 AS edge FROM (
+      |  SELECT coef, p,
+      |    ROW_NUMBER() OVER (PARTITION BY coef ORDER BY p) - 1 AS pos
+      |  FROM spl) sp
+      |JOIN olrun r ON r.coef = sp.coef AND r.idx = sp.p + 1
+      |WHERE sp.pos <= 2
+      |ORDER BY sp.coef, sp.pos""".stripMargin
 
   // ---- P2: sliding-window extraction ----------------------------------
 
@@ -545,7 +663,8 @@ object SfaQ {
     "o1_orderline" -> QueryDef.sql(o1, o1Sql),
     "t9_supervised_words" -> QueryDef.sql(t9, t9Sql),
     "p6_word_mask" -> QueryDef.sql(p6, p6Sql),
-    "f4_infogain_bins" -> QueryDef.rowsOnly(f4,
-      "recursive entropy-split binning; no SQL form; reference semantics " +
-        "and determinism asserted by SFASpec"))
+    "f4_infogain_bins" -> QueryDef.sql(f4, f4Sql,
+      "recursive entropy-split binning, alphabet-4 recursion unrolled to " +
+        "two SQL levels incl. the reference's scan-index and NaN-gain " +
+        "quirks; also asserted by SFASpec"))
 }

@@ -1,0 +1,137 @@
+package graft.sfa
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MTEASER — the multivariate TEASER: the [[EarlyCascade]] with a MUSE
+  * slave over long-format multivariate rows (id, dim, label, data)
+  * (/root/reference/src/main/java/sfa/classification/MTEASERClassifier.java).
+  *
+  * Differences from the univariate [[Teaser]], all replicated:
+  *  - slave = [[MuseClassifier]] (MUSE is fit per snapshot on the
+  *    truncated channels, MTEASERClassifier.java:170-185);
+  *  - truncation slices every channel to the prefix WITHOUT re-z-norming
+  *    (the reference's MTS driver runs with APPLY_Z_NORM=false, so
+  *    TimeSeries.getSubsequence's norm() is a no-op —
+  *    MTEASERClassifierTest.java:52, TimeSeries.java:81);
+  *  - min snapshot length = max(4, MIN_WINDOW_LENGTH) = 4
+  *    (MTEASERClassifier.java:166);
+  *  - sample length = channel 0's length (MultiVariateTimeSeries
+  *    .getLength, MultiVariateTimeSeries.java:41-46).
+  *
+  * Master, threshold tuning, and the distributed cascade fold are the
+  * univariate machinery unchanged ([[OneClassSVM]], [[EarlyCascade]]).
+  */
+object Mteaser {
+
+  final case class Config(
+      s: Int = 20,
+      minThreshold: Int = 2,
+      maxThreshold: Int = 5,
+      nu: Double = 0.05,
+      minLen: Int = 4,
+      maxWindowLength: Int = 250)
+
+  final case class MteaserModel(
+      offsets: Array[Int], // index s → prefix length (0 = unused slot)
+      slaves: Map[Int, Muse.MuseModel],
+      masters: Map[Int, OneClassSVM.Model],
+      threshold: Int)
+
+  /** Truncate every channel to `offset` points — plain slice, no
+    * re-norm (see class doc).
+    */
+  private[sfa] def truncate(mts: DataFrame, offset: Int): DataFrame =
+    mts.select(col("id"), col("dim"), col("label"),
+      slice(col("data"), 1, offset).as("data"))
+
+  /** (id, label, len) — one row per sample; len = channel 0's length. */
+  private[sfa] def sampleLens(mts: DataFrame): DataFrame =
+    mts.filter(col("dim") === 0)
+      .select(col("id"), col("label"), size(col("data")).as("len"))
+}
+
+/** MTEASER over long-format (id, dim, label, data) DataFrames. */
+class MteaserClassifier(
+    cfg: Mteaser.Config = Mteaser.Config(),
+    slaveCfg: Muse.Config = Muse.Config()) {
+  import Mteaser._
+
+  def fit(train: DataFrame)(implicit spark: SparkSession): MteaserModel = {
+    val muse = new MuseClassifier(slaveCfg)
+    val maxLen = sampleLens(train).select(max(col("len"))).head.getInt(0)
+    val maxL = math.min(maxLen, cfg.maxWindowLength)
+    val step = maxL / cfg.s.toDouble
+    val offsets = new Array[Int](cfg.s + 1)
+
+    val slaves = scala.collection.mutable.Map.empty[Int, Muse.MuseModel]
+    val masters = scala.collection.mutable.Map.empty[Int, OneClassSVM.Model]
+    val outcomes = scala.collection.mutable.Map.empty[Int, DataFrame]
+
+    for (s <- 2 to cfg.s) {
+      offsets(s) = math.round(step * s).toInt
+      if (offsets(s) >= cfg.minLen) {
+        val truncated = truncate(train, offsets(s))
+        val slave = muse.fit(truncated)
+        slaves(s) = slave
+        val proba = muse.predictProba(slave, truncated).cache()
+        // the ONLY collect: correct-sample features for the driver-side
+        // one-class problem (model-sized by design)
+        val correctFeats = proba.filter(col("label") === col("pred"))
+          .select(col("probs")).collect()
+          .map(r => EarlyCascade.features(r.getSeq[Double](0).toArray))
+        val master = OneClassSVM.fitGrid(correctFeats, cfg.nu)
+        masters(s) = master
+        val out = EarlyCascade.outcomeOf(proba, master).cache()
+        out.count()
+        proba.unpersist()
+        outcomes(s) = out
+      }
+    }
+
+    var state = EarlyCascade.init(sampleLens(train),
+      (cfg.minThreshold to cfg.maxThreshold).toList)
+    for (s <- 2 to cfg.s if outcomes.contains(s)) {
+      state = EarlyCascade.step(state, outcomes(s), offsets(s), s, cfg.s).localCheckpoint(true)
+    }
+    val bestT = EarlyCascade.bestThreshold(state, cfg.minThreshold)
+    outcomes.values.foreach(_.unpersist())
+
+    MteaserModel(offsets, slaves.toMap, masters.toMap, bestT)
+  }
+
+  /** Early-classify test samples, fully distributed (the undecided
+    * subset shrinks per snapshot). Output: (id, label, pred, off,
+    * earliness).
+    */
+  def predictDF(model: MteaserModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val muse = new MuseClassifier(slaveCfg)
+    var state = EarlyCascade.init(sampleLens(test), List(model.threshold))
+    var undecided = state.count()
+    var s = 2
+    while (s < model.offsets.length && undecided > 0) {
+      model.slaves.get(s).foreach { slave =>
+        val subset = test.join(
+          state.filter(col("pred").isNull).select("id"), Seq("id"), "left_semi")
+        val out = EarlyCascade.outcomeOf(
+          muse.predictProba(slave, truncate(subset, model.offsets(s))),
+          model.masters(s))
+        state = EarlyCascade.step(state, out, model.offsets(s), s, cfg.s).localCheckpoint(true)
+        undecided = state.filter(col("pred").isNull).count()
+      }
+      s += 1
+    }
+    EarlyCascade.finish(state)
+  }
+
+  /** (accuracy, average earliness) over the test samples. */
+  def eval(train: DataFrame, test: DataFrame)(implicit spark: SparkSession): (MteaserModel, Double, Double) = {
+    val model = fit(train)
+    val res = predictDF(model, test).cache()
+    val row = res.agg(
+      avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)),
+      avg(col("earliness"))).head
+    res.unpersist()
+    (model, row.getDouble(0), row.getDouble(1))
+  }
+}

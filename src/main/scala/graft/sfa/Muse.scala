@@ -173,7 +173,7 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
   private def newLr(n: Long) = new LogisticRegression()
     .setMaxIter(100).setRegParam(1.0 / n)
     .setStandardization(false).setFitIntercept(true)
-    .setFamily("auto").setTol(1e-3)
+    .setFamily("auto").setTol(1e-2)
 
   private def chiFilter(b: DataFrame, nSamples: Long): DataFrame = {
     val presence = b.filter(col("cnt") > 0)
@@ -240,15 +240,23 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
       .withColumn("fold", ((row_number().over(byLabel) - 1) % cfg.folds).cast("int"))
       .select("id", "fold")
 
-    var best: (HistogramType, Boolean, Int, Long) = (cfg.histTypes.head, true, cfg.minF, -1L)
+    var best: (HistogramType, Boolean, Int, Long) =
+      (cfg.histTypes.head, cfg.normalization.head, cfg.minF, -1L)
     val fitted = scala.collection.mutable.Map.empty[HistogramType, Map[(Boolean, Int, Int), SFAModel]]
+
+    // CV exists only to pick the winning (hist, norm, f) — with a
+    // single candidate the pick is forced, so skip the fold fits and
+    // score trainCorrect on the final model instead (reduced configs
+    // like the MTEASER slave grid hit this path)
+    val singleCandidate =
+      cfg.histTypes.size == 1 && cfg.normalization.size == 1 && cfg.minF == cfg.maxF
 
     for (hist <- cfg.histTypes) {
       val models = fitBinsGrid(train, allWindows, cfg.normalization, hist, cfg.maxF, cfg.alphabetSize)
         .filter { case ((nm, w, _), _) => windowsFor(nm).contains(w) }
       fitted(hist) = models
       val words = wordsGrid(train, models, wIdx, cfg.maxF).cache()
-      for (nm <- cfg.normalization; f <- cfg.minF to cfg.maxF by 2) {
+      for (nm <- cfg.normalization; f <- cfg.minF to cfg.maxF by 2 if !singleCandidate) {
         val b = bags(words.filter(col("norm") === nm), f, usedBits, maxWindow, cfg).cache()
         val sel = chiFilter(b, n)
         val byKey = Window.partitionBy("norm", "f").orderBy("key")
@@ -256,7 +264,9 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
         val dims = dict.groupBy("norm", "f").agg(max("dict_idx").as("d")).collect()
           .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
         if (dims.nonEmpty) {
-          val vecs = vectorsOf(b, dict, dims, train).join(folds, "id").cache()
+          // coalesce before the iterative LR fits: see Pipelines.fitParallelism
+          val vecs = vectorsOf(b, dict, dims, train).join(folds, "id")
+            .coalesce(graft.util.Pipelines.fitParallelism(n)).cache()
           val correct = (0 until cfg.folds).map { k =>
             val tr = vecs.filter(col("fold") =!= k)
             val te = vecs.filter(col("fold") === k)
@@ -284,16 +294,38 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
     val dims = dict.groupBy("norm", "f").agg(max("dict_idx").as("d")).collect()
       .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
     val vecs = vectorsOf(fb, dict, dims, train)
+      .coalesce(graft.util.Pipelines.fitParallelism(n)).cache()
     val lr = newLr(n).fit(vecs)
+    // single-candidate path skipped CV: trainCorrect = final-model score
+    val correct =
+      if (!singleCandidate) bestCorrect
+      else lr.transform(vecs).filter(col("prediction") === col("label")).count()
+    vecs.unpersist()
     fb.unpersist()
 
-    MuseModel(bestHist, bestNorm, bestF, bestCorrect,
+    MuseModel(bestHist, bestNorm, bestF, correct,
       models.map { case ((_, w, d), m) => (w, d) -> m },
       allWindows,
       dict.select("key", "dict_idx").cache(), dims.getOrElse((bestNorm, bestF), 0), lr)
   }
 
-  def predict(model: MuseModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  def predict(model: MuseModel, test: DataFrame)(implicit spark: SparkSession): DataFrame =
+    predictFull(model, test)
+      .select(col("id"), col("label"), col("prediction").as("pred"))
+
+  /** Predict with per-class probabilities → (id, label, pred, probs) —
+    * MUSEClassifier.predictProbabilities, consumed by the MTEASER
+    * cascade ([[MteaserClassifier]]). `probs` follows MLlib's
+    * class-index order (labels are class ids).
+    */
+  def predictProba(model: MuseModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val vecToArr = udf { v: org.apache.spark.ml.linalg.Vector => v.toArray }
+    predictFull(model, test)
+      .select(col("id"), col("label"), col("prediction").as("pred"),
+        vecToArr(col("probability")).as("probs"))
+  }
+
+  private def predictFull(model: MuseModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
     // the w_idx mapping and the bigram maxWindow toggle MUST come from
     // the fitted full grid carried in the model — re-deriving from
     // quantizers.keys compacts indices when fit drops a window and can
@@ -320,7 +352,6 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
         Seq("id", "label"), "left")
       .select(col("id"), col("label"), toVec(col("idx"), col("cnt")).as("features"))
     model.lr.transform(vecs)
-      .select(col("id"), col("label"), col("prediction").as("pred"))
   }
 
   def eval(train: DataFrame, test: DataFrame)(implicit spark: SparkSession): (MuseModel, Double) = {

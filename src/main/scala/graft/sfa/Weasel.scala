@@ -350,7 +350,7 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
     .setStandardization(false)
     .setFitIntercept(true)
     .setFamily("auto")
-    .setTol(1e-3)
+    .setTol(1e-2)
 
   /** Fit: grid over norm × f with 10-fold stratified CV, then refit the
     * best configuration on all samples.
@@ -387,9 +387,16 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
       nm -> wordsGrid(folded, models, wIdx, usedBits).cache()
     }.toMap
 
+    // CV exists only to pick the winning (norm, f) — with a single
+    // candidate the pick is forced, so skip the fold fits and score
+    // trainCorrect on the final model instead (reduced configs like
+    // the s9 fixture fit hit this path)
+    val singleCandidate = cfg.normalization.size == 1 && cfg.minF == cfg.maxF
+
     val scores = for {
       nm <- cfg.normalization
       f <- cfg.minF to cfg.maxF by 2
+      if !singleCandidate
     } yield {
       val b = bags(wordsByNorm(nm).filter(col("norm") === nm), f, usedBits, hb)
         .filter(col("norm") === nm).cache()
@@ -399,8 +406,10 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
         .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
       if (dims.isEmpty) (nm, f, 0L)
       else {
+        // coalesce before the iterative LR fits: see Pipelines.fitParallelism
         val vecs = vectors(b, dict, dims, folded)
-          .join(folded.select(col("id"), col("fold")), "id").cache()
+          .join(folded.select(col("id"), col("fold")), "id")
+          .coalesce(graft.util.Pipelines.fitParallelism(n)).cache()
         val correct = (0 until cfg.folds).map { k =>
           val tr = vecs.filter(col("fold") =!= k)
           val te = vecs.filter(col("fold") === k)
@@ -429,11 +438,17 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
     val dims = dict.groupBy("norm", "f").agg(max("dict_idx").as("d")).collect()
       .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
     val vecs = vectors(fb, dict, dims, folded)
+      .coalesce(graft.util.Pipelines.fitParallelism(n)).cache()
     val lr = newLr(n).fit(vecs)
+    // single-candidate path skipped CV: trainCorrect = final-model score
+    val correct =
+      if (!singleCandidate) bestCorrect
+      else lr.transform(vecs).filter(col("prediction") === col("label")).count()
+    vecs.unpersist()
     wordsByNorm.values.foreach(_.unpersist())
     folded.unpersist()
 
-    WeaselModel(bestNorm, bestF, bestCorrect,
+    WeaselModel(bestNorm, bestF, correct,
       quantizers.collect { case ((`bestNorm`, w), m) => w -> m }.toMap,
       windowsFor(bestNorm),
       dict.select(col("key"), col("dict_idx")).cache(),

@@ -71,6 +71,18 @@ object Pipelines {
     dfs.clear()
     objs.clear()
   }
+
+  /** Partition count for an iterative driver-coordinated ML fit over
+    * `n` feature rows. Every MLlib L-BFGS iteration launches a
+    * treeAggregate over ALL partitions of the input; feature frames
+    * arriving from a groupBy carry `spark.sql.shuffle.partitions`
+    * mostly-empty partitions, so a 100-row fit pays 32 tasks × 2
+    * stages × ~100 iterations of pure scheduling overhead. Coalescing
+    * to ~5k rows/partition keeps small fits single-task while leaving
+    * cluster-scale inputs wide.
+    */
+  def fitParallelism(n: Long): Int =
+    math.max(1L, math.min(1024L, n / 5000L)).toInt
 }
 
 /** A named query plus (optionally) the ANSI-SQL oracle the driver runs in
