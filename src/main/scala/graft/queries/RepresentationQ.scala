@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{QueryDef, Tables}
+import graft.util.Rnd.jround
 import graft.sfa.Representations
 
 /** Representation-transform queries (SURVEY §2.3 T5/T6/T7) over disjoint
@@ -165,10 +166,186 @@ object RepresentationQ {
       .orderBy("user_id", "win", "i")
   }
 
+  // ---- lb_tightness: measured tightness of T4/T5/T7 lower bounds ------
+
+  /** The reference's TightnessOfLowerBounds study
+    * (TightnessOfLowerBounds.java:15-135) as an oracle-checked query:
+    * pair each even user's disjoint windows with the next user's, and
+    * per (representation, l) report the mean lower-bound/Euclidean
+    * ratio and the count of LB violations (which the oracle pins to the
+    * same value — expected 0, so the LB property itself is
+    * hash-checked). APCA's merge loop is not SQL-expressible; its LB
+    * gate lives in RepresentationsSpec with the other three.
+    *
+    * Determinism: every aggregate is an integer sum over cents (the
+    * t5/t7 rule) — ED·10⁴, PAA segment sums, DWT v3200 diffs, PLA
+    * (Σw·Δcents) — so both engines reduce identical integers and apply
+    * identical scalar ops; only the final mean is rounded.
+    */
+  private def lbt(s: SparkSession, dir: String): DataFrame = {
+    val dw = windows(s, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val a = dw.filter(col("user_id") % 2 === 0)
+      .select(col("user_id"), col("win"), col("j"), col("cents").as("ca"))
+    val b = dw.select((col("user_id") - 1).as("user_id"), col("win"), col("j"),
+      col("cents").as("cb"))
+    val pw = a.join(b, Seq("user_id", "win", "j"))
+      .select(col("user_id"), col("win"), col("j"), (col("ca") - col("cb")).as("d"))
+      .cache()
+
+    val ed = pw.groupBy("user_id", "win").agg(sum(col("d") * col("d")).as("ed4"))
+
+    def paaNum(l: Int): DataFrame = {
+      val g = W / l
+      pw.groupBy(col("user_id"), col("win"), (col("j") / g).cast("long").as("seg"))
+        .agg(sum(col("d")).as("sd"))
+        .groupBy("user_id", "win")
+        .agg(sum(col("sd") * col("sd")).as(s"paa$l"))
+    }
+
+    // DWT coefficient diffs as v3200 integers (same weights as t7)
+    val dwtNum = pw
+      .crossJoin(s.range(L).select(col("id").as("coef")))
+      .withColumn("w", expr(WeightCase))
+      .groupBy("user_id", "win", "coef")
+      .agg(expr(s"-sum(d * w) * ($FactorCase)").as("dv"))
+      .groupBy("user_id", "win")
+      .agg(
+        sum(when(col("coef") < 4,
+          col("dv") * col("dv") * expr("CASE WHEN coef <= 1 THEN 16 ELSE 8 END"))
+          .otherwise(0L)).as("dwt4"),
+        sum(col("dv") * col("dv") *
+          expr("CASE WHEN coef <= 1 THEN 16 WHEN coef <= 3 THEN 8 ELSE 4 END")).as("dwt8"))
+
+    def plaNum(l: Int): DataFrame = {
+      val frame = W / (l / 2)
+      val (wa, wb) = frame match {
+        // (t−(f+1)/2), (t−(2f+1)/3) scaled integer: f=4 → (2t−5), (t−3);
+        // f=8 → (2t−9), (3t−17)
+        case 4 => ("(j % 4 + 1) * 2 - 5", "(j % 4 + 1) - 3")
+        case _ => ("(j % 8 + 1) * 2 - 9", "(j % 8 + 1) * 3 - 17")
+      }
+      pw.groupBy(col("user_id"), col("win"), (col("j") / frame).cast("long").as("seg"))
+        .agg(sum(expr(s"($wa) * d")).as("da"), sum(expr(s"($wb) * d")).as("db"))
+        .groupBy("user_id", "win")
+        .agg(sum(col("da") * col("da")).as(s"sa$l"),
+          sum(col("da") * col("db")).as(s"sab$l"),
+          sum(col("db") * col("db")).as(s"sb$l"))
+    }
+
+    val joined = ed
+      .join(paaNum(4), Seq("user_id", "win")).join(paaNum(8), Seq("user_id", "win"))
+      .join(dwtNum, Seq("user_id", "win"))
+      .join(plaNum(4), Seq("user_id", "win")).join(plaNum(8), Seq("user_id", "win"))
+      // lb·10⁴ per representation/l (exact integer-derived scalars):
+      //   paa: Σseg² / g;  dwt: Σw·dv² / 1024 (3200²/10⁴)
+      //   pla f=4: 0.3·SA2 − SAB + SB2 (12a=isa/1000, 6b=−isb/200 folded)
+      //   pla f=8: 204·SA2/7056 − 72·SAB/2352 + 8·SB2/784
+      .select(col("user_id"), col("win"), col("ed4"),
+        expr("stack(6, " +
+          "'paa', 4L, CAST(paa4 AS DOUBLE) / 4.0D, " +
+          "'paa', 8L, CAST(paa8 AS DOUBLE) / 2.0D, " +
+          "'dwt', 4L, CAST(dwt4 AS DOUBLE) / 1024.0D, " +
+          "'dwt', 8L, CAST(dwt8 AS DOUBLE) / 1024.0D, " +
+          "'pla', 4L, 204.0D * sa4 / 7056.0D - 72.0D * sab4 / 2352.0D + 8.0D * sb4 / 784.0D, " +
+          "'pla', 8L, 0.3D * sa8 - CAST(sab8 AS DOUBLE) + CAST(sb8 AS DOUBLE)" +
+          ") AS (repr, l, lb4)"))
+
+    joined.groupBy("repr", "l").agg(
+      count(lit(1)).as("pairs"),
+      jround(avg(when(col("ed4") > 1, col("lb4") / col("ed4")).otherwise(lit(1.0))), 6)
+        .as("mean_tlb"),
+      sum(when(col("lb4") - col("ed4") > 1.0, 1L).otherwise(0L)).as("violations"))
+      .orderBy("repr", "l")
+  }
+
+  private val lbtSql =
+    s"""WITH e AS (
+      |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |), dw AS (
+      |  SELECT user_id, idx // $W AS win, idx % $W AS j, cents
+      |  FROM e WHERE idx // $W < n // $W
+      |), pw AS (
+      |  SELECT a.user_id, a.win, a.j, a.cents - b.cents AS d
+      |  FROM dw a JOIN dw b
+      |    ON b.user_id = a.user_id + 1 AND b.win = a.win AND b.j = a.j
+      |  WHERE a.user_id % 2 = 0
+      |), ed AS (
+      |  SELECT user_id, win, SUM(d * d) AS ed4 FROM pw GROUP BY 1, 2
+      |), paa4s AS (
+      |  SELECT user_id, win, j // 4 AS seg, SUM(d) AS sd FROM pw GROUP BY 1, 2, 3
+      |), paa4 AS (
+      |  SELECT user_id, win, SUM(sd * sd) AS paa4 FROM paa4s GROUP BY 1, 2
+      |), paa8s AS (
+      |  SELECT user_id, win, j // 2 AS seg, SUM(d) AS sd FROM pw GROUP BY 1, 2, 3
+      |), paa8 AS (
+      |  SELECT user_id, win, SUM(sd * sd) AS paa8 FROM paa8s GROUP BY 1, 2
+      |), coefs AS (SELECT UNNEST(RANGE($L)) AS coef
+      |), dvs AS (
+      |  SELECT user_id, win, coef,
+      |    -SUM(d * ($WeightCase)) * ($FactorCase) AS dv
+      |  FROM pw CROSS JOIN coefs
+      |  GROUP BY 1, 2, 3
+      |), dwt AS (
+      |  SELECT user_id, win,
+      |    SUM(CASE WHEN coef < 4
+      |      THEN dv * dv * (CASE WHEN coef <= 1 THEN 16 ELSE 8 END) ELSE 0 END) AS dwt4,
+      |    SUM(dv * dv *
+      |      (CASE WHEN coef <= 1 THEN 16 WHEN coef <= 3 THEN 8 ELSE 4 END)) AS dwt8
+      |  FROM dvs GROUP BY 1, 2
+      |), pla4s AS (
+      |  SELECT user_id, win, j // 8 AS seg,
+      |    SUM(((j % 8 + 1) * 2 - 9) * d) AS da,
+      |    SUM(((j % 8 + 1) * 3 - 17) * d) AS db
+      |  FROM pw GROUP BY 1, 2, 3
+      |), pla4 AS (
+      |  SELECT user_id, win, SUM(da * da) AS sa4, SUM(da * db) AS sab4,
+      |    SUM(db * db) AS sb4
+      |  FROM pla4s GROUP BY 1, 2
+      |), pla8s AS (
+      |  SELECT user_id, win, j // 4 AS seg,
+      |    SUM(((j % 4 + 1) * 2 - 5) * d) AS da,
+      |    SUM(((j % 4 + 1) - 3) * d) AS db
+      |  FROM pw GROUP BY 1, 2, 3
+      |), pla8 AS (
+      |  SELECT user_id, win, SUM(da * da) AS sa8, SUM(da * db) AS sab8,
+      |    SUM(db * db) AS sb8
+      |  FROM pla8s GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT ed.user_id, ed.win, ed.ed4, u.repr, u.l, u.lb4
+      |  FROM ed
+      |  JOIN paa4 USING (user_id, win) JOIN paa8 USING (user_id, win)
+      |  JOIN dwt USING (user_id, win)
+      |  JOIN pla4 USING (user_id, win) JOIN pla8 USING (user_id, win)
+      |  CROSS JOIN LATERAL (VALUES
+      |    ('paa', CAST(4 AS BIGINT), CAST(paa4 AS DOUBLE) / CAST(4.0 AS DOUBLE)),
+      |    ('paa', CAST(8 AS BIGINT), CAST(paa8 AS DOUBLE) / CAST(2.0 AS DOUBLE)),
+      |    ('dwt', CAST(4 AS BIGINT), CAST(dwt4 AS DOUBLE) / CAST(1024.0 AS DOUBLE)),
+      |    ('dwt', CAST(8 AS BIGINT), CAST(dwt8 AS DOUBLE) / CAST(1024.0 AS DOUBLE)),
+      |    ('pla', CAST(4 AS BIGINT),
+      |      CAST(204.0 AS DOUBLE) * sa4 / CAST(7056.0 AS DOUBLE)
+      |        - CAST(72.0 AS DOUBLE) * sab4 / CAST(2352.0 AS DOUBLE)
+      |        + CAST(8.0 AS DOUBLE) * sb4 / CAST(784.0 AS DOUBLE)),
+      |    ('pla', CAST(8 AS BIGINT),
+      |      CAST(0.3 AS DOUBLE) * sa8 - CAST(sab8 AS DOUBLE) + CAST(sb8 AS DOUBLE))
+      |  ) AS u(repr, l, lb4)
+      |)
+      |SELECT repr, l, COUNT(*) AS pairs,
+      |  FLOOR(AVG(CASE WHEN ed4 > 1 THEN lb4 / ed4 ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS mean_tlb,
+      |  CAST(SUM(CASE WHEN lb4 - ed4 > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |FROM joined GROUP BY 1, 2 ORDER BY repr, l""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "t5_pla" -> QueryDef.sql(t5, t5Sql),
     "t7_dwt" -> QueryDef.sql(t7, t7Sql),
     "t6_apca" -> QueryDef.rowsOnly(t6,
       "APCA adaptive segments; sequential merge loop not SQL-expressible; " +
-        "semantics vs reference proven by RepresentationsSpec"))
+        "semantics vs reference proven by RepresentationsSpec"),
+    "lb_tightness" -> QueryDef.sql(lbt, lbtSql,
+      "measured tightness of the PAA/PLA/DWT lower bounds over window " +
+        "pairs, violations oracle-pinned (expected 0); APCA gate in " +
+        "RepresentationsSpec"))
 }

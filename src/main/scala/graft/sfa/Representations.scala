@@ -320,6 +320,36 @@ object Representations {
     out
   }
 
+  /** APCA-to-raw-series lower bound (APCA.java:243-273, the form the
+    * reference's TightnessOfLowerBounds study exercises): walk the
+    * representation's segments, compare each segment mean against the
+    * QUERY's true mean over the same interval, weight by segment
+    * length. Σ len·(m₁−m₂)² ≤ Σ (a−b)² per segment by Cauchy–Schwarz,
+    * so this lower-bounds the squared Euclidean distance. Query indices
+    * beyond its length read the zero padding APCA itself used
+    * (copyOf-to-power-of-two, [[apca]]).
+    */
+  def apcaDistanceToSeries(a: Array[Double], query: Array[Double], minValue: Double): Double = {
+    var distance = 0.0
+    var start = 0
+    var q = 1
+    while (q < a.length) {
+      val end = a(q).toInt
+      if (end > start) {
+        var mean = 0.0
+        var i = start
+        while (i < end) { mean += (if (i < query.length) query(i) else 0.0); i += 1 }
+        mean /= end - start
+        val v = a(q - 1) - mean
+        distance += v * v * (end - start)
+        if (distance > minValue) return Double.PositiveInfinity
+      }
+      start = end
+      q += 2
+    }
+    distance
+  }
+
   /** Interval-walk lower bound between two APCA representations
     * (APCA.java:201-241).
     */

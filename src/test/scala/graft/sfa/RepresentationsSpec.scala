@@ -55,6 +55,63 @@ class RepresentationsSpec extends AnyFunSuite {
     }
   }
 
+  test("APCA distance to the raw query lower-bounds the Euclidean distance") {
+    // the study's form (APCA.java:243-273): APCA segments of one series
+    // vs the raw points of the other; 256 = power of two as in the study
+    val ws = walks(12, 256)
+    for (l <- Seq(8, 16, 32); i <- ws.indices; j <- ws.indices if i < j) {
+      val d = ed2(ws(i), ws(j))
+      val lb = Representations.apcaDistanceToSeries(
+        Representations.apca(ws(i), l), ws(j), Double.MaxValue)
+      assert(lb <= d + 1e-4, s"APCA l=$l ($i,$j): $lb > $d")
+    }
+  }
+
+  test("tightness-of-lower-bounds study: mean TLB per representation, zero violations") {
+    // TightnessOfLowerBounds.java:15-135 at reduced count: 100 pairs of
+    // 256-point z-normed walks; TLB = lb/ed (1 when ed ~ 0), violation =
+    // lb - ed > 1e-4; tightness must grow with l for every representation
+    val n = 256
+    val count = 100
+    val s1 = (0 until count).map(i => Loaders.znorm(Loaders.randomWalk(n, 5000 + i))).toArray
+    val s2 = (0 until count).map(i => Loaders.znorm(Loaders.randomWalk(n, 6000 + i))).toArray
+    val trueD = Array.tabulate(count)(q => ed2(s1(q), s2(q)))
+    val ls = Seq(8, 32, 128)
+    val results = for (l <- ls) yield {
+      val reps = Seq[(String, Int => Double)](
+        ("paa", q => Representations.paaDistance(
+          Representations.paa(s1(q), l), Representations.paa(s2(q), l), n, Double.MaxValue)),
+        ("pla", q => Representations.plaDistance(
+          Representations.pla(s1(q), l), Representations.pla(s2(q), l), n, Double.MaxValue)),
+        ("dwt", q => Representations.dwtDistance(
+          Representations.dwt(s1(q), l), Representations.dwt(s2(q), l), n, Double.MaxValue)),
+        ("apca", q => Representations.apcaDistanceToSeries(
+          Representations.apca(s1(q), l), s2(q), Double.MaxValue)))
+      reps.map { case (name, dist) =>
+        var tlb = 0.0
+        var violations = 0
+        (0 until count).foreach { q =>
+          val d = dist(q)
+          if (d - trueD(q) > 1e-4) violations += 1
+          tlb += (if (trueD(q) > 1e-4) d / trueD(q) else 1.0)
+        }
+        (name, l, tlb / count, violations)
+      }
+    }
+    results.flatten.foreach { case (name, l, tlb, violations) =>
+      info(f"$name%-5s l=$l%3d TLB=$tlb%.3f violations=$violations")
+      assert(violations == 0, s"$name l=$l has $violations LB violations")
+      assert(tlb >= 0.0 && tlb <= 1.0 + 1e-9)
+    }
+    // monotone tightness in l per representation
+    for (name <- Seq("paa", "pla", "dwt", "apca")) {
+      val byL = results.flatten.filter(_._1 == name).sortBy(_._2).map(_._3)
+      byL.zip(byL.tail).foreach { case (lo, hi) =>
+        assert(hi >= lo - 1e-9, s"$name tightness not monotone in l: $byL")
+      }
+    }
+  }
+
   test("PAA of a constant series reconstructs exactly") {
     val c = Array.fill(64)(2.5)
     val rec = Representations.paaInverse(Representations.paa(c, 8), 64)
