@@ -72,9 +72,9 @@ class MteaserClassifier(
       offsets(s) = math.round(step * s).toInt
       if (offsets(s) >= cfg.minLen) {
         val truncated = truncate(train, offsets(s))
-        val slave = muse.fit(truncated)
+        // one pass: the final refit's vectors score the train set too
+        val (slave, proba) = muse.fitWithProba(truncated)
         slaves(s) = slave
-        val proba = muse.predictProba(slave, truncated).cache()
         // the ONLY collect: correct-sample features for the driver-side
         // one-class problem (model-sized by design)
         val correctFeats = proba.filter(col("label") === col("pred"))
@@ -84,7 +84,6 @@ class MteaserClassifier(
         masters(s) = master
         val out = EarlyCascade.outcomeOf(proba, master).cache()
         out.count()
-        proba.unpersist()
         outcomes(s) = out
       }
     }

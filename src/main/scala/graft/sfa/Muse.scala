@@ -222,6 +222,27 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
   }
 
   def fit(train: DataFrame)(implicit spark: SparkSession): MuseModel = {
+    val (model, vecs) = fitCore(train)
+    vecs.unpersist()
+    model
+  }
+
+  /** Fit AND return the train-set probabilities (id, label, pred,
+    * probs) in one pass — see [[WeaselClassifier.fitWithProba]]; used
+    * by the MTEASER per-snapshot loop.
+    */
+  private[sfa] def fitWithProba(train: DataFrame)(implicit spark: SparkSession): (MuseModel, DataFrame) = {
+    val (model, vecs) = fitCore(train)
+    val vecToArr = udf { v: org.apache.spark.ml.linalg.Vector => v.toArray }
+    val proba = model.lr.transform(vecs)
+      .select(col("id"), col("label"), col("prediction").as("pred"),
+        vecToArr(col("probability")).as("probs"))
+      .localCheckpoint(true)
+    vecs.unpersist()
+    (model, proba)
+  }
+
+  private def fitCore(train: DataFrame)(implicit spark: SparkSession): (MuseModel, DataFrame) = {
     import spark.implicits._
     val n = train.select("id").distinct().count()
     val maxLen = train.select(max(size(col("data")))).head.getInt(0)
@@ -300,13 +321,12 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
     val correct =
       if (!singleCandidate) bestCorrect
       else lr.transform(vecs).filter(col("prediction") === col("label")).count()
-    vecs.unpersist()
     fb.unpersist()
 
-    MuseModel(bestHist, bestNorm, bestF, correct,
+    (MuseModel(bestHist, bestNorm, bestF, correct,
       models.map { case ((_, w, d), m) => (w, d) -> m },
       allWindows,
-      dict.select("key", "dict_idx").cache(), dims.getOrElse((bestNorm, bestF), 0), lr)
+      dict.select("key", "dict_idx").cache(), dims.getOrElse((bestNorm, bestF), 0), lr), vecs)
   }
 
   def predict(model: MuseModel, test: DataFrame)(implicit spark: SparkSession): DataFrame =

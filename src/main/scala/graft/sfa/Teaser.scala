@@ -82,9 +82,9 @@ class TeaserClassifier(
       offsets(s) = math.round(step * s).toInt
       if (offsets(s) >= cfg.minLen) {
         val truncated = truncate(train, offsets(s))
-        val slave = weasel.fit(truncated)
+        // one pass: the final refit's vectors score the train set too
+        val (slave, proba) = weasel.fitWithProba(truncated)
         slaves(s) = slave
-        val proba = weasel.predictProba(slave, truncated).cache()
         // the ONLY collect: correct-sample features — the reference's
         // driver-side libsvm problem (model-sized by design)
         val correctFeats = proba.filter(col("label") === col("pred"))
@@ -94,7 +94,6 @@ class TeaserClassifier(
         masters(s) = master
         val out = EarlyCascade.outcomeOf(proba, master).cache()
         out.count()
-        proba.unpersist()
         outcomes(s) = out
       }
     }

@@ -356,6 +356,30 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
     * best configuration on all samples.
     */
   def fit(train: DataFrame)(implicit spark: SparkSession): WeaselModel = {
+    val (model, vecs) = fitCore(train)
+    vecs.unpersist()
+    model
+  }
+
+  /** Fit AND return the train-set probabilities (id, label, pred,
+    * probs) in one pass: the final refit's feature vectors serve both,
+    * so cascade fits (TEASER trains a slave and immediately scores the
+    * same truncated train set per snapshot) skip a full
+    * words→bags→vectors recompute. The proba frame is materialized
+    * (localCheckpoint) before the shared vectors are released.
+    */
+  private[sfa] def fitWithProba(train: DataFrame)(implicit spark: SparkSession): (WeaselModel, DataFrame) = {
+    val (model, vecs) = fitCore(train)
+    val vecToArr = udf { v: org.apache.spark.ml.linalg.Vector => v.toArray }
+    val proba = model.lr.transform(vecs)
+      .select(col("id"), col("label"), col("prediction").as("pred"),
+        vecToArr(col("probability")).as("probs"))
+      .localCheckpoint(true)
+    vecs.unpersist()
+    (model, proba)
+  }
+
+  private def fitCore(train: DataFrame)(implicit spark: SparkSession): (WeaselModel, DataFrame) = {
     import spark.implicits._
     val n = train.count()
     val maxLen = train.select(max(size(col("data")))).head.getInt(0)
@@ -444,16 +468,15 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
     val correct =
       if (!singleCandidate) bestCorrect
       else lr.transform(vecs).filter(col("prediction") === col("label")).count()
-    vecs.unpersist()
     wordsByNorm.values.foreach(_.unpersist())
     folded.unpersist()
 
-    WeaselModel(bestNorm, bestF, correct,
+    (WeaselModel(bestNorm, bestF, correct,
       quantizers.collect { case ((`bestNorm`, w), m) => w -> m }.toMap,
       windowsFor(bestNorm),
       dict.select(col("key"), col("dict_idx")).cache(),
       dims.getOrElse((bestNorm, bestF), 0),
-      lr)
+      lr), vecs)
   }
 
   /** Predict with per-class probabilities → (id, label, pred, probs).
