@@ -196,15 +196,41 @@ object ModelIO {
 
   def loadTeaser(path: String)(implicit spark: SparkSession): Teaser.TeaserModel = {
     val meta = spark.read.parquet(s"$path/meta").head
-    val masters = spark.read.parquet(s"$path/masters").collect().map { r =>
-      r.getInt(0) -> OneClassSVM.Model(
-        r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toArray,
-        r.getSeq[Double](2).toArray, r.getDouble(3), r.getDouble(4))
-    }.toMap
+    val masters = loadMasters(path)
     val slaves = masters.keys.map { s =>
       s -> loadWeasel(s"$path/slaves/s$s")
     }.toMap
     Teaser.TeaserModel(meta.getSeq[Int](0).toArray, slaves, masters, meta.getInt(1))
+  }
+
+  private def loadMasters(path: String)(implicit spark: SparkSession): Map[Int, OneClassSVM.Model] =
+    spark.read.parquet(s"$path/masters").collect().map { r =>
+      r.getInt(0) -> OneClassSVM.Model(
+        r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toArray,
+        r.getSeq[Double](2).toArray, r.getDouble(3), r.getDouble(4))
+    }.toMap
+
+  // ---- S9: MTEASER (MUSE slaves + one-class masters) ------------------
+
+  def saveMteaser(model: Mteaser.MteaserModel, path: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    model.slaves.foreach { case (s, slave) => saveMuse(slave, s"$path/slaves/s$s") }
+    model.masters.toSeq.map { case (s, m) =>
+      (s, m.svs.map(_.toSeq).toSeq, m.coefs.toSeq, m.rho, m.gamma)
+    }.toDF("s", "svs", "coefs", "rho", "gamma")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/masters")
+    Seq((model.offsets.toSeq, model.threshold))
+      .toDF("offsets", "threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadMteaser(path: String)(implicit spark: SparkSession): Mteaser.MteaserModel = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    val masters = loadMasters(path)
+    val slaves = masters.keys.map { s =>
+      s -> loadMuse(s"$path/slaves/s$s")
+    }.toMap
+    Mteaser.MteaserModel(meta.getSeq[Int](0).toArray, slaves, masters, meta.getInt(1))
   }
 
   // ---- S10: k-NN index layout ----------------------------------------

@@ -140,4 +140,30 @@ class ModelIOSpec extends SparkSpec {
     assert(p0 == p1, "loaded TEASER predicts differently")
     assert(p0.nonEmpty)
   }
+
+  test("MTEASER classifier round-trips with identical early predictions") {
+    val base = "/root/reference/src/main/resources/datasets/multivariate"
+    val train = Loaders.loadMultivariate(spark, s"$base/PenDigits/PenDigits_TRAIN3",
+      applyZNorm = false).filter(org.apache.spark.sql.functions.col("id") <= 80)
+    val test = Loaders.loadMultivariate(spark, s"$base/PenDigits/PenDigits_TEST3",
+      applyZNorm = false).filter(org.apache.spark.sql.functions.col("id") <= 40)
+    val clf = new MteaserClassifier(
+      Mteaser.Config(s = 4),
+      Muse.Config(minF = 2, maxF = 2, folds = 2, bigrams = false,
+        histTypes = Seq(HistogramType.EquiDepth), normalization = Seq(false)))
+    val model = clf.fit(train)
+    val path = tmp("mteaser-model")
+    ModelIO.saveMteaser(model, path)
+    val loaded = ModelIO.loadMteaser(path)
+    assert(loaded.threshold == model.threshold)
+    assert(loaded.offsets.toSeq == model.offsets.toSeq)
+    assert(loaded.slaves.keySet == model.slaves.keySet)
+    assert(loaded.masters.keySet == model.masters.keySet)
+    val p0 = clf.predictDF(model, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), if (r.isNullAt(2)) 0.0 else r.getDouble(2), r.getInt(3))).toSeq
+    val p1 = clf.predictDF(loaded, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), if (r.isNullAt(2)) 0.0 else r.getDouble(2), r.getInt(3))).toSeq
+    assert(p0 == p1, "loaded MTEASER predicts differently")
+    assert(p0.nonEmpty)
+  }
 }
