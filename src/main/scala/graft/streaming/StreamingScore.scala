@@ -43,12 +43,34 @@ object StreamingScore {
       words: Dataset[StreamingWords.WordEvent],
       weights: Map[Long, Array[Double]],
       labels: Array[Double])(
+      implicit spark: SparkSession): Dataset[Prediction] =
+    scoreStreamWith(words, weights, labels, OutputMode.Append())
+
+  /** Update-mode variant: identical state machine, emitted through
+    * OutputMode.Update — an upserting sink (memory/Delta/keyed store)
+    * then holds exactly the latest prediction per key, so the
+    * keep-latest rule is enforced by the engine instead of the
+    * consumer. Use this when the sink should read as a table of
+    * current predictions rather than the refinement trajectory.
+    */
+  def scoreStreamLatest(
+      words: Dataset[StreamingWords.WordEvent],
+      weights: Map[Long, Array[Double]],
+      labels: Array[Double])(
+      implicit spark: SparkSession): Dataset[Prediction] =
+    scoreStreamWith(words, weights, labels, OutputMode.Update())
+
+  private def scoreStreamWith(
+      words: Dataset[StreamingWords.WordEvent],
+      weights: Map[Long, Array[Double]],
+      labels: Array[Double],
+      mode: OutputMode)(
       implicit spark: SparkSession): Dataset[Prediction] = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(weights)
     words
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(mode, GroupStateTimeout.NoTimeout())(
         (key: Long, events: Iterator[StreamingWords.WordEvent], state: GroupState[ScoreState]) => {
           var st = state.getOption.getOrElse(
             ScoreState(-1L, 0L, new Array[Double](labels.length)))

@@ -102,5 +102,21 @@ class StreamingScoreSpec extends SparkSpec {
     }
     info(s"series=${test.length} anytime_rows=${rows.length} batch_agreement=ok correct=$correct")
     assert(correct >= test.length / 2, "single-window tf-idf should beat chance on CBF")
+
+    // Update-mode variant: same state machine through an update sink;
+    // latest row per key must equal the append run's finals
+    val input2 = MemoryStream[StreamingWords.WordEvent]
+    val preds2 = StreamingScore.scoreStreamLatest(input2.toDS(), weights, labels.toArray)(spark)
+    val query2 = preds2.writeStream
+      .format("memory").queryName("score_out_upd").outputMode("update").start()
+    wordEvents.grouped((wordEvents.length + 2) / 3).foreach { chunk =>
+      input2.addData(chunk.toSeq)
+      query2.processAllAvailable()
+    }
+    query2.stop()
+    val updRows = spark.sql("select user_id, windows, pred from score_out_upd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val updFinals = updRows.groupBy(_._1).map { case (id, rs) => id -> rs.maxBy(_._2)._3 }
+    assert(updFinals == finals, "update-mode finals differ from append-mode finals")
   }
 }
