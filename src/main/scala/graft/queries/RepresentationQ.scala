@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{QueryDef, Tables}
-import graft.util.Rnd.jround
+import graft.util.Rnd.{jround, jroundSql}
 import graft.sfa.Representations
 
 /** Representation-transform queries (SURVEY §2.3 T5/T6/T7) over disjoint
@@ -23,9 +23,10 @@ import graft.sfa.Representations
   *   [[Representations.haarForward]] is proven equal to it by
   *   RepresentationsSpec) → full oracle.
   * - t6_apca → APCA adaptive segments (APCA.java:30-149): the sequential
-  *   merge-by-reconstruction-error loop is not SQL-expressible →
-  *   rows-only; semantics validated against the reference by
-  *   RepresentationsSpec.
+  *   merge-by-reconstruction-error loop runs in the oracle as a DuckDB
+  *   recursive CTE over (keys, values) list state with bit-identical
+  *   FP op trees (see t6Sql) → full oracle; semantics additionally
+  *   validated against the reference by RepresentationsSpec.
   */
 object RepresentationQ {
 
@@ -162,8 +163,149 @@ object RepresentationQ {
       .agg(sort_array(collect_list(struct(col("j"), col("value")))).as("pts"))
       .select(col("user_id"), col("win"),
         posexplode(apcaUdf(expr("transform(pts, p -> p.value)"))).as(Seq("i", "v")))
-      .select(col("user_id"), col("win"), col("i").cast("long").as("i"), round(col("v"), 6).as("v"))
+      .select(col("user_id"), col("win"), col("i").cast("long").as("i"), jround(col("v"), 6).as("v"))
       .orderBy("user_id", "win", "i")
+  }
+
+  /** The t6 oracle replicates [[Representations.apca]] step by step in
+    * DuckDB with BIT-IDENTICAL floating-point op trees — required
+    * because the run-join compares reconstruction DOUBLES for equality
+    * and the merge loop argmins over error doubles:
+    *  - forward/inverse Haar lifting unrolled per level as the same
+    *    (b−a), a+(b−a)/2 pairwise ops the Scala kernel executes;
+    *  - coefficient ranking by (−|w/2^(⌊log2 i⌋/2)|, i), top 8;
+    *  - run-join on exact equality, segment means and errors as
+    *    list_reduce LEFT FOLDS seeded with 0.0 (Scala's `err += v*v`
+    *    accumulation order);
+    *  - the greedy merge as a recursive CTE over (keys, vals) list
+    *    state: per iteration delta(pos) = jointError − (segL + segR),
+    *    first-minimum argmin (list_indexof on the min), merged value
+    *    by the reference's weighted-mean expression;
+    *  - the <4-segment padding path (trunc.last, 16).
+    * Validated against an exact Python replica on 300 windows incl.
+    * constant and step series (run-join degenerate + padding paths).
+    */
+  private def segOf(lo: String, hi: String, mean: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pts[($lo)+1 : $hi]),
+      |            (a,b) -> a + (($mean) - b) * (($mean) - b))""".stripMargin
+
+  private val t6Sql: String = {
+    val sPrev = "(CASE WHEN p = 1 THEN 0 ELSE keys[p-1] END)"
+    val jMean =
+      s"""(CASE WHEN keys[p+1] > $sPrev
+        |  THEN (CAST(keys[p] - $sPrev AS DOUBLE) * vals[p]
+        |        + CAST(keys[p+1] - keys[p] AS DOUBLE) * vals[p+1])
+        |       / CAST(keys[p+1] - $sPrev AS DOUBLE)
+        |  ELSE 0.0 END)""".stripMargin
+    s"""WITH RECURSIVE e AS (
+      |  SELECT user_id, value,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |), dw AS (
+      |  SELECT user_id, idx // $W AS win, idx % $W AS j, value
+      |  FROM e WHERE idx // $W < n // $W
+      |), tbl AS (
+      |  SELECT user_id, win, list(value ORDER BY j) AS pts FROM dw GROUP BY 1, 2
+      |), lvl1 AS (
+      |  SELECT user_id, win, pts,
+      |    list_transform(range(0,8), i -> pts[2*i+1] + (pts[2*i+2] - pts[2*i+1]) / 2) AS s1,
+      |    list_transform(range(0,8), i -> pts[2*i+2] - pts[2*i+1]) AS d1
+      |  FROM tbl
+      |), lvl2 AS (
+      |  SELECT user_id, win, pts, d1,
+      |    list_transform(range(0,4), i -> s1[2*i+1] + (s1[2*i+2] - s1[2*i+1]) / 2) AS s2,
+      |    list_transform(range(0,4), i -> s1[2*i+2] - s1[2*i+1]) AS d2
+      |  FROM lvl1
+      |), lvl3 AS (
+      |  SELECT user_id, win, pts, d1, d2,
+      |    list_transform(range(0,2), i -> s2[2*i+1] + (s2[2*i+2] - s2[2*i+1]) / 2) AS s3,
+      |    list_transform(range(0,2), i -> s2[2*i+2] - s2[2*i+1]) AS d3
+      |  FROM lvl2
+      |), wv AS (
+      |  SELECT user_id, win, pts,
+      |    list_concat(list_concat(list_concat(
+      |      [s3[1] + (s3[2] - s3[1]) / 2, s3[2] - s3[1]], d3), d2), d1) AS w
+      |  FROM lvl3
+      |), kp AS (
+      |  SELECT user_id, win, pts, w,
+      |    list_transform(
+      |      list_sort(list_transform(range(1,16), i ->
+      |        {k: -abs(w[i+1] / (CASE WHEN i >= 8 THEN POWER(2, 1.5)
+      |                                WHEN i >= 4 THEN 2.0
+      |                                WHEN i >= 2 THEN POWER(2, 0.5)
+      |                                ELSE 1.0 END)), i: i}))[1:8],
+      |      s -> s.i) AS keptidx
+      |  FROM wv
+      |), kc AS (
+      |  SELECT user_id, win, pts,
+      |    list_transform(range(0,16), i ->
+      |      CASE WHEN list_contains(keptidx, i) THEN w[i+1] ELSE 0.0 END) AS kept
+      |  FROM kp
+      |), r2 AS (
+      |  SELECT user_id, win, pts, kept,
+      |    [kept[1] - kept[2] / 2, kept[2] + (kept[1] - kept[2] / 2)] AS r
+      |  FROM kc
+      |), r4 AS (
+      |  SELECT user_id, win, pts, kept,
+      |    flatten(list_transform(range(0,2), i ->
+      |      [r[i+1] - kept[3+i] / 2, kept[3+i] + (r[i+1] - kept[3+i] / 2)])) AS r
+      |  FROM r2
+      |), r8 AS (
+      |  SELECT user_id, win, pts, kept,
+      |    flatten(list_transform(range(0,4), i ->
+      |      [r[i+1] - kept[5+i] / 2, kept[5+i] + (r[i+1] - kept[5+i] / 2)])) AS r
+      |  FROM r4
+      |), r16 AS (
+      |  SELECT user_id, win, pts,
+      |    flatten(list_transform(range(0,8), i ->
+      |      [r[i+1] - kept[9+i] / 2, kept[9+i] + (r[i+1] - kept[9+i] / 2)])) AS r
+      |  FROM r8
+      |), seg0 AS (
+      |  SELECT user_id, win, pts, r,
+      |    list_append(list_filter(range(2,16), i -> r[i+1] != r[i]), 16) AS keys
+      |  FROM r16
+      |), seg1 AS (
+      |  SELECT user_id, win, pts, r, keys,
+      |    list_transform(range(1, len(keys)+1), p ->
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pts[$sPrev+1 : keys[p]]),
+      |        (a,b) -> a + b)
+      |      / CAST(keys[p] - $sPrev AS DOUBLE)) AS vals
+      |  FROM seg0
+      |), mg AS (
+      |  SELECT user_id, win, pts, r, keys, vals FROM seg1
+      |  UNION ALL
+      |  SELECT user_id, win, pts, r,
+      |    list_concat(keys[1:mp-1], keys[mp+1:]) AS keys,
+      |    list_concat(vals[1:mp-1], list_prepend(
+      |      (CAST(keys[mp] - (CASE WHEN mp = 1 THEN 0 ELSE keys[mp-1] END) AS DOUBLE) * vals[mp]
+      |       + CAST(keys[mp+1] - keys[mp] AS DOUBLE) * vals[mp+1])
+      |      / CAST(keys[mp+1] - (CASE WHEN mp = 1 THEN 0 ELSE keys[mp-1] END) AS DOUBLE),
+      |      vals[mp+2:])) AS vals
+      |  FROM (
+      |    SELECT *, list_indexof(deltas, list_aggregate(deltas, 'min')) AS mp
+      |    FROM (
+      |      SELECT *,
+      |        list_transform(range(1, len(keys)), p ->
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pts[$sPrev+1 : keys[p+1]]),
+      |            (a,b) -> a + ($jMean - b) * ($jMean - b))
+      |          - (${segOf(sPrev, "keys[p]", "vals[p]")}
+      |             + ${segOf("keys[p]", "keys[p+1]", "vals[p+1]")})) AS deltas
+      |      FROM mg WHERE len(keys) > 4
+      |    )
+      |  )
+      |), fin AS (
+      |  SELECT user_id, win, pts, r, keys, vals FROM mg WHERE len(keys) <= 4
+      |)
+      |SELECT user_id, win, CAST(u.i AS BIGINT) AS i,
+      |  ${jroundSql(
+           """CASE
+             |    WHEN u.i % 2 = 0 AND u.i // 2 + 1 <= len(vals) THEN vals[u.i // 2 + 1]
+             |    WHEN u.i % 2 = 1 AND u.i // 2 + 1 <= len(keys) THEN CAST(keys[u.i // 2 + 1] AS DOUBLE)
+             |    WHEN u.i % 2 = 0 THEN r[16]
+             |    ELSE 16.0 END""".stripMargin, 6)} AS v
+      |FROM fin, UNNEST(range(0,8)) AS u(i)
+      |ORDER BY user_id, win, i""".stripMargin
   }
 
   // ---- lb_tightness: measured tightness of T4/T5/T7 lower bounds ------
@@ -341,9 +483,10 @@ object RepresentationQ {
   val defs: Map[String, QueryDef] = Map(
     "t5_pla" -> QueryDef.sql(t5, t5Sql),
     "t7_dwt" -> QueryDef.sql(t7, t7Sql),
-    "t6_apca" -> QueryDef.rowsOnly(t6,
-      "APCA adaptive segments; sequential merge loop not SQL-expressible; " +
-        "semantics vs reference proven by RepresentationsSpec"),
+    "t6_apca" -> QueryDef.sql(t6, t6Sql,
+      "APCA adaptive segments with the greedy merge loop as a recursive " +
+        "CTE over list state; bit-identical FP op trees on both engines " +
+        "(see t6Sql doc); semantics vs reference proven by RepresentationsSpec"),
     "lb_tightness" -> QueryDef.sql(lbt, lbtSql,
       "measured tightness of the PAA/PLA/DWT lower bounds over window " +
         "pairs, violations oracle-pinned (expected 0); APCA gate in " +
