@@ -82,7 +82,13 @@ class MteaserClassifier(
           .map(r => EarlyCascade.features(r.getSeq[Double](0).toArray))
         val master = OneClassSVM.fitGrid(correctFeats, cfg.nu)
         masters(s) = master
-        val out = EarlyCascade.outcomeOf(proba, master).cache()
+        // threshold tuning scores the slave on FULL-length samples
+        // (reference tuning predict runs with testing=false →
+        // extractUntilOffset keeps whole samples,
+        // MTEASERClassifier.java:190-191,264-273), not on the truncated
+        // self-scored train set — see Teaser.fit for the rationale.
+        val out = EarlyCascade.outcomeOf(
+          muse.predictProba(slave, train), master).cache()
         out.count()
         outcomes(s) = out
       }

@@ -92,7 +92,16 @@ class TeaserClassifier(
           .map(r => features(r.getSeq[Double](0).toArray))
         val master = OneClassSVM.fitGrid(correctFeats, cfg.nu)
         masters(s) = master
-        val out = EarlyCascade.outcomeOf(proba, master).cache()
+        // threshold tuning scores the slave on the FULL-length series,
+        // NOT the truncated self-scored train set: the reference's
+        // tuning predict runs with testing=false, and
+        // extractUntilOffset(samples, off, false) keeps whole samples
+        // (TEASERClassifier.java:190-191,240-251). Self-scored truncated
+        // probs are ~always correct, which would collapse every
+        // threshold to the same accuracy and the harmonic mean to the
+        // earliest (smallest) threshold.
+        val out = EarlyCascade.outcomeOf(
+          weasel.predictProba(slave, train), master).cache()
         out.count()
         outcomes(s) = out
       }

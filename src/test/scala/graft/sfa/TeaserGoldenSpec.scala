@@ -5,16 +5,21 @@ import graft.ts.Loaders
 
 /** TEASER gates.
   *
-  * The full golden replication of TEASERClassifierTest (CBF accuracy
-  * 0.982, earliness 0.64, DELTA 0.05) trains S−1 = 19 WEASEL slaves and
-  * runs ~75 min on local[8] — it is tagged `graft.Slow` and excluded
-  * from the default `sbt test` (run explicitly via
+  * The full golden replicates TEASERClassifierTest exactly: S = 10
+  * (the test sets `TEASERClassifier.S = 10`), full CBF train/test
+  * split, goldens accuracy 0.982 / earliness 0.64 with the reference's
+  * own DELTA = 0.05 (AbstractClassifierTest.java:25,110-125). Measured
+  * full-run result (2026-08-13): accuracy 0.9867 ✓, earliness 0.5836 —
+  * 0.006 outside the 0.05 band on the EARLY side. The residual gap is
+  * the documented MLlib-LR-for-liblinear slave substitution (sharper
+  * softmax probabilities → the one-class master accepts slightly
+  * sooner), so the earliness band here is 0.08 (tracked in BASELINE.md
+  * § Deviations; was 0.15 in round 3 with the quantile master — the
+  * real SVM master + full-length threshold tuning closed most of it).
+  * It trains 9 WEASEL slaves + one-class SVM masters and runs ~15 min
+  * on local[*] — it is tagged `graft.Slow` and excluded from the
+  * default `sbt test` (run explicitly via
   * `testOnly graft.sfa.TeaserGoldenSpec -- -n graft.Slow`).
-  * Recent full runs (with the (1−2ν)-quantile master): accuracy 0.973 /
-  * 0.967 vs golden 0.982 (±0.05 ✓ both), earliness 0.771 / 0.764 vs
-  * 0.64 (±0.15 ✓ both) — the documented distance-quantile master
-  * substitute trades some earliness for accuracy relative to the
-  * reference's one-class SVM.
   *
   * The smoke gate below keeps TEASER exercised in CI: a reduced cascade
   * (S=6, single-norm f=6 slave, 3-fold CV) on a 100-sample CBF subset
@@ -28,15 +33,14 @@ class TeaserGoldenSpec extends SparkSpec {
       graft.Slow) {
     import spark.implicits._
     val train = Loaders.loadUcrLocal(s"$base/CBF/CBF_TRAIN").toSeq.toDF()
-    val test = Loaders.loadUcrLocal(s"$base/CBF/CBF_TEST")
-      .filter(_.id % 3 == 0).toSeq.toDF() // 300 of 900
+    val test = Loaders.loadUcrLocal(s"$base/CBF/CBF_TEST").toSeq.toDF()
 
-    val clf = new TeaserClassifier()
+    val clf = new TeaserClassifier(Teaser.Config(s = 10))
     val (model, acc, earliness) = clf.eval(train, test)
     info(s"CBF threshold=${model.threshold} slaves=${model.slaves.size} " +
       f"acc=$acc%.4f earliness=$earliness%.3f")
     assert(math.abs(acc - 0.982) <= 0.05, s"accuracy $acc vs golden 0.982")
-    assert(math.abs(earliness - 0.64) <= 0.15, s"earliness $earliness vs golden 0.64")
+    assert(math.abs(earliness - 0.64) <= 0.08, s"earliness $earliness vs golden 0.64")
   }
 
   test("TEASER smoke: early decisions on CBF with a reduced cascade") {
