@@ -294,7 +294,7 @@ object SfaQ {
   private val t3Sql = prefix +
     s"\nSELECT user_id, win, coef, ${jroundSql("v", 6)} AS v FROM ddft ORDER BY user_id, win, coef"
 
-  private val f2Sql = prefix +
+  private[queries] val f2Sql = prefix +
     "\nSELECT coef, pos, edge FROM bounds ORDER BY coef, pos"
 
   private val t8Sql = prefix +

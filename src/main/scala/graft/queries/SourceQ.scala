@@ -13,8 +13,12 @@ import graft.ts.Loaders
   * the SAME fixture files via `read_text`/`read_csv` and replicate the
   * loader semantics (separator sniffing, NaN/header skipping, z-norm) in
   * SQL — an independent second implementation of the parsing contract.
-  * The roundtrip queries (s8/s9/s10) are genuinely non-SQL (they test
-  * artifact IO) and stay rows-only with ModelIOSpec as their gate.
+  * The roundtrip queries (s8/s10) pair the artifact IO with oracles
+  * that recompute the persisted CONTENT from the raw tables (equi-depth
+  * bins, per-prefix counts) — the roundtrip is lossless, so the
+  * reloaded artifact must hash-match the direct computation. s9 (fitted
+  * classifier ensembles) stays rows-only with ModelIOSpec's
+  * predictions-equal gates.
   */
 object SourceQ {
 
@@ -289,12 +293,32 @@ object SourceQ {
       .orderBy("prefix")
   }
 
+  /** S10 oracle: recompute the index content from the raw events — the
+    * 32-point z-normed slices of even users, word = sign bits of the
+    * first 4 points, prefix = integer-packed first 2 bits (saveIndex's
+    * aggregate fold with usedBits = 1), counted per prefix. Sign bits
+    * are FP-robust cross-engine: the sign of (value − mean)·(1/σ)
+    * equals the sign of (value − mean)/σ exactly.
+    */
+  private val s10Sql = IndexQ.symCtes +
+    s"""
+      |, pb AS (
+      |  SELECT user_id,
+      |    CAST(SUM((CASE WHEN x < 0 THEN 0 ELSE 1 END)
+      |             * (CASE WHEN j = 0 THEN 2 ELSE 1 END)) AS BIGINT) AS prefix
+      |  FROM sl WHERE user_id % 2 = 0 AND j < 2 GROUP BY 1
+      |)
+      |SELECT prefix, COUNT(*) AS n FROM pb GROUP BY 1 ORDER BY prefix""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "s9_classifier_roundtrip" -> QueryDef.rowsOnly(s9,
       "BOSS ensemble -> columnar artifact -> reload; exact roundtrip " +
         "gate in ModelIOSpec"),
-    "s10_index_layout" -> QueryDef.rowsOnly(s10,
-      "prefix-partitioned index layout roundtrip; ModelIOSpec/IndexSpec"),
+    "s10_index_layout" -> QueryDef.sql(s10, s10Sql,
+      "prefix-partitioned index layout roundtrip; the oracle recomputes " +
+        "the per-prefix counts from the raw events (sign-bit words over " +
+        "the z-normed slices), so a lossy save/load would hash-mismatch; " +
+        "also ModelIOSpec/IndexSpec"),
     "s1_ucr_load" -> QueryDef.sql(s1, s1Sql,
       "UCR loader on the reference's CBF fixture; oracle re-parses the " +
         "same file via read_text; also LoadersSpec"),
@@ -308,7 +332,9 @@ object SourceQ {
       "whole-file long-series reader on power_data.dat; read_text oracle"),
     "s6_query_series" -> QueryDef.sql(s6, s6Sql,
       "query-series reader on query_lightcurves.txt; read_text oracle"),
-    "s8_model_roundtrip" -> QueryDef.rowsOnly(s8,
-      "SFA quantizer fit → parquet artifact → reload; exact-equality " +
-        "gate in ModelIOSpec"))
+    "s8_model_roundtrip" -> QueryDef.sql(s8, SfaQ.f2Sql,
+      "SFA quantizer fit → parquet artifact → reload; the roundtrip is " +
+        "lossless (exact-equality gate in ModelIOSpec), so the reloaded " +
+        "bins must equal the directly-fitted ones — the oracle IS the " +
+        "f2 equi-depth SQL, making a lossy artifact hash-mismatch"))
 }
