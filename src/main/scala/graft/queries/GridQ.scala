@@ -359,10 +359,13 @@ object GridQ {
         applyZNorm = false)
       val test0 = graft.ts.Loaders.loadMultivariate(s, s"$base/PenDigits/PenDigits_TEST3",
         applyZNorm = false)
-      // raw 2-dim channels (no derivatives) and 3 snapshots: the cascade
-      // mechanics under test, the full driver config is MteaserSpec's
-      val train = train0.filter(col("id") <= 120)
-      val test = test0.filter(col("id") <= 80)
+      // raw 2-dim channels (no derivatives), 3 snapshots: the cascade
+      // mechanics under test, the full driver config is MteaserSpec's.
+      // Each MUSE slave fit costs ~5 s of PLAN DEPTH regardless of row
+      // count (quantizer grid → bags → χ² → dict → LR), so the fixture
+      // trims rows, and the bench cost is slave-fit depth, not data
+      val train = train0.filter(col("id") <= 60)
+      val test = test0.filter(col("id") <= 60)
       val clf = new graft.sfa.MteaserClassifier(
         graft.sfa.Mteaser.Config(s = 4),
         graft.sfa.Muse.Config(minF = 2, maxF = 2, folds = 2, bigrams = false,

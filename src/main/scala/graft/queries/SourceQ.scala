@@ -262,7 +262,7 @@ object SourceQ {
         "/root/reference/src/main/resources/datasets/univariate/CBF/CBF_TRAIN")
       new graft.sfa.WeaselClassifier(graft.sfa.Weasel.Config(
         minF = 4, maxF = 4, folds = 2, normalization = Seq(true),
-        minWindowLength = 8, maxWindowLength = 16)).fit(train)
+        minWindowLength = 8, maxWindowLength = 12)).fit(train)
     }
     ModelIO.saveWeasel(weasel, s"$tmpDir/graft_s9_weasel")
     val w = ModelIO.loadWeasel(s"$tmpDir/graft_s9_weasel")

@@ -204,7 +204,11 @@ object Stats {
     val df_ = allBags.groupBy("word").agg(countDistinct("doc_id").as("df"))
       .crossJoin(broadcast(totalDocs))
       .filter(col("df") <= col("nd") * VocabDfFrac)
-    val bags = allBags.join(df_.select("word"), "word")
+    // eager cache: test, train and selfsq all branch from `bags`; left
+    // lazy, each branch re-runs tokenize→groupBy→vocab-join (the
+    // concurrent-subtree recompute rule — see Pipelines.cachedDF)
+    val bags = allBags.join(df_.select("word"), "word").cache()
+    bags.count()
 
     // Plan: inverted-index equi-join on word (the same decomposition the
     // oracle uses): candidates = pairs sharing ≥1 selected word,
@@ -220,7 +224,10 @@ object Stats {
     val train = bags.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id").as("rid"), col("word"), col("c").as("rc"))
     val selfsq = test.groupBy("tid").agg(sum(col("tc") * col("tc")).as("selfsq"))
-    val shared = test.join(train, Seq("word"))
+    // the held-out side is 10% of docs — broadcast it so the big train
+    // posting list streams map-side instead of shuffling into a
+    // sort-merge join; the (tid, rid) aggregate still combines map-side
+    val shared = broadcast(test).join(train, Seq("word"))
       .groupBy("tid", "rid")
       .agg(sum((col("tc") - col("rc")) * (col("tc") - col("rc"))).as("sdist"),
         sum(col("tc") * col("tc")).as("tshared"))
