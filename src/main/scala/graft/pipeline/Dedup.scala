@@ -164,17 +164,22 @@ object Dedup {
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // cache before the self-join: both join sides branch from `bands`,
+    // and an uncached branch re-runs the whole 32-min signature
+    // aggregation per side (the concurrent-subtree recompute rule)
     val bands = sigs
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, ${NumHashes / RowsPerBand - 1}), " +
             s"b -> md5(concat_ws('|', transform(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), x -> cast(x as string)))))"))
           .as(Seq("band", "bandkey")))
+      .cache()
     val l = bands.select(col("band"), col("bandkey"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("bandkey"), col("doc_id").as("b"))
     val cand = l.join(r, Seq("band", "bandkey")).filter(col("a") < col("b"))
       .select("a", "b").distinct().cache()
     System.err.println(s"[dedup] minhash LSH candidate pairs: ${cand.count()}")
+    bands.unpersist() // cand is materialized; the band table is spent
 
     // verify: exact jaccard over capped shingles of CANDIDATE docs only
     val candIds = cand.select(col("a").as("doc_id"))
