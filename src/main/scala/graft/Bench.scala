@@ -36,8 +36,14 @@ object Bench {
     // it; later consumers reuse it, as a real session would
     graft.util.Pipelines.clear()
 
+    // local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset
+    // (the driver never sets it — full run is the default)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -78,10 +78,15 @@ object IndexQ {
       }
       word
     }
+    // cache the POST-quantization frames (tiny: slices + 8-symbol words)
+    // — five j-queries branch from them, and left lazy each branch
+    // re-runs slice→DFT→quantize per job
     val corpus = corpus0.select(col("user_id").as("id"), col("data"),
-      quantUdf(col("approx")).as("word"), col("approx"))
+      quantUdf(col("approx")).as("word"), col("approx")).cache()
     val queries = queries0.select(col("user_id").as("qid"), col("data").as("qdata"),
-      quantUdf(col("approx")).as("qword"), col("approx").as("qapprox"))
+      quantUdf(col("approx")).as("qword"), col("approx").as("qapprox")).cache()
+    corpus.count(); queries.count()
+    sl.unpersist()
     (corpus, queries, bins)
   }
 

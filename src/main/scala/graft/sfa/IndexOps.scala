@@ -145,7 +145,7 @@ object IndexOps {
     // per coefficient the distance is to the [mn, mx] interval, which
     // contains every member's approx value — box-LB ≤ member approx
     // distance ≤ true distance
-    val boxLbUdf = udf { (mns: Seq[Double], mxs: Seq[Double], qa: Seq[Double]) =>
+    def boxLb(mns: Seq[Double], mxs: Seq[Double], qa: Seq[Double]): Double = {
       def dist(i: Int): Double =
         if (qa(i) < mns(i)) mns(i) - qa(i)
         else if (qa(i) > mxs(i)) qa(i) - mxs(i)
@@ -165,7 +165,12 @@ object IndexOps {
       }
       d
     }
-    val prefixCol = expr(s"slice(word, ${prefixStart + 1}, $prefixLen)")
+    // pack the prefix symbols into a LONG: an ARRAY join key is not
+    // hashable, so every prefix equi-join would degrade to a broadcast
+    // nested-loop over (corpus × survivor) pairs — the hash join needs a
+    // scalar. 256 ≥ any alphabet in use (reference caps α at 8).
+    val prefixCol = expr(
+      s"aggregate(slice(word, ${prefixStart + 1}, $prefixLen), 0L, (acc, s) -> acc * 256 + s)")
     val narrow = corpus.select(col("id"), col("word"), prefixCol.as("prefix"))
     val payload = corpus.select(col("id"), col("data"))
     val qNarrow = queries.select(col("qid"), col("qword"), col("qapprox"))
@@ -177,10 +182,15 @@ object IndexOps {
       .withColumn("d2", ed2Udf(col("data"), col("qdata")))
       .drop("data", "qdata")
 
-    // phase 0: per-prefix Fourier bounding boxes + member counts —
-    // one narrow scan at build time (persisted layouts carry these as
-    // parquet column stats; see ModelIO.saveIndex / a8_minmax_boxes)
-    val boxes = corpus
+    // phase 0: per-prefix Fourier bounding boxes + member counts — one
+    // narrow distributed agg, then COLLECTED: ≤ α^prefixLen rows of 2·l
+    // doubles, the same model-sized driver state as the fitted bin
+    // edges (persisted layouts carry these as parquet column stats; see
+    // ModelIO.saveIndex / a8_minmax_boxes). The probe plan and survivor
+    // sets over (prefix × query) are then pure driver arithmetic — the
+    // earlier all-DataFrame formulation spent ~2× the brute-scan's
+    // whole wall time scheduling eight tiny jobs at sf0.1.
+    val boxRows = corpus
       .select(prefixCol.as("prefix"), posexplode(col("approx")).as(Seq("coef", "v")))
       .groupBy("prefix", "coef")
       .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("cnt"))
@@ -188,57 +198,88 @@ object IndexOps {
       .agg(max("cnt").as("cnt"),
         expr("transform(sort_array(collect_list(struct(coef, mn))), p -> p.mn)").as("mns"),
         expr("transform(sort_array(collect_list(struct(coef, mx))), p -> p.mx)").as("mxs"))
-      .cache()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3)))
+    // queries are the broadcast side of every join below — collecting
+    // (qid, qapprox) adds no state the broadcasts don't already ship
+    val qRows = queries.select(col("qid").cast("long"), col("qapprox")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
-    // box LB per (query × prefix) — a tiny table (prefix count × Q)
-    val qb = boxes.crossJoin(broadcast(qNarrow))
-      .withColumn("boxlb", boxLbUdf(col("mns"), col("mxs"), col("qapprox")))
-      .select(col("qid"), col("prefix"), col("cnt"), col("boxlb"))
-      .cache()
-    qb.count()
-
-    // phase 1: probe the lowest-box-LB prefixes until their cumulative
-    // member count reaches `probe`; verify those members exactly
-    val byBox = Window.partitionBy(col("qid"))
-      .orderBy(col("boxlb").asc, col("prefix").asc)
-    val cum = qb.withColumn("cum",
-      sum(col("cnt")).over(byBox.rowsBetween(Window.unboundedPreceding, 0)))
-    val probePrefixes = cum.filter(col("cum") - col("cnt") < probe)
-      .select(col("qid"), col("prefix"), col("cnt"))
-    val probed0 = narrow.join(broadcast(probePrefixes.select("qid", "prefix")), Seq("prefix"))
+    // phase 1 plan (driver): per query, box-LB every prefix, take the
+    // lowest-box-LB prefixes until their cumulative member count
+    // reaches `probe`
+    val probePairs = qRows.flatMap { case (qid, qa) =>
+      val ranked = boxRows
+        .map { case (p, cnt, mns, mxs) => (p, cnt, boxLb(mns, mxs, qa)) }
+        .sortBy { case (p, _, lb) => (lb, p) }
+      var cum = 0L
+      ranked.takeWhile { case (_, cnt, _) =>
+        val before = cum; cum += cnt; before < probe
+      }.map { case (p, cnt, _) => (qid, p, cnt) }
+    }
+    val qidType = queries.schema("qid").dataType
+    def pairDF(rows: Array[(Long, Long, Long)]): DataFrame = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("qid", LongType), StructField("prefix", LongType)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(t => org.apache.spark.sql.Row(t._1, t._2)): _*),
+        schema).withColumn("qid", col("qid").cast(qidType))
+    }
+    // verify the probed members exactly → τ = per-query kth-best (the
+    // collect is Q rows; a query whose probe bucket held < k rows gets
+    // no τ and keeps every prefix un-prunable below)
+    val probed0 = narrow
+      .join(broadcast(pairDF(probePairs)), Seq("prefix"))
       .select(col("qid"), col("id"))
+      .cache()
     val byD = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
-    val tau = verify(probed0)
+    val tauMap: Map[Long, Double] = verify(probed0)
       .withColumn("drn", row_number().over(byD))
       .filter(col("drn") === k)
-      .select(col("qid"), col("d2").as("tau"))
+      .select(col("qid").cast("long"), col("d2"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
 
-    // phase 2: drop prefixes whose box LB exceeds τ; LB-scan only the
-    // survivors; verify rows with LB ≤ τ (exactness: boxLB ≤ LB ≤ d2)
-    val surv = qb.join(broadcast(tau), Seq("qid"))
-      .filter(col("boxlb") <= col("tau"))
-      .select(col("qid"), col("prefix"), col("cnt"))
-    val phase2 = narrow.join(broadcast(surv.select("qid", "prefix")), Seq("prefix"))
+    // phase 2 plan (driver): drop prefixes whose box LB exceeds τ; the
+    // survivors' members get LB-scanned, rows with LB ≤ τ verified
+    // (exactness: boxLB ≤ LB ≤ d2)
+    // probe prefixes are excluded: every member is already exactly
+    // verified in probed0, so phase 2 and the probe set stay DISJOINT
+    // and the final union needs no dedup shuffle
+    val probedSet = probePairs.map { case (qid, p, _) => (qid, p) }.toSet
+    val survPairs = qRows.flatMap { case (qid, qa) =>
+      tauMap.get(qid) match {
+        case Some(t) => boxRows.collect {
+          case (p, cnt, mns, mxs)
+            if !probedSet((qid, p)) && boxLb(mns, mxs, qa) <= t => (qid, p, cnt)
+        }
+        // no τ ⇒ the probe pass already verified every member this
+        // query's prefixes hold (< k candidates exist at all) — nothing
+        // left to LB-scan
+        case None => Array.empty[(Long, Long, Long)]
+      }
+    }
+    val tauUdf = udf { (qid: Long) => tauMap.get(qid) }
+    val phase2 = narrow.join(broadcast(pairDF(survPairs)), Seq("prefix"))
       .join(broadcast(qNarrow), Seq("qid"))
       .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
-      .join(broadcast(tau), Seq("qid"))
-      .filter(col("lb") <= col("tau"))
+      .filter(col("lb") <= tauUdf(col("qid").cast("long")))
       .select(col("qid"), col("id"))
-    // a query whose probe bucket held < k rows yields no τ row and no
-    // phase-2 rows; its probed candidates alone rank (complete corpus)
-    val fin = verify(phase2.union(probed0).distinct())
+    val fin = verify(phase2.union(probed0))
       .withColumn("rank", row_number().over(byD).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("d2"))
 
-    // pruning telemetry from the tiny prefix tables
-    val corpusRows = boxes.agg(sum("cnt")).head.getLong(0)
-    val queryRows = qNarrow.count()
-    val probeVerified = probePrefixes.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
-    val lbScanned = surv.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
-    val stats = KnnStats(corpusRows, queryRows, probeVerified, lbScanned)
+    // pruning telemetry — free: the prefix tables live on the driver
+    val stats = KnnStats(
+      corpusRows = boxRows.map(_._2).sum,
+      queryRows = qRows.length.toLong,
+      probeVerified = probePairs.map(_._3).sum,
+      lbScanned = survPairs.map(_._3).sum)
     System.err.println(
-      f"[knn] box pruning: LB-scanned ${stats.lbScanned} of ${corpusRows * queryRows} " +
+      f"[knn] box pruning: LB-scanned ${stats.lbScanned} of ${stats.corpusRows * stats.queryRows} " +
         f"(corpus×query) pairs = ${stats.scanFraction * 100}%.1f%%")
     (fin, stats)
   }
