@@ -359,15 +359,20 @@ object GridQ {
         applyZNorm = false)
       val test0 = graft.ts.Loaders.loadMultivariate(s, s"$base/PenDigits/PenDigits_TEST3",
         applyZNorm = false)
-      // raw 2-dim channels (no derivatives), 3 snapshots: the cascade
+      // raw 2-dim channels (no derivatives), 2 snapshots: the cascade
       // mechanics under test, the full driver config is MteaserSpec's.
       // Each MUSE slave fit costs ~5 s of PLAN DEPTH regardless of row
       // count (quantizer grid → bags → χ² → dict → LR), so the fixture
-      // trims rows, and the bench cost is slave-fit depth, not data
-      val train = train0.filter(col("id") <= 60)
-      val test = test0.filter(col("id") <= 60)
+      // trims rows AND snapshots, and the bench cost is slave-fit
+      // depth, not data
+      // cache the filtered fixtures: the cascade fit/predict run ~15
+      // actions, and uncached each one re-parses the 4 MB CSV and
+      // re-runs the long-format groupBy
+      val train = train0.filter(col("id") <= 60).cache()
+      val test = test0.filter(col("id") <= 60).cache()
+      train.count(); test.count()
       val clf = new graft.sfa.MteaserClassifier(
-        graft.sfa.Mteaser.Config(s = 4),
+        graft.sfa.Mteaser.Config(s = 3),
         graft.sfa.Muse.Config(minF = 2, maxF = 2, folds = 2, bigrams = false,
           histTypes = Seq(graft.sfa.HistogramType.EquiDepth),
           normalization = Seq(false)))

@@ -258,11 +258,15 @@ object SourceQ {
       .map(m => ("boss", m.norm, m.windowLength.toLong, m.features.toLong, m.trainCorrect))
 
     val weasel = graft.util.Pipelines.cachedObj(s, "weasel.s9fit") {
+      // cache: the WEASEL fit's many actions would re-parse the CSV each
       val train = graft.ts.Loaders.loadUcr(s,
-        "/root/reference/src/main/resources/datasets/univariate/CBF/CBF_TRAIN")
+        "/root/reference/src/main/resources/datasets/univariate/CBF/CBF_TRAIN").cache()
+      // reduced fixture: the round-trip under test is save/load equality
+      // (ModelIOSpec asserts predictions-equal on the full config); two
+      // windows keep the persisted-artifact shape without a grid sweep
       new graft.sfa.WeaselClassifier(graft.sfa.Weasel.Config(
         minF = 4, maxF = 4, folds = 2, normalization = Seq(true),
-        minWindowLength = 8, maxWindowLength = 12)).fit(train)
+        minWindowLength = 8, maxWindowLength = 9)).fit(train)
     }
     ModelIO.saveWeasel(weasel, s"$tmpDir/graft_s9_weasel")
     val w = ModelIO.loadWeasel(s"$tmpDir/graft_s9_weasel")

@@ -57,31 +57,37 @@ class MteaserClassifier(
     slaveCfg: Muse.Config = Muse.Config()) {
   import Mteaser._
 
-  def fit(train: DataFrame)(implicit spark: SparkSession): MteaserModel = {
+  def fit(train0: DataFrame)(implicit spark: SparkSession): MteaserModel = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val muse = new MuseClassifier(slaveCfg)
+    // eager cache: the per-snapshot fits below run CONCURRENTLY and all
+    // branch from `train` — against a lazy input each would race to
+    // recompute the whole upstream plan (the Pipelines.cachedDF rule)
+    val train = train0.cache()
+    train.count()
     val maxLen = sampleLens(train).select(max(col("len"))).head.getInt(0)
     val maxL = math.min(maxLen, cfg.maxWindowLength)
     val step = maxL / cfg.s.toDouble
     val offsets = new Array[Int](cfg.s + 1)
+    for (s <- 2 to cfg.s) offsets(s) = math.round(step * s).toInt
 
-    val slaves = scala.collection.mutable.Map.empty[Int, Muse.MuseModel]
-    val masters = scala.collection.mutable.Map.empty[Int, OneClassSVM.Model]
-    val outcomes = scala.collection.mutable.Map.empty[Int, DataFrame]
-
-    for (s <- 2 to cfg.s) {
-      offsets(s) = math.round(step * s).toInt
-      if (offsets(s) >= cfg.minLen) {
+    // snapshots are independent until the threshold fold — fit them in
+    // parallel driver threads (Spark interleaves the jobs); each fit's
+    // cost is plan depth, not data volume, so overlap hides the
+    // scheduling latency the sequential loop serialized
+    val fitted = (2 to cfg.s).filter(offsets(_) >= cfg.minLen).map { s =>
+      s -> Future {
         val truncated = truncate(train, offsets(s))
         // one pass: the final refit's vectors score the train set too
         val (slave, proba) = muse.fitWithProba(truncated)
-        slaves(s) = slave
         // the ONLY collect: correct-sample features for the driver-side
         // one-class problem (model-sized by design)
         val correctFeats = proba.filter(col("label") === col("pred"))
           .select(col("probs")).collect()
           .map(r => EarlyCascade.features(r.getSeq[Double](0).toArray))
         val master = OneClassSVM.fitGrid(correctFeats, cfg.nu)
-        masters(s) = master
         // threshold tuning scores the slave on FULL-length samples
         // (reference tuning predict runs with testing=false →
         // extractUntilOffset keeps whole samples,
@@ -90,8 +96,15 @@ class MteaserClassifier(
         val out = EarlyCascade.outcomeOf(
           muse.predictProba(slave, train), master).cache()
         out.count()
-        outcomes(s) = out
+        (slave, master, out)
       }
+    }
+    val slaves = scala.collection.mutable.Map.empty[Int, Muse.MuseModel]
+    val masters = scala.collection.mutable.Map.empty[Int, OneClassSVM.Model]
+    val outcomes = scala.collection.mutable.Map.empty[Int, DataFrame]
+    fitted.foreach { case (s, fut) =>
+      val (slave, master, out) = Await.result(fut, Duration.Inf)
+      slaves(s) = slave; masters(s) = master; outcomes(s) = out
     }
 
     var state = EarlyCascade.init(sampleLens(train),
