@@ -266,7 +266,7 @@ object SourceQ {
       // windows keep the persisted-artifact shape without a grid sweep
       new graft.sfa.WeaselClassifier(graft.sfa.Weasel.Config(
         minF = 4, maxF = 4, folds = 2, normalization = Seq(true),
-        minWindowLength = 8, maxWindowLength = 9)).fit(train)
+        minWindowLength = 8, maxWindowLength = 9, lrMaxIter = 5)).fit(train)
     }
     ModelIO.saveWeasel(weasel, s"$tmpDir/graft_s9_weasel")
     val w = ModelIO.loadWeasel(s"$tmpDir/graft_s9_weasel")

@@ -28,6 +28,14 @@ object Stats {
     */
   private val VocabDfFrac = 0.8
 
+  /** Vocabulary size below which the 1-NN bag join switches to the dense
+    * per-doc count-vector plan: the dictionary broadcast is dim × ~16 B
+    * and each test vector dim × 8 B, so 4096 keeps the broadcast well
+    * under execution-memory noise while covering every corpus whose
+    * small shared vocabulary would otherwise defeat the inverted index.
+    */
+  private val DenseVocabMax = 4096
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
@@ -194,31 +202,106 @@ object Stats {
     */
   private def nnBag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val allBags = tokens(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    // ONE cached tokenize→bag pass feeds everything downstream
+    // (vocabulary stats, the plan choice, and the chosen plan's input) —
+    // leaving it lazy re-runs the 4-second tokenize per action
+    val allBags = tokens(s, dir).groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("c")).cache()
+    allBags.count()
     // vocabulary selection: drop words occurring in > VocabDfFrac of all
     // docs — stop words give a near-complete bipartite join; WEASEL
     // prunes its vocabulary the same way via χ² before its joins
     // (WEASEL.java:217-339). Distances are over the selected vocabulary
     // on both engines.
-    val totalDocs = Tables.load(s, dir, "documents").agg(count(lit(1)).as("nd"))
+    val nd = Tables.load(s, dir, "documents").count()
     val df_ = allBags.groupBy("word").agg(countDistinct("doc_id").as("df"))
-      .crossJoin(broadcast(totalDocs))
-      .filter(col("df") <= col("nd") * VocabDfFrac)
-    // eager cache: test, train and selfsq all branch from `bags`; left
-    // lazy, each branch re-runs tokenize→groupBy→vocab-join (the
-    // concurrent-subtree recompute rule — see Pipelines.cachedDF)
-    val bags = allBags.join(df_.select("word"), "word").cache()
-    bags.count()
+      .filter(col("df") <= lit(nd * VocabDfFrac))
 
-    // Plan: inverted-index equi-join on word (the same decomposition the
-    // oracle uses): candidates = pairs sharing ≥1 selected word,
-    // dist = Σ_shared(tc−rc)² − Σ_shared tc² + Σ_all tc². Everything
-    // stays distributed — no train-corpus collect, no driver-sized
-    // state; the join is gated by the vocabulary selection above
-    // (stop-word pruning keeps the postings lists bounded), which is
-    // exactly how WEASEL keeps its own joins sparse
-    // (WEASEL.java:217-339). Zero-overlap train docs never appear
-    // (inner join), matching the reference's candidate semantics.
+    // Two physical plans, picked by vocabulary cardinality (a cost-based
+    // choice an optimizer would make from column stats):
+    //
+    //  - DENSE (vocab ≤ DenseVocabMax): a small shared vocabulary makes
+    //    the inverted index useless — every doc shares words with every
+    //    other, so the word equi-join materializes |test|·|train| pair
+    //    rows TIMES the shared-word count, and the (tid, rid) aggregate
+    //    shuffles millions of groups (measured 40M join rows → 17 s at
+    //    sf0.1 over a 31-word corpus). Instead: broadcast a word→index
+    //    dictionary (model-sized, like WEASEL's feature dict), build a
+    //    dense count vector per doc, broadcast the test vectors, and
+    //    fold each (train × test) pair's distance map-side; the final
+    //    groupBy(tid).min(struct(dist, rid)) partially aggregates to
+    //    ≤|test| rows per partition before the only shuffle.
+    //  - SPARSE (large vocab): the inverted-index equi-join on word
+    //    (the same decomposition the oracle uses) — at natural-language
+    //    scale the vocabulary-pruned posting lists keep the join sparse,
+    //    exactly how WEASEL keeps its own joins sparse
+    //    (WEASEL.java:217-339). The vocabulary is never collected on
+    //    this path.
+    //
+    // Both exclude zero-overlap (no shared word) train docs — the
+    // reference's candidate semantics — and rank by (dist, rid).
+    val vocabCount = df_.count()
+    val nn =
+      if (vocabCount <= DenseVocabMax)
+        nnDense(s, allBags,
+          df_.select("word").collect().map(_.getString(0)).sorted)
+      else nnSparse(allBags.join(df_.select("word"), "word"))
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang").as("pred_lang"))
+    nn.join(broadcast(docs), nn("rid") === docs("doc_id"))
+      .select(col("tid").as("test_id"), col("rid").as("nn_id"), col("dist"), col("pred_lang"))
+      .orderBy("test_id")
+  }
+
+  /** Dense-vocab 1-NN path: asymmetric distance Σ_{i: t_i>0} (t_i−r_i)²
+    * folded per pair over broadcast test vectors; zero-overlap pairs
+    * dropped. Output (tid, rid, dist) with ties → smallest rid. Words
+    * outside the selected vocabulary drop out at the dictionary lookup,
+    * so the input needs no separate vocabulary join.
+    */
+  private def nnDense(s: SparkSession, allBags: DataFrame, vocab: Array[String]): DataFrame = {
+    val idx = vocab.zipWithIndex.toMap
+    val bcIdx = s.sparkContext.broadcast(idx)
+    val dim = vocab.length
+    val vecUdf = udf { (words: Seq[String], cnts: Seq[Long]) =>
+      val a = Array.fill[Long](dim)(0L)
+      words.zip(cnts).foreach { case (w, c) => bcIdx.value.get(w).foreach(i => a(i) = c) }
+      a
+    }
+    // single-pass pair fold (distance + overlap together); measured 2×
+    // the two-HOF zip_with formulation, and neither is codegen'd
+    val distUdf = udf { (tv: Seq[Long], rv: Seq[Long]) =>
+      var d = 0L; var ov = false; var i = 0
+      while (i < tv.length) {
+        val t = tv(i)
+        if (t > 0) { val x = t - rv(i); d += x * x; if (rv(i) > 0) ov = true }
+        i += 1
+      }
+      if (ov) d else -1L // -1 = zero overlap, not a candidate
+    }
+    // materialize the vectors once: the broadcast (test) build and the
+    // streamed train side are separate consumers of this shuffle
+    val vecs = allBags.groupBy("doc_id")
+      .agg(collect_list("word").as("ws"), collect_list("c").as("cs"))
+      .select(col("doc_id"), vecUdf(col("ws"), col("cs")).as("v"))
+      .cache()
+    vecs.count()
+    val test = vecs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("tid"), col("v").as("tv"))
+    val train = vecs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("rid"), col("v").as("rv"))
+    train.crossJoin(broadcast(test))
+      .withColumn("dist", distUdf(col("tv"), col("rv")))
+      .filter(col("dist") >= 0)
+      .groupBy("tid")
+      .agg(min(struct(col("dist"), col("rid"))).as("m"))
+      .select(col("tid"), col("m.rid").as("rid"), col("m.dist").as("dist"))
+  }
+
+  /** Sparse (large-vocab) 1-NN path: inverted-index equi-join on word,
+    * dist = Σ_shared(tc−rc)² − Σ_shared tc² + Σ_all tc². Everything
+    * stays distributed — no train-corpus collect, no driver-sized state.
+    */
+  private def nnSparse(bags: DataFrame): DataFrame = {
     val test = bags.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("tid"), col("word"), col("c").as("tc"))
     val train = bags.filter(col("doc_id") % 10 =!= 0)
@@ -234,11 +317,8 @@ object Stats {
     val dists = shared.join(selfsq, Seq("tid"))
       .withColumn("dist", col("sdist") - col("tshared") + col("selfsq"))
     val byT = Window.partitionBy(col("tid")).orderBy(col("dist").asc, col("rid").asc)
-    val nn = dists.withColumn("rn", row_number().over(byT)).filter(col("rn") === 1)
-    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang").as("pred_lang"))
-    nn.join(broadcast(docs), nn("rid") === docs("doc_id"))
-      .select(col("tid").as("test_id"), col("rid").as("nn_id"), col("dist"), col("pred_lang"))
-      .orderBy("test_id")
+    dists.withColumn("rn", row_number().over(byT)).filter(col("rn") === 1)
+      .select(col("tid"), col("rid"), col("dist"))
   }
 
   private val nnBagSql =

@@ -49,26 +49,48 @@ object ModelIO {
 
   // ---- S9: BOSS ensemble ---------------------------------------------
 
+  /** One columnar table per artifact KIND, keyed by member idx — not one
+    * file per member: an ensemble is read back in 3 scans regardless of
+    * member count, and a large model store stays a handful of
+    * well-compressed parquet tables instead of 2·members tiny files.
+    */
   def saveBossEnsemble(model: Boss.EnsembleModel, path: String)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
-    model.models.zipWithIndex.foreach { case (m, i) =>
-      saveSFA(m.sfa, s"$path/sfa/m$i")
-    }
+    // member row = window-model meta + its SFA quantizer meta (1:1)
     model.models.zipWithIndex.map { case (m, i) =>
-      (i, m.norm, m.windowLength, m.features, m.trainCorrect)
-    }.toDF("idx", "norm", "w", "features", "trainCorrect")
+      (i, m.norm, m.windowLength, m.features, m.trainCorrect,
+        m.sfa.windowSize, m.sfa.wordLength, m.sfa.alphabetSize,
+        m.sfa.normMean, m.sfa.lowerBounding, m.sfa.applyZNorm)
+    }.toDF("idx", "norm", "w", "features", "trainCorrect",
+      "windowSize", "wordLength", "alphabetSize", "normMean", "lowerBounding", "applyZNorm")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/models")
+    (for {
+      (m, i) <- model.models.zipWithIndex
+      (row, coef) <- m.sfa.bins.zipWithIndex.toSeq
+      (edge, pos) <- row.zipWithIndex
+      if edge != Double.MaxValue
+    } yield (i, coef, pos, edge)).toDF("idx", "coef", "pos", "edge")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bins")
     model.trainBags.write.mode("overwrite").parquet(s"$path/trainBags")
     Seq(model.trainSize).toDF("trainSize")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def loadBossEnsemble(path: String)(implicit spark: SparkSession): Boss.EnsembleModel = {
+    val binRows = spark.read.parquet(s"$path/bins").collect()
+      .groupBy(_.getInt(0))
     val models = spark.read.parquet(s"$path/models").collect()
       .sortBy(_.getInt(0))
       .map { r =>
+        val wordLength = r.getInt(6)
+        val alpha = r.getInt(7)
+        val bins = Array.fill(wordLength)(Array.fill(alpha - 1)(Double.MaxValue))
+        binRows.getOrElse(r.getInt(0), Array.empty).foreach { b =>
+          bins(b.getInt(1))(b.getInt(2)) = b.getDouble(3)
+        }
         Boss.WindowModel(r.getBoolean(1), r.getInt(2), r.getInt(3), r.getLong(4),
-          loadSFA(s"$path/sfa/m${r.getInt(0)}"))
+          SFAModel(r.getInt(5), wordLength, alpha,
+            r.getBoolean(8), r.getBoolean(9), r.getBoolean(10), bins))
       }.toSeq
     val bags = spark.read.parquet(s"$path/trainBags")
     val trainSize = spark.read.parquet(s"$path/meta").head.getLong(0)

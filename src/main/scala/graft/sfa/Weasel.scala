@@ -42,7 +42,12 @@ object Weasel {
       minWindowLength: Int = 2,
       maxWindowLength: Int = 350,
       folds: Int = 10,
-      normalization: Seq[Boolean] = Seq(true, false))
+      normalization: Seq[Boolean] = Seq(true, false),
+      // L-BFGS iteration cap: each iteration is one treeAggregate job,
+      // so reduced-config fixture fits (artifact shape only, no
+      // accuracy claim — e.g. the s9 round-trip) cap it low to avoid
+      // paying ~100 job rounds on a 30-series fixture
+      lrMaxIter: Int = 100)
 
   /** Per-(norm, w) supervised quantizer: F-ranked coefficient indices +
     * info-gain bins at those indices.
@@ -345,7 +350,7 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
   // burns L-BFGS iterations on 10⁴-dim coefficient vectors without
   // moving the golden accuracies.
   private def newLr(n: Long) = new LogisticRegression()
-    .setMaxIter(100)
+    .setMaxIter(cfg.lrMaxIter)
     .setRegParam(1.0 / n)
     .setStandardization(false)
     .setFitIntercept(true)
