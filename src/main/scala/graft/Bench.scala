@@ -39,7 +39,7 @@ object Bench {
     // local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset
     // (the driver never sets it — full run is the default)
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map(_.split(",").toSet)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -72,68 +72,86 @@ object TextOps {
       |  FLOOR(uniq / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ttr
       |FROM m ORDER BY doc_id""".stripMargin
 
-  /** Language-ID by weighted marker-token profiles (Cavnar–Trenkle-style
-    * scoring with pluggable profiles; the profile matrix here is a fixed
-    * demo constant — swap in real per-language n-gram weights for real
-    * corpora). pred = argmax score, tie → lexicographically first lang.
+  /** Language-ID by TRAINED rank-order token profiles (Cavnar–Trenkle,
+    * "N-Gram-Based Text Categorization", 1994 — word unigrams instead
+    * of char n-grams, matching this corpus' tokenization):
+    *
+    *  - fit: per-language top-[[LangProfileK]] token ranks from the
+    *    training split (doc_id % 10 != 0), ties → token asc. The
+    *    profile is model-sized (langs × K rows) and broadcast.
+    *  - classify: every doc's own top-K token ranks, out-of-place
+    *    distance Σ |doc_rank − profile_rank| with penalty K for tokens
+    *    absent from a language's profile; pred = argmin distance,
+    *    tie → lexicographically first lang.
+    *
+    * All counts/ranks/distances are integers → bit-deterministic
+    * cross-engine. Scale shape: two groupBys (lang×token, doc×token),
+    * rank-limit windows (WindowGroupLimit keeps the per-key top-K from
+    * shuffling whole groups), one broadcast join; no all-pairs work.
     */
-  private val markers = Seq("table", "join", "window", "spark", "agg", "data")
-  private val profile: Map[String, Seq[Int]] = Map(
-    "en" -> Seq(3, 1, 2, 1, 1, 2),
-    "de" -> Seq(1, 3, 1, 2, 2, 1),
-    "es" -> Seq(2, 2, 3, 1, 1, 1),
-    "fr" -> Seq(1, 1, 2, 3, 1, 2),
-    "zh" -> Seq(2, 1, 1, 1, 3, 2))
+  private val LangProfileK = 20
 
   private def langid(s: SparkSession, dir: String): DataFrame = {
-    var df = withTokens(docs(s, dir))
-    markers.zipWithIndex.foreach { case (m, i) =>
-      df = df.withColumn(s"c$i", size(filter(col("toks"), w => w === m)).cast("long"))
-    }
-    profile.foreach { case (lang, ws) =>
-      val score = ws.zipWithIndex.map { case (wgt, i) => col(s"c$i") * wgt }
-        .reduce(_ + _)
-      df = df.withColumn(s"score_$lang", score)
-    }
-    val langs = profile.keys.toSeq.sorted
-    val best = langs.map(l => struct(col(s"score_$l").as("sc"), lit(l).as("lg")))
-      .reduce((a, b) => when(b.getField("sc") > a.getField("sc"), b).otherwise(a))
-    df.withColumn("pred", best.getField("lg"))
+    import org.apache.spark.sql.expressions.Window
+    val tok = withTokens(docs(s, dir))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+    // fit: per-language rank profiles on the training split
+    val byLang = Window.partitionBy("lang").orderBy(col("n").desc, col("w").asc)
+    val prof = tok.filter(col("doc_id") % 10 =!= 0)
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      .withColumn("prank", row_number().over(byLang).cast("long"))
+      .filter(col("prank") <= LangProfileK)
+      .select(col("lang").as("plang"), col("w"), col("prank"))
+    // classify: per-doc rank profile against every language's profile
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("n").desc, col("w").asc)
+    val docTop = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .withColumn("drank", row_number().over(byDoc).cast("long"))
+      .filter(col("drank") <= LangProfileK)
+    val langs = docTop.sparkSession.createDataFrame(
+      prof.select("plang").distinct().collect().map(r => Tuple1(r.getString(0))).toSeq
+    ).toDF("plang")
+    val dists = docTop.crossJoin(broadcast(langs))
+      .join(broadcast(prof), Seq("plang", "w"), "left")
+      .withColumn("d", coalesce(abs(col("drank") - col("prank")), lit(LangProfileK.toLong)))
+      .groupBy("doc_id", "plang").agg(sum("d").as("dist"))
+    val byDist = Window.partitionBy("doc_id").orderBy(col("dist").asc, col("plang").asc)
+    val pred = dists.withColumn("rn", row_number().over(byDist)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("pred"))
+    docs(s, dir).select(col("doc_id"), col("lang")).join(pred, "doc_id")
       .withColumn("hit", (col("pred") === col("lang")).cast("long"))
       .select("doc_id", "pred", "hit")
       .orderBy("doc_id")
   }
 
-  private val langidSql = {
-    val counts = markers.zipWithIndex.map { case (m, i) =>
-      s"CAST(len(list_filter(toks, w -> w = '$m')) AS BIGINT) AS c$i"
-    }.mkString(",\n    ")
-    val scores = profile.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      ws.zipWithIndex.map { case (wgt, i) => s"c$i*$wgt" }.mkString(" + ") + s" AS score_$lang"
-    }.mkString(",\n    ")
-    val langs = profile.keys.toSeq.sorted
-    // fold langs left-to-right with strict > (first lang wins ties)
-    val argmax = langs.tail.foldLeft(
-      s"struct_pack(sc := score_${langs.head}, lg := '${langs.head}')") {
-      (acc, l) =>
-        s"CASE WHEN score_$l > ($acc).sc THEN struct_pack(sc := score_$l, lg := '$l') ELSE $acc END"
-    }
-    s"""WITH t AS (
-      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  private val langidSql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang, UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS w
       |  FROM documents),
-      |c AS (
-      |  SELECT doc_id, lang,
-      |    $counts
-      |  FROM t),
-      |sc AS (
-      |  SELECT doc_id, lang,
-      |    $scores
-      |  FROM c)
-      |SELECT doc_id, (pick).lg AS pred,
-      |  CAST(CASE WHEN (pick).lg = lang THEN 1 ELSE 0 END AS BIGINT) AS hit
-      |FROM (SELECT doc_id, lang, $argmax AS pick FROM sc) z
-      |ORDER BY doc_id""".stripMargin
-  }
+      |prof AS (
+      |  SELECT lang AS plang, w,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, w ASC) AS BIGINT) AS prank
+      |  FROM tok WHERE doc_id % 10 <> 0 GROUP BY lang, w
+      |  QUALIFY prank <= $LangProfileK),
+      |doctop AS (
+      |  SELECT doc_id, w,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, w ASC) AS BIGINT) AS drank
+      |  FROM tok GROUP BY doc_id, w
+      |  QUALIFY drank <= $LangProfileK),
+      |langs AS (SELECT DISTINCT plang FROM prof),
+      |dists AS (
+      |  SELECT t.doc_id, l.plang,
+      |    SUM(COALESCE(ABS(t.drank - p.prank), $LangProfileK)) AS dist
+      |  FROM doctop t CROSS JOIN langs l
+      |  LEFT JOIN prof p ON p.plang = l.plang AND p.w = t.w
+      |  GROUP BY t.doc_id, l.plang),
+      |pred AS (
+      |  SELECT doc_id, plang AS pred
+      |  FROM dists
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist ASC, plang ASC) = 1)
+      |SELECT d.doc_id, pred,
+      |  CAST(CASE WHEN pred = d.lang THEN 1 ELSE 0 END AS BIGINT) AS hit
+      |FROM documents d JOIN pred USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Document fingerprinting: min-of-md5 over 5-gram shingles (a
     * deterministic 1-perm winnowing proxy); docs sharing a fingerprint are

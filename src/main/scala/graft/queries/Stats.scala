@@ -258,7 +258,7 @@ object Stats {
     * outside the selected vocabulary drop out at the dictionary lookup,
     * so the input needs no separate vocabulary join.
     */
-  private def nnDense(s: SparkSession, allBags: DataFrame, vocab: Array[String]): DataFrame = {
+  private[queries] def nnDense(s: SparkSession, allBags: DataFrame, vocab: Array[String]): DataFrame = {
     val idx = vocab.zipWithIndex.toMap
     val bcIdx = s.sparkContext.broadcast(idx)
     val dim = vocab.length
@@ -301,7 +301,7 @@ object Stats {
     * dist = Σ_shared(tc−rc)² − Σ_shared tc² + Σ_all tc². Everything
     * stays distributed — no train-corpus collect, no driver-sized state.
     */
-  private def nnSparse(bags: DataFrame): DataFrame = {
+  private[queries] def nnSparse(bags: DataFrame): DataFrame = {
     val test = bags.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("tid"), col("word"), col("c").as("tc"))
     val train = bags.filter(col("doc_id") % 10 =!= 0)
