@@ -131,8 +131,8 @@ object Dedup {
 
   /** MinHash band count and rows-per-band: 32 hashes → 8 bands × 4 rows
     * (candidate threshold ≈ (1/8)^(1/4) ≈ 0.59 jaccard). */
-  private val NumHashes = 32
-  private val RowsPerBand = 4
+  private[graft] val NumHashes = 32
+  private[graft] val RowsPerBand = 4
 
   /** Parametric minhash over a 28-bit base hash: ONE md5 per shingle
     * (truncated to 7 hex chars), then NumHashes affine permutations
@@ -140,9 +140,51 @@ object Dedup {
     * arithmetic, engine-portable, no RNG. a_i·h ≤ 2³¹·2²⁸ < 2⁶³: no
     * overflow. Constants are fixed (Knuth multiplicative mixes of i).
     */
-  private val MinhashP = 2147483647L // 2^31 − 1, prime
-  private def permA(i: Int): Long = ((i * 2654435761L) % (MinhashP - 1)) + 1
-  private def permB(i: Int): Long = (i * 40503L * 65537L) % MinhashP
+  private[graft] val MinhashP = 2147483647L // 2^31 − 1, prime
+  private[graft] def permA(i: Int): Long = ((i * 2654435761L) % (MinhashP - 1)) + 1
+  private[graft] def permB(i: Int): Long = (i * 40503L * 65537L) % MinhashP
+
+  /** Driver/executor-side twins of the SQL signature pipeline — the
+    * streaming near-dup operator computes per-record what the batch
+    * plan computes in codegen'd expressions, and
+    * StreamingNearDupSpec asserts the two stay bit-identical.
+    */
+  private[graft] def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Distinct word 3-gram shingles (the batch `shingles` semantics). */
+  private[graft] def shinglesLocal(text: String): Seq[String] = {
+    val ws = text.split(" ").filter(_.nonEmpty)
+    if (ws.length < 3) Seq.empty
+    else ws.sliding(3).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  /** MinHash signature: min over shingles of the affine-permuted 28-bit
+    * base hash — ≡ the batch plan's 32 min-aggregates.
+    */
+  private[graft] def sigLocal(shingles: Seq[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val hv = java.lang.Long.parseLong(md5Hex(sh).substring(0, 7), 16)
+      var i = 0
+      while (i < NumHashes) {
+        val v = (permA(i) * hv + permB(i)) % MinhashP
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Band keys: md5 over the '|'-joined decimal slot values — ≡ the
+    * batch plan's bandkey expression.
+    */
+  private[graft] def bandKeysLocal(sig: Array[Long]): Seq[(Int, String)] =
+    (0 until NumHashes / RowsPerBand).map { b =>
+      b -> md5Hex(sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand).mkString("|"))
+    }
 
   /** MinHash signatures via per-(doc, slot) MIN of the permuted base
     * hash — map-side combinable longs, so the shuffle carries ≤
