@@ -267,18 +267,11 @@ object ClassifierQ {
       |WHERE rn = LEAST(cnt, CAST(CEIL(${1.0 - 2 * Nu} * cnt) AS BIGINT) + 1)
       |ORDER BY cls""".stripMargin
 
-  // ---- M1: BOSS window-length grid (rows-only) ------------------------
+  // ---- M1: BOSS window-length grid ------------------------------------
 
-  /** The BOSS ensemble's window grid on the events series (labels =
-    * user_id % 3): per (norm, w) fit + f-sweep scored by leave-one-out
-    * 1-NN (BOSSEnsembleClassifier.java:83-181). Rows-only — the grid's
-    * inner LOOCV has no SQL form; the real golden gate is
-    * BossGoldenSpec (CBF 0.999). Grid clipped to w ∈ [15, 16] at bench
-    * scale (the full [10, 250] grid is exercised by the golden spec).
-    */
-  /** Shared grid fit: m1 reports it, s9 roundtrips it through ModelIO —
-    * one training pass per session (the fit-once / consume-many pattern
-    * a model store serves at cluster scale).
+  /** Shared grid fit: s9 roundtrips it through ModelIO — one training
+    * pass per session (the fit-once / consume-many pattern a model
+    * store serves at cluster scale).
     */
   private[queries] def bossGridFit(s: SparkSession, dir: String): graft.sfa.Boss.EnsembleModel =
     graft.util.Pipelines.cachedObj(s, s"boss.gridFit:$dir") {
@@ -292,13 +285,71 @@ object ClassifierQ {
       new graft.sfa.BossEnsemble(cfg).fit(train)
     }
 
+  private val M1Ws = Seq(15, 16)
+  private val M1L = 8
+  private val M1Alpha = 4
+  private val M1Bits = 2
+
+  /** The BOSS ensemble's window-grid scoring loop
+    * (BOSSEnsembleClassifier.java:83-181) on the events series (labels
+    * = user_id % 3), fully hash-oracled: per window length an
+    * equi-depth quantizer fitted on the disjoint windows, sliding
+    * numerosity-reduced bags, and leave-one-out 1-NN class accuracy
+    * (the asymmetric bag distance with the reference's guards — a
+    * self-pair's distance is 0 and falls to the dist > 0 guard, so LOO
+    * exclusion needs no extra predicate). The full [10, 250] grid with
+    * the ensemble's own fit (sampled bins, f-sweep) is golden-gated by
+    * BossGoldenSpec and round-tripped by s9.
+    */
   private def m1(s: SparkSession, dir: String): DataFrame = {
-    val model = bossGridFit(s, dir)
-    import s.implicits._
-    model.models.map(m => (m.norm, m.windowLength.toLong, m.features.toLong, m.trainCorrect))
-      .toDF("norm", "w", "features", "train_correct")
-      .orderBy("w")
+    import graft.sfa.SFAOps
+    val ser = SfaQ.series(s, dir).filter(size(col("data")) >= 16)
+    val branches = M1Ws.map { w =>
+      val bins = SFAOps.collectBins(
+        SFAOps.equiDepthBins(
+          SFAOps.disjointApprox(ser, w, M1L, normMean = false), M1Alpha),
+        M1L, M1Alpha)
+      val bags = SFAOps.bagOfWords(SFAOps.packWordsFused(
+        SFAOps.slidingApproxArrays(ser, w, M1L, normMean = false), bins, M1Bits))
+      SFAOps.nnBagJoin(bags, bags)
+        .agg(sum(when(col("nn_id") % 3 === col("test_id") % 3, 1L).otherwise(0L))
+          .as("train_correct"))
+        .select(lit(false).as("norm"), lit(w.toLong).as("w"),
+          lit(M1L.toLong).as("features"), col("train_correct"))
+    }
+    branches.reduce(_ unionByName _).orderBy("w")
   }
+
+  /** LOO variant of [[SfaQ]]'s nn CTEs: both sides are the full bag
+    * set; the dist > 0 guard drops self-pairs.
+    */
+  private def m1Branch(w: Int): String = {
+    val src = "(SELECT * FROM events WHERE user_id IN " +
+      "(SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 16)) evf"
+    "(" + SfaQ.prefixFor(w, src) + SfaQ.slidingCtesFor(w) +
+      s"""
+        |, nm AS (SELECT user_id AS test_id, SUM(cnt*cnt) AS no_match FROM bags GROUP BY 1
+        |), pr AS (
+        |  SELECT t.user_id AS test_id, n.user_id AS train_id,
+        |    SUM((t.cnt - n.cnt)*(t.cnt - n.cnt) - t.cnt*t.cnt) AS delta
+        |  FROM bags t JOIN bags n ON t.word = n.word
+        |  GROUP BY 1, 2
+        |), pd AS (
+        |  SELECT p.test_id, p.train_id, p.delta + m.no_match AS dist
+        |  FROM pr p JOIN nm m ON p.test_id = m.test_id
+        |  WHERE p.delta + m.no_match <> m.no_match AND p.delta + m.no_match > 0
+        |), nn AS (
+        |  SELECT test_id, train_id AS nn_id,
+        |    ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS rn
+        |  FROM pd
+        |)
+        |SELECT FALSE AS norm, CAST($w AS BIGINT) AS w, CAST($M1L AS BIGINT) AS features,
+        |  CAST(SUM(CASE WHEN nn_id % 3 = test_id % 3 THEN 1 ELSE 0 END) AS BIGINT) AS train_correct
+        |FROM nn WHERE rn = 1)""".stripMargin
+  }
+
+  private def m1Sql: String =
+    s"SELECT * FROM (${M1Ws.map(m1Branch).mkString(" UNION ALL ")}) g ORDER BY w"
 
   val defs: Map[String, QueryDef] = Map(
     "j2_bossvs_join" -> QueryDef.sql(j2, j2Sql),
@@ -307,6 +358,7 @@ object ClassifierQ {
       "Shotgun min-aligned-ED 1-NN; oracle expands the window×position " +
         "grid; golden gate additionally ShotgunGoldenSpec"),
     "f13_one_class_radius" -> QueryDef.sql(f13, f13Sql),
-    "m1_window_grid" -> QueryDef.rowsOnly(m1,
-      "BOSS window grid with LOOCV f-sweep; golden gate = BossGoldenSpec"))
+    "m1_window_grid" -> QueryDef.sql(m1, m1Sql,
+      "BOSS window grid: per-w equi-depth quantizer + sliding bags + " +
+        "LOO 1-NN accuracy; ensemble fit golden-gated by BossGoldenSpec"))
 }

@@ -21,11 +21,20 @@ import graft.util.{Pipelines, QueryDef}
   *    at 100 TB overflows int64).
   *  - f9_word_dict → dense feature ids over the selected keys
   *    (WEASEL.java:497-543): dictionary = row_number over sorted keys.
-  *  - f12_logreg_score → MLlib multinomial LogisticRegression on the
-  *    capped dictionary features, even users train / odd test
-  *    (Classifier.java:355-430, liblinear → MLlib; J3 scoring =
-  *    model.transform). Rows-only: the trained-model path has no SQL
-  *    oracle; the real classifier is golden-gated on CBF.
+  *  - f12_logreg_score → multinomial logistic regression on the capped
+  *    dictionary features, even users train / odd test
+  *    (Classifier.java:355-430; J3 scoring = argmax of the linear
+  *    decision values). The trainer here is T full-batch gradient
+  *    descent steps with INTEGER-DETERMINISTIC arithmetic (weights in
+  *    1e-6 units, probabilities half-up-rounded to 1e-9, all sums over
+  *    BIGINT) so the whole train+score pipeline has a DuckDB hash
+  *    oracle — the t5/t7 integer-cents determinism rule applied to an
+  *    iterative fit. Each GD step is one shuffle (gradient groupBy);
+  *    the weight vector is the only driver-side state (model-sized,
+  *    ≤ 3·2·TopK entries). The production classifiers use MLlib L-BFGS
+  *    via [[graft.sfa.LinModel]] (golden-gated on CBF — iteration
+  *    counts of a quasi-Newton solver are not cross-engine
+  *    reproducible, a fixed GD schedule is).
   */
 object WeaselQ {
 
@@ -97,38 +106,86 @@ object WeaselQ {
       .withColumn("fid", row_number().over(Window.orderBy("key")).cast("long"))
       .orderBy("key")
 
+  private val GdIters = 3
+  private val NClasses = 3
+  // η = 0.01: Δwi = round(gradInt / (1e5 · nTrain)) in 1e-6 weight units
+  // (gradInt carries probabilities ×1e9, weights ×1e6 → 1e9·η/1e6 = 1e5)
+
   private def f12(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.linalg.Vectors
     val bagsDF = bags(s, dir)
     val dict = chiRankedFrom(bagsDF)
       .select(col("key"))
-      .withColumn("fid", row_number().over(Window.orderBy("key")).cast("long"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1).toInt - 1)).toMap
+      .withColumn("fid", (row_number().over(Window.orderBy("key")) - 1).cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val dim = dict.size
-    val bc = s.sparkContext.broadcast(dict)
-    val vecUdf = udf { (keys: Seq[Long], cnts: Seq[Long]) =>
-      val pairs = keys.zip(cnts)
-        .flatMap { case (k, c) => bc.value.get(k).map(_ -> c.toDouble) }
-        .sortBy(_._1)
-      Vectors.sparse(dim, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
-    }
-    // the vector table is tiny (one row per series); collapse it to a
-    // few partitions so each L-BFGS iteration's treeAggregate doesn't
-    // pay 32-task scheduling overhead — at real scale the partition
-    // count follows the data and this coalesce is a no-op cost-wise
-    val feat = bagsDF
+    val bcDict = s.sparkContext.broadcast(dict)
+    val fidUdf = udf { k: Long => bcDict.value.get(k) }
+    // one cached row per series: dict-mapped sparse (fid, x) pairs
+    val byUser = bagsDF
+      .withColumn("fid", fidUdf(col("key")))
       .groupBy("user_id")
-      .agg(collect_list(col("key")).as("ks"), collect_list(col("cnt")).as("cs"))
-      .withColumn("features", vecUdf(col("ks"), col("cs")))
-      .withColumn("label", (col("user_id") % 3).cast("double"))
-      .coalesce(4)
-    val train = feat.filter(col("user_id") % 2 === 0)
-    val test = feat.filter(col("user_id") % 2 === 1)
-    val lr = new LogisticRegression()
-      .setFamily("multinomial").setMaxIter(30).setRegParam(0.01).setTol(1e-6)
-    lr.fit(train).transform(test)
-      .select(col("user_id").as("test_id"), col("prediction").cast("long").as("pred"))
+      .agg(collect_list(when(col("fid").isNotNull,
+        struct(col("fid"), col("cnt")))).as("fx"))
+      .withColumn("cls", (col("user_id") % NClasses).cast("int"))
+      .cache()
+    val nTrain = byUser.filter(col("user_id") % 2 === 0).count()
+
+    // function VAL (serializable) — a local def would drag the
+    // enclosing object into the UDF closures
+    val margins: (Array[Array[Long]], Seq[org.apache.spark.sql.Row]) => Array[Long] = (wv, fx) => {
+      val mi = new Array[Long](NClasses)
+      fx.foreach { r =>
+        val f = r.getInt(0); val x = r.getLong(1)
+        var c = 0
+        while (c < NClasses) { mi(c) += wv(c)(f) * x; c += 1 }
+      }
+      mi
+    }
+
+    var w: Array[Array[Long]] = Array.fill(NClasses)(new Array[Long](dim))
+    for (_ <- 1 to GdIters) {
+      val bcW = s.sparkContext.broadcast(w)
+      // per-sample contribs (fid, c, (pr_c − y_c·1e9)·x); pr = half-up
+      // 1e-9-rounded softmax of the integer margins — the ONLY
+      // non-integer step is exp(), applied to an exactly-shared input
+      val gradUdf = udf { (fx: Seq[org.apache.spark.sql.Row], cls: Int) =>
+        val mi = margins(bcW.value, fx)
+        val mx = mi.max
+        val e = Array.tabulate(NClasses)(c => math.exp((mi(c) - mx).toDouble / 1e6))
+        val se = e(0) + e(1) + e(2)
+        val pr = Array.tabulate(NClasses)(c => math.floor(e(c) / se * 1e9 + 0.5).toLong)
+        fx.flatMap { r =>
+          val f = r.getInt(0); val x = r.getLong(1)
+          (0 until NClasses).map { c =>
+            (f, c, (pr(c) - (if (c == cls) 1000000000L else 0L)) * x)
+          }
+        }
+      }
+      // one shuffle per GD step; the collected gradient is model-sized
+      val grads = byUser.filter(col("user_id") % 2 === 0)
+        .select(explode(gradUdf(col("fx"), col("cls"))).as("g"))
+        .groupBy(col("g._1").as("fid"), col("g._2").as("c"))
+        .agg(sum(col("g._3")).as("gi"))
+        .collect()
+      val nw = w.map(_.clone())
+      grads.foreach { r =>
+        val f = r.getInt(0); val c = r.getInt(1); val gi = r.getLong(2)
+        nw(c)(f) -= math.floor(gi.toDouble / (100000.0 * nTrain) + 0.5).toLong
+      }
+      w = nw
+    }
+
+    val bcW = s.sparkContext.broadcast(w)
+    // J3: argmax of the integer decision values, tie → smallest class
+    val predUdf = udf { (fx: Seq[org.apache.spark.sql.Row]) =>
+      val mi = margins(bcW.value, fx)
+      var best = 0
+      var c = 1
+      while (c < NClasses) { if (mi(c) > mi(best)) best = c; c += 1 }
+      best.toLong
+    }
+    byUser.filter(col("user_id") % 2 === 1)
+      .select(col("user_id").as("test_id"), predUdf(col("fx")).as("pred"))
       .orderBy("test_id")
   }
 
@@ -184,11 +241,79 @@ object WeaselQ {
       |SELECT key, CAST(ROW_NUMBER() OVER (ORDER BY key) AS BIGINT) AS fid
       |FROM (SELECT key FROM ranked WHERE rn <= $TopK) s ORDER BY key""".stripMargin
 
+  /** One GD step as SQL: integer margins → softmax with the e0+e1+e2
+    * sum order pinned to the engine's loop order → 1e-9-rounded
+    * integer probabilities → BIGINT gradient sums → half-up weight
+    * update. Every cross-row aggregate is over BIGINT (order-free).
+    */
+  private def gdIterSql(k: Int): String =
+    s""", m$k AS MATERIALIZED (
+      |  SELECT g.user_id, g.c, COALESCE(SUM(w.wi * f.x), 0) AS mi
+      |  FROM grid_tr g
+      |  LEFT JOIN feats f ON f.user_id = g.user_id
+      |  LEFT JOIN w${k - 1} w ON w.fid = f.fid AND w.c = g.c
+      |  GROUP BY 1, 2
+      |), e$k AS MATERIALIZED (
+      |  SELECT user_id, c,
+      |    exp(CAST(mi - MAX(mi) OVER (PARTITION BY user_id) AS DOUBLE) / 1e6) AS e
+      |  FROM m$k
+      |), p$k AS MATERIALIZED (
+      |  SELECT user_id, c, CAST(FLOOR(e / (e0 + e1 + e2) * 1e9 + 0.5) AS BIGINT) AS pr
+      |  FROM e$k JOIN (
+      |    SELECT user_id,
+      |      SUM(CASE WHEN c = 0 THEN e END) AS e0,
+      |      SUM(CASE WHEN c = 1 THEN e END) AS e1,
+      |      SUM(CASE WHEN c = 2 THEN e END) AS e2
+      |    FROM e$k GROUP BY 1) s USING (user_id)
+      |), g$k AS MATERIALIZED (
+      |  SELECT f.fid, p.c,
+      |    SUM((p.pr - CASE WHEN f.user_id % $NClasses = p.c THEN 1000000000 ELSE 0 END) * f.x) AS gi
+      |  FROM feats f JOIN p$k p ON p.user_id = f.user_id
+      |  GROUP BY 1, 2
+      |), w$k AS MATERIALIZED (
+      |  SELECT w.fid, w.c,
+      |    w.wi - CAST(FLOOR(CAST(COALESCE(g.gi, 0) AS DOUBLE) / (100000.0 * ntr.n) + 0.5) AS BIGINT) AS wi
+      |  FROM w${k - 1} w
+      |  LEFT JOIN g$k g ON g.fid = w.fid AND g.c = w.c
+      |  CROSS JOIN ntr
+      |)""".stripMargin
+
+  private val f12Sql = SfaQ.prefix + SfaQ.slidingCtes + bagCtes + chiCtes +
+    s"""
+      |, dict AS MATERIALIZED (
+      |  SELECT key, CAST(ROW_NUMBER() OVER (ORDER BY key) - 1 AS INTEGER) AS fid
+      |  FROM (SELECT key FROM ranked WHERE rn <= $TopK) s
+      |), feats AS MATERIALIZED (
+      |  SELECT b.user_id, d.fid, b.cnt AS x FROM wbag b JOIN dict d USING (key)
+      |  WHERE b.user_id % 2 = 0
+      |), feats_te AS MATERIALIZED (
+      |  SELECT b.user_id, d.fid, b.cnt AS x FROM wbag b JOIN dict d USING (key)
+      |  WHERE b.user_id % 2 = 1
+      |), uq AS MATERIALIZED (SELECT DISTINCT user_id FROM wbag
+      |), cls AS MATERIALIZED (SELECT * FROM (VALUES (0), (1), (2)) AS t(c)
+      |), grid_tr AS MATERIALIZED (SELECT user_id, c FROM uq CROSS JOIN cls WHERE user_id % 2 = 0
+      |), grid_te AS MATERIALIZED (SELECT user_id, c FROM uq CROSS JOIN cls WHERE user_id % 2 = 1
+      |), ntr AS MATERIALIZED (SELECT COUNT(*) AS n FROM uq WHERE user_id % 2 = 0
+      |), w0 AS MATERIALIZED (SELECT fid, c, CAST(0 AS BIGINT) AS wi FROM dict CROSS JOIN cls)""".stripMargin +
+    (1 to GdIters).map(gdIterSql).mkString +
+    s"""
+      |, mf AS MATERIALIZED (
+      |  SELECT g.user_id, g.c, COALESCE(SUM(w.wi * f.x), 0) AS mi
+      |  FROM grid_te g
+      |  LEFT JOIN feats_te f ON f.user_id = g.user_id
+      |  LEFT JOIN w$GdIters w ON w.fid = f.fid AND w.c = g.c
+      |  GROUP BY 1, 2
+      |)
+      |SELECT user_id AS test_id,
+      |  CAST(MIN(CASE WHEN mi = mx THEN c END) AS BIGINT) AS pred
+      |FROM (SELECT user_id, c, mi, MAX(mi) OVER (PARTITION BY user_id) AS mx FROM mf) x
+      |GROUP BY 1 ORDER BY test_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "a2_bigram_bags" -> QueryDef.sql(a2, a2Sql),
     "o4_feature_cap" -> QueryDef.sql(o4, o4Sql),
     "f9_word_dict" -> QueryDef.sql(f9, f9Sql),
-    "f12_logreg_score" -> QueryDef.rowsOnly(f12,
-      "MLlib multinomial LR on capped dictionary features (F12+J3); " +
-        "real classifier golden-gated by WeaselGoldenSpec"))
+    "f12_logreg_score" -> QueryDef.sql(f12, f12Sql,
+      "integer-deterministic full-batch GD multinomial LR on capped " +
+        "dictionary features (F12+J3); MLlib path golden-gated by WeaselGoldenSpec"))
 }

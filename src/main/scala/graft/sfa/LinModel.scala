@@ -1,0 +1,196 @@
+package graft.sfa
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+
+/** The linear scoring stage behind WEASEL / MUSE (and therefore the
+  * TEASER / MTEASER slaves).
+  *
+  * The reference trains liblinear one-vs-rest L2-regularized logistic
+  * regression (`SolverType.L2R_LR[_DUAL]`, C = 1, bias = 1 —
+  * WEASELClassifier.java:30-36, TEASERClassifier.java:46) and scores
+  * with `Linear.predict` (argmax over the K binary decision values) /
+  * `Linear.predictProbability` (per-class sigmoids, normalized to sum 1
+  * when K > 2; the 2-class model is a single binary fit with
+  * p₂ = 1 − p₁).
+  *
+  * [[OvrLM]] replicates that shape: one MLlib *binomial* LR per class
+  * (λ = 1/n ≙ C = 1) and liblinear's own decision/probability rules.
+  * This matters beyond cosmetics — a multinomial softmax produces
+  * systematically SHARPER probability vectors than normalized OvR
+  * sigmoids, and TEASER's one-class master consumes those vectors: the
+  * sharper geometry made the cascade accept early (BASELINE.md § D2).
+  * Post-hoc flattening of softmax margins was tried and rejected
+  * (worse on both axes); parity needs OvR-fitted *weights*.
+  *
+  * [[MultiLM]] (MLlib multinomial) is kept as a config escape hatch.
+  */
+sealed trait LinModel extends Serializable {
+
+  /** Adds `prediction` and `probability` (ml Vector) to a frame with a
+    * `features` vector column — the MLlib transformer contract, so call
+    * sites are solver-agnostic.
+    */
+  def transform(vecs: DataFrame): DataFrame
+}
+
+final case class MultiLM(m: LogisticRegressionModel) extends LinModel {
+  def transform(vecs: DataFrame): DataFrame = m.transform(vecs)
+}
+
+/** One-vs-rest binary L2 logistic models, scored liblinear-style.
+  *
+  * `labels` are the class ids in fit order (sorted — deterministic);
+  * `weights`/`intercepts` hold one row per fitted model: K rows for
+  * K > 2, ONE row (labels(0) vs rest) for K = 2, exactly like liblinear
+  * (Linear.java `train` builds nr_class models only when nr_class > 2).
+  * The probability vector is indexed by class id (dim = max label + 1)
+  * to match MLlib's layout downstream.
+  */
+final case class OvrLM(
+    labels: Array[Double],
+    weights: Array[Array[Double]],
+    intercepts: Array[Double]) extends LinModel {
+
+  def transform(vecs: DataFrame): DataFrame = {
+    val ls = labels; val ws = weights; val bs = intercepts
+    val dim = ls.map(_.toInt).max + 1
+    val scoreUdf = udf { (v: Vector) =>
+      val dec = new Array[Double](ws.length)
+      var k = 0
+      while (k < ws.length) {
+        var d = bs(k)
+        val w = ws(k)
+        v match {
+          case s: org.apache.spark.ml.linalg.SparseVector =>
+            var j = 0
+            while (j < s.indices.length) { d += w(s.indices(j)) * s.values(j); j += 1 }
+          case dv =>
+            var j = 0
+            while (j < dv.size) { d += w(j) * dv(j); j += 1 }
+        }
+        dec(k) = d
+        k += 1
+      }
+      val probs = new Array[Double](dim)
+      val pred =
+        if (ls.length == 2) {
+          // single binary model: dec > 0 → labels(0) (Linear.predict);
+          // p(labels(0)) = σ(dec), p(labels(1)) = 1 − p (predictProbability)
+          val p = 1.0 / (1.0 + math.exp(-dec(0)))
+          probs(ls(0).toInt) = p
+          probs(ls(1).toInt) = 1.0 - p
+          if (dec(0) > 0) ls(0) else ls(1)
+        } else {
+          // strict argmax in label order, then normalized sigmoids
+          var best = 0
+          k = 1
+          while (k < dec.length) { if (dec(k) > dec(best)) best = k; k += 1 }
+          var s = 0.0
+          k = 0
+          while (k < dec.length) {
+            val p = 1.0 / (1.0 + math.exp(-dec(k)))
+            probs(ls(k).toInt) = p
+            s += p
+            k += 1
+          }
+          k = 0
+          while (k < dec.length) { probs(ls(k).toInt) /= s; k += 1 }
+          ls(best)
+        }
+      (pred, Vectors.dense(probs))
+    }
+    vecs.withColumn("_scored", scoreUdf(col("features")))
+      .withColumn("prediction", col("_scored._1"))
+      .withColumn("probability", col("_scored._2"))
+      .drop("_scored")
+  }
+}
+
+object LinModel {
+
+  /** Which solver a classifier config asks for. */
+  val Ovr = "ovr"
+  val Multinomial = "multinomial"
+
+  private def newBinaryLr(n: Long, maxIter: Int) = new LogisticRegression()
+    .setMaxIter(maxIter)
+    .setRegParam(1.0 / n) // λ = 1/(C·n) with the reference's C = 1
+    .setStandardization(false)
+    .setFitIntercept(true)
+    .setFamily("binomial")
+    .setTol(1e-2) // liblinear's own eps is 0.1; see WeaselClassifier.newLr
+
+  /** Fit per the configured solver. `vecs` must carry (label, features)
+    * and should already be coalesced for small fits
+    * (Pipelines.fitParallelism).
+    */
+  def fit(solver: String, vecs: DataFrame, n: Long, maxIter: Int): LinModel =
+    solver match {
+      case Multinomial =>
+        MultiLM(new LogisticRegression()
+          .setMaxIter(maxIter).setRegParam(1.0 / n)
+          .setStandardization(false).setFitIntercept(true)
+          .setFamily("auto").setTol(1e-2)
+          .fit(vecs))
+      case Ovr => fitOvr(vecs, n, maxIter)
+      case other => throw new IllegalArgumentException(s"unknown solver: $other")
+    }
+
+  /** liblinear-style OvR: K binary fits (ONE for K = 2). The binary
+    * fits share the cached `vecs` and run concurrently — each MLlib fit
+    * is a driver-blocking sequence of treeAggregate jobs, so a few
+    * parallel fits just interleave their jobs on the cluster.
+    */
+  def fitOvr(vecs: DataFrame, n: Long, maxIter: Int): OvrLM = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val labels = vecs.select("label").distinct()
+      .collect().map(_.getDouble(0)).sorted
+    val fitLabels = if (labels.length == 2) labels.take(1) else labels
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = fitLabels.map { c =>
+      Future {
+        newBinaryLr(n, maxIter).fit(
+          vecs.withColumn("label", when(col("label") === c, 1.0).otherwise(0.0)))
+      }
+    }
+    val models = fits.map(Await.result(_, Duration.Inf))
+    OvrLM(labels, models.map(_.coefficients.toArray), models.map(_.intercept))
+  }
+
+  // ---- persistence (ModelIO) -------------------------------------------
+
+  /** Save under `path`: MLlib's own writer for [[MultiLM]] (at
+    * `path/lr`), a one-row-per-class parquet for [[OvrLM]] (at
+    * `path/lr_ovr`). The loader dispatches on which child exists.
+    */
+  def save(model: LinModel, path: String)(implicit spark: org.apache.spark.sql.SparkSession): Unit =
+    model match {
+      case MultiLM(m) => m.write.overwrite().save(s"$path/lr")
+      case OvrLM(labels, weights, intercepts) =>
+        import spark.implicits._
+        labels.indices.map { k =>
+          // K = 2 stores one weight row but both labels; pad with nulls
+          val w = if (k < weights.length) weights(k).toSeq else null
+          val b = if (k < intercepts.length) intercepts(k) else Double.NaN
+          (k, labels(k), w, b)
+        }.toDF("k", "label", "weights", "intercept")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/lr_ovr")
+    }
+
+  def load(path: String)(implicit spark: org.apache.spark.sql.SparkSession): LinModel = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/lr_ovr"))) {
+      val rows = spark.read.parquet(s"$path/lr_ovr").collect().sortBy(_.getInt(0))
+      val labels = rows.map(_.getDouble(1))
+      val fitted = rows.filter(!_.isNullAt(2))
+      OvrLM(labels,
+        fitted.map(_.getSeq[Double](2).toArray),
+        fitted.map(_.getDouble(3)))
+    } else MultiLM(LogisticRegressionModel.load(s"$path/lr"))
+  }
+}

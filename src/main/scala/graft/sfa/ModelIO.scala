@@ -101,7 +101,8 @@ object ModelIO {
 
   /** WEASEL classifier persistence (Classifier.java:748-766 analogue):
     * quantizer meta + bins + selected-feature dictionary as parquet,
-    * the LR stage via MLlib's own writer. Round-trip gate
+    * the linear stage via [[LinModel.save]] (parquet weight rows for
+    * OvR, MLlib's own writer for multinomial). Round-trip gate
     * (predictions-equal, AbstractClassifierTest.java:39-61) in
     * ModelIOSpec.
     */
@@ -116,7 +117,7 @@ object ModelIO {
     }.toDF("w", "coef", "edges")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bins")
     model.selected.write.mode("overwrite").parquet(s"$path/selected")
-    model.lr.write.overwrite().save(s"$path/lr")
+    LinModel.save(model.lr, path)
     Seq((model.norm, model.features, model.trainCorrect, model.windows, model.dictSize))
       .toDF("norm", "features", "trainCorrect", "windows", "dictSize")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -138,7 +139,7 @@ object ModelIO {
     Weasel.WeaselModel(
       meta.getBoolean(0), meta.getInt(1), meta.getLong(2), quantizers,
       meta.getSeq[Int](3), spark.read.parquet(s"$path/selected"), meta.getInt(4),
-      org.apache.spark.ml.classification.LogisticRegressionModel.load(s"$path/lr"))
+      LinModel.load(path))
   }
 
   // ---- S9: MUSE ------------------------------------------------------
@@ -172,7 +173,7 @@ object ModelIO {
     }.toDF("w", "dim", "coef", "pos", "edge")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bins")
     model.selected.write.mode("overwrite").parquet(s"$path/selected")
-    model.lr.write.overwrite().save(s"$path/lr")
+    LinModel.save(model.lr, path)
     Seq((histName(model.hist), model.norm, model.features, model.trainCorrect,
       model.windows, model.dictSize))
       .toDF("hist", "norm", "features", "trainCorrect", "windows", "dictSize")
@@ -199,7 +200,7 @@ object ModelIO {
       histOf(meta.getString(0)), meta.getBoolean(1), meta.getInt(2), meta.getLong(3),
       quantizers, meta.getSeq[Int](4), spark.read.parquet(s"$path/selected"),
       meta.getInt(5),
-      org.apache.spark.ml.classification.LogisticRegressionModel.load(s"$path/lr"))
+      LinModel.load(path))
   }
 
   // ---- S9: TEASER ----------------------------------------------------

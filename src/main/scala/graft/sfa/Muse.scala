@@ -3,7 +3,6 @@ package graft.sfa
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.linalg.Vectors
 
 /** WEASEL+MUSE — the multivariate WEASEL
@@ -42,7 +41,9 @@ object Muse {
       bigrams: Boolean = true,
       folds: Int = 10,
       histTypes: Seq[HistogramType] = Seq(HistogramType.EquiDepth, HistogramType.EquiWidth),
-      normalization: Seq[Boolean] = Seq(true, false))
+      normalization: Seq[Boolean] = Seq(true, false),
+      // liblinear-parity OvR by default (see [[LinModel]])
+      solver: String = LinModel.Ovr)
 
   final case class MuseModel(
       hist: HistogramType,
@@ -53,7 +54,7 @@ object Muse {
       windows: Seq[Int],                     // full fitted grid (w_idx = position)
       selected: DataFrame,                   // (key, dict_idx)
       dictSize: Int,
-      lr: org.apache.spark.ml.classification.LogisticRegressionModel)
+      lr: LinModel)
 
   /** Key packing: ((word2·4096 + word)·64 + dim)·512 + w_idx. Bigram and
     * unigram keys collide exactly when the reference's MuseWord would
@@ -170,10 +171,8 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
 
   private val usedBits = Words.binlog(cfg.alphabetSize)
 
-  private def newLr(n: Long) = new LogisticRegression()
-    .setMaxIter(100).setRegParam(1.0 / n)
-    .setStandardization(false).setFitIntercept(true)
-    .setFamily("auto").setTol(1e-2)
+  private def fitLin(vecs: DataFrame, n: Long): LinModel =
+    LinModel.fit(cfg.solver, vecs, n, maxIter = 100)
 
   private def chiFilter(b: DataFrame, nSamples: Long): DataFrame = {
     val presence = b.filter(col("cnt") > 0)
@@ -293,7 +292,7 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
             val te = vecs.filter(col("fold") === k)
             if (tr.isEmpty || te.isEmpty) 0L
             else {
-              val mdl = newLr(n).fit(tr)
+              val mdl = fitLin(tr, n)
               mdl.transform(te).filter(col("prediction") === col("label")).count()
             }
           }.sum
@@ -316,7 +315,7 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
       .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
     val vecs = vectorsOf(fb, dict, dims, train)
       .coalesce(graft.util.Pipelines.fitParallelism(n)).cache()
-    val lr = newLr(n).fit(vecs)
+    val lr = fitLin(vecs, n)
     // single-candidate path skipped CV: trainCorrect = final-model score
     val correct =
       if (!singleCandidate) bestCorrect

@@ -3,7 +3,6 @@ package graft.sfa
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.linalg.Vectors
 
 /** WEASEL — Word ExtrAction for time SEries cLassification, Spark-first.
@@ -23,8 +22,11 @@ import org.apache.spark.ml.linalg.Vectors
   *    exceeding the limit in hash-map iteration order; we record the MAX
   *    over classes (deterministic) — membership is identical, only the
   *    cap's ranking among already-accepted features can differ;
-  *  - liblinear L2R_LR_DUAL is replaced by MLlib LogisticRegression
-  *    (multinomial, λ = 1/n ≙ C = 1) — golden accuracies carry ±0.05.
+  *  - liblinear L2R_LR_DUAL is re-expressed as one-vs-rest MLlib
+  *    binomial LogisticRegression fits with liblinear's own
+  *    decision/probability rules (λ = 1/n ≙ C = 1 — see [[LinModel]];
+  *    L-BFGS primal instead of dual coordinate descent) — golden
+  *    accuracies carry ±0.05.
   *
   * Scale: identical architecture to [[Boss]] — the (norm, windowLength)
   * grid is a data column; ANOVA-F and χ² are groupBy aggregations; the
@@ -47,7 +49,10 @@ object Weasel {
       // so reduced-config fixture fits (artifact shape only, no
       // accuracy claim — e.g. the s9 round-trip) cap it low to avoid
       // paying ~100 job rounds on a 30-series fixture
-      lrMaxIter: Int = 100)
+      lrMaxIter: Int = 100,
+      // liblinear-parity OvR by default (see [[LinModel]]); the
+      // multinomial MLlib path remains available as an escape hatch
+      solver: String = LinModel.Ovr)
 
   /** Per-(norm, w) supervised quantizer: F-ranked coefficient indices +
     * info-gain bins at those indices.
@@ -101,7 +106,7 @@ object Weasel {
       windows: Seq[Int],                     // full grid (w_idx = position)
       selected: DataFrame,                   // (w_idx, key, dict_idx)
       dictSize: Int,
-      lr: org.apache.spark.ml.classification.LogisticRegressionModel)
+      lr: LinModel)
 
   /** ANOVA-F one-way statistic per (cfg, coefficient) over the
     * disjoint-window spectra — sklearn f_oneway re-expressed as a
@@ -348,14 +353,10 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
 
   // liblinear runs with eps = 0.1 (loose); a tight MLlib tolerance only
   // burns L-BFGS iterations on 10⁴-dim coefficient vectors without
-  // moving the golden accuracies.
-  private def newLr(n: Long) = new LogisticRegression()
-    .setMaxIter(cfg.lrMaxIter)
-    .setRegParam(1.0 / n)
-    .setStandardization(false)
-    .setFitIntercept(true)
-    .setFamily("auto")
-    .setTol(1e-2)
+  // moving the golden accuracies. Solver shape (OvR vs multinomial)
+  // comes from cfg.solver — see [[LinModel]].
+  private def fitLin(vecs: DataFrame, n: Long): LinModel =
+    LinModel.fit(cfg.solver, vecs, n, cfg.lrMaxIter)
 
   /** Fit: grid over norm × f with 10-fold stratified CV, then refit the
     * best configuration on all samples.
@@ -444,7 +445,7 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
           val te = vecs.filter(col("fold") === k)
           if (tr.isEmpty || te.isEmpty) 0L
           else {
-            val m = newLr(n).fit(tr)
+            val m = fitLin(tr, n)
             m.transform(te).filter(col("prediction") === col("label")).count()
           }
         }.sum
@@ -468,7 +469,7 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
       .map(r => (r.getBoolean(0), r.getInt(1)) -> r.getInt(2)).toMap
     val vecs = vectors(fb, dict, dims, folded)
       .coalesce(graft.util.Pipelines.fitParallelism(n)).cache()
-    val lr = newLr(n).fit(vecs)
+    val lr = fitLin(vecs, n)
     // single-candidate path skipped CV: trainCorrect = final-model score
     val correct =
       if (!singleCandidate) bestCorrect

@@ -9,17 +9,17 @@ import graft.ts.Loaders
   * (the test sets `TEASERClassifier.S = 10`), full CBF train/test
   * split, goldens accuracy 0.982 / earliness 0.64 with the reference's
   * own DELTA = 0.05 (AbstractClassifierTest.java:25,110-125). Measured
-  * full-run result (2026-08-13): accuracy 0.9867 ✓, earliness 0.5836 —
-  * 0.006 outside the 0.05 band on the EARLY side. The residual gap is
-  * the documented MLlib-LR-for-liblinear slave substitution (sharper
-  * softmax probabilities → the one-class master accepts slightly
-  * sooner), so the earliness band here is 0.08 (tracked in BASELINE.md
-  * § Deviations; was 0.15 in round 3 with the quantile master — the
-  * real SVM master + full-length threshold tuning closed most of it).
+  * full-run result (2026-08-14, liblinear-parity OvR slaves — see
+  * [[LinModel]]): accuracy 0.9844 ✓, earliness 0.685 ✓ — BOTH inside
+  * the reference's own ±0.05 band. (History: multinomial-softmax
+  * slaves measured earliness 0.5836 — the sharper probability geometry
+  * made the one-class master accept early; round 3's quantile master
+  * was at 0.77. The OvR weights closed deviation D2, BASELINE.md.)
   * It trains 9 WEASEL slaves + one-class SVM masters and runs ~15 min
   * on local[*] — it is tagged `graft.Slow` and excluded from the
   * default `sbt test` (run explicitly via
-  * `testOnly graft.sfa.TeaserGoldenSpec -- -n graft.Slow`).
+  * `sbt 'set Test/testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest, "-n", "graft.Slow"))'
+  * "testOnly graft.sfa.TeaserGoldenSpec"`).
   *
   * The smoke gate below keeps TEASER exercised in CI: a reduced cascade
   * (S=6, single-norm f=6 slave, 3-fold CV) on a 100-sample CBF subset
@@ -40,7 +40,7 @@ class TeaserGoldenSpec extends SparkSpec {
     info(s"CBF threshold=${model.threshold} slaves=${model.slaves.size} " +
       f"acc=$acc%.4f earliness=$earliness%.3f")
     assert(math.abs(acc - 0.982) <= 0.05, s"accuracy $acc vs golden 0.982")
-    assert(math.abs(earliness - 0.64) <= 0.08, s"earliness $earliness vs golden 0.64")
+    assert(math.abs(earliness - 0.64) <= 0.05, s"earliness $earliness vs golden 0.64")
   }
 
   test("TEASER smoke: early decisions on CBF with a reduced cascade") {
