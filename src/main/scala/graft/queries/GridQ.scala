@@ -375,7 +375,7 @@ object GridQ {
         graft.sfa.Mteaser.Config(s = 3),
         graft.sfa.Muse.Config(minF = 2, maxF = 2, folds = 2, bigrams = false,
           histTypes = Seq(graft.sfa.HistogramType.EquiDepth),
-          normalization = Seq(false)))
+          normalization = Seq(false), lrMaxIter = 20))
       val model = clf.fit(train)
       clf.predictDF(model, test)
     }

@@ -241,10 +241,10 @@ object SourceQ {
   }
 
   /** S9: classifier sink/source round-trips (the roundtrip under test is
-    * the ModelIO sink/source, not the fit): the session's grid-fitted
-    * BOSS ensemble (shared with m1) AND a reduced-config WEASEL (fitted
-    * on the bundled CBF fixture) → columnar artifacts → reload → emit
-    * each loaded model's table. Predictions-equal gates for
+    * the ModelIO sink/source, not the fit): a sampled-corpus BOSS
+    * ensemble grid fit AND a reduced-config WEASEL (fitted on the
+    * bundled CBF fixture) → columnar artifacts → reload → emit each
+    * loaded model's table. Predictions-equal gates for
     * BOSS/WEASEL/MUSE/TEASER live in ModelIOSpec.
     */
   private def s9(s: SparkSession, dir: String): DataFrame = {

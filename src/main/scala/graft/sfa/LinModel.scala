@@ -135,9 +135,23 @@ object LinModel {
           .setStandardization(false).setFitIntercept(true)
           .setFamily("auto").setTol(1e-2)
           .fit(vecs))
-      case Ovr => fitOvr(vecs, n, maxIter)
+      case Ovr =>
+        if (n <= LocalFitMaxRows) fitOvrLocal(vecs, n, maxIter)
+        else fitOvr(vecs, n, maxIter)
       case other => throw new IllegalArgumentException(s"unknown solver: $other")
     }
+
+  /** Below this many train samples an OvR fit collects the feature
+    * vectors and solves on the driver. Rationale: every L-BFGS
+    * iteration of a distributed MLlib fit is a treeAggregate JOB, so a
+    * K-class OvR fit on a fixture-sized input pays K × iterations ×
+    * scheduling latency for sub-megabyte math — and the reference
+    * always fits liblinear in-process (model-sized input is the §7.3
+    * contract). 5k samples × ~10⁴ sparse features is a few MB
+    * collected; past the cutoff the distributed path takes over
+    * unchanged.
+    */
+  private val LocalFitMaxRows = 5000L
 
   /** liblinear-style OvR: K binary fits (ONE for K = 2). The binary
     * fits share the cached `vecs` and run concurrently — each MLlib fit
@@ -159,6 +173,79 @@ object LinModel {
     }
     val models = fits.map(Await.result(_, Duration.Inf))
     OvrLM(labels, models.map(_.coefficients.toArray), models.map(_.intercept))
+  }
+
+  /** Driver-local OvR: same objective MLlib's binomial LR minimizes —
+    * mean logistic loss + (λ/2)·‖w‖² with the intercept unpenalized,
+    * standardization off, breeze L-BFGS(m=10, tol=1e-2) from MLlib's
+    * own start point (w = 0, b = log-odds of the label prior) — so the
+    * fitted weights land at the same optimum as the distributed path,
+    * minus the per-iteration job round-trips. Rows are ordered by `id`
+    * when present so the FP reduction order (and hence the model bits)
+    * is reproducible run to run.
+    */
+  private[sfa] def fitOvrLocal(vecs: DataFrame, n: Long, maxIter: Int): OvrLM = {
+    val base =
+      if (vecs.columns.contains("id")) vecs.orderBy("id") else vecs
+    val rows = base.select("label", "features").collect()
+    val labels = rows.map(_.getDouble(0)).distinct.sorted
+    val xs = rows.map(r => (r.getDouble(0), r.getAs[Vector](1)))
+    val dim = xs.headOption.map(_._2.size).getOrElse(0)
+    val lambda = 1.0 / n
+    val fitLabels = if (labels.length == 2) labels.take(1) else labels
+    val fitted = fitLabels.map { c =>
+      localBinary(xs, c, dim, lambda, maxIter)
+    }
+    OvrLM(labels, fitted.map(_._1), fitted.map(_._2))
+  }
+
+  /** One binary L2-regularized logistic fit (labels binarized to
+    * `pos` vs rest) via breeze L-BFGS. Returns (weights, intercept).
+    */
+  private def localBinary(
+      xs: Array[(Double, Vector)],
+      pos: Double,
+      dim: Int,
+      lambda: Double,
+      maxIter: Int): (Array[Double], Double) = {
+    import breeze.linalg.{DenseVector => BDV}
+    import breeze.optimize.{DiffFunction, LBFGS}
+    val m = xs.length
+    val obj = new DiffFunction[BDV[Double]] {
+      def calculate(z: BDV[Double]): (Double, BDV[Double]) = {
+        var loss = 0.0
+        val grad = BDV.zeros[Double](dim + 1)
+        var i = 0
+        while (i < m) {
+          val (l, v) = xs(i)
+          val y = if (l == pos) 1.0 else 0.0
+          var margin = z(dim)
+          v.foreachActive((j, x) => margin += z(j) * x)
+          // log(1 + e^margin) − y·margin, computed overflow-safe
+          loss += (if (margin > 0) margin + math.log1p(math.exp(-margin))
+                   else math.log1p(math.exp(margin))) - y * margin
+          val mult = 1.0 / (1.0 + math.exp(-margin)) - y
+          v.foreachActive((j, x) => grad(j) += mult * x)
+          grad(dim) += mult
+          i += 1
+        }
+        loss /= m
+        grad :*= (1.0 / m)
+        var j = 0
+        while (j < dim) { // L2 on weights only (MLlib never penalizes b)
+          loss += 0.5 * lambda * z(j) * z(j)
+          grad(j) += lambda * z(j)
+          j += 1
+        }
+        (loss, grad)
+      }
+    }
+    val init = BDV.zeros[Double](dim + 1)
+    val nPos = xs.count(_._1 == pos)
+    val nNeg = m - nPos
+    if (nPos > 0 && nNeg > 0) init(dim) = math.log(nPos.toDouble / nNeg)
+    val res = new LBFGS[BDV[Double]](maxIter, 10, 1e-2).minimize(obj, init)
+    (res.toArray.take(dim), res(dim))
   }
 
   // ---- persistence (ModelIO) -------------------------------------------

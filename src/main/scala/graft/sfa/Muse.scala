@@ -43,7 +43,11 @@ object Muse {
       histTypes: Seq[HistogramType] = Seq(HistogramType.EquiDepth, HistogramType.EquiWidth),
       normalization: Seq[Boolean] = Seq(true, false),
       // liblinear-parity OvR by default (see [[LinModel]])
-      solver: String = LinModel.Ovr)
+      solver: String = LinModel.Ovr,
+      // L-BFGS iteration cap (see Weasel.Config.lrMaxIter): reduced
+      // fixture fits cap it low; the default matches liblinear's
+      // effectively-unbounded inner loop
+      lrMaxIter: Int = 100)
 
   final case class MuseModel(
       hist: HistogramType,
@@ -172,7 +176,7 @@ class MuseClassifier(cfg: Muse.Config = Muse.Config()) {
   private val usedBits = Words.binlog(cfg.alphabetSize)
 
   private def fitLin(vecs: DataFrame, n: Long): LinModel =
-    LinModel.fit(cfg.solver, vecs, n, maxIter = 100)
+    LinModel.fit(cfg.solver, vecs, n, maxIter = cfg.lrMaxIter)
 
   private def chiFilter(b: DataFrame, nSamples: Long): DataFrame = {
     val presence = b.filter(col("cnt") > 0)
