@@ -175,9 +175,52 @@ object TextOps {
       |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS fp
       |FROM t WHERE len(toks) >= 5 ORDER BY doc_id""".stripMargin
 
+  /** Repetition signals (the Gopher/C4 family of quality filters):
+    * per-doc fraction of word-2-gram occurrences belonging to the single
+    * most frequent 2-gram (`top2_frac` — catches boilerplate loops) and
+    * to any repeated 2-gram (`dup2_frac` — catches template spam).
+    * Docs with < 2 tokens emit no row (no 2-grams to judge), matching
+    * the oracle's inner semantics. Scale shape: one explode + groupBy
+    * keyed (doc_id, gram) with map-side partial counts, then a per-doc
+    * re-aggregate — both shuffles keyed on doc_id ⊕ gram, no skew
+    * hotspot, no all-pairs work. Integer counts; ratios rounded 6 dp.
+    */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = withTokens(docs(s, dir))
+      .withColumn("grams", expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+          "ELSE array() END"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n2"), max("c").as("top"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+      .select(col("doc_id"), col("n2"),
+        graft.util.Rnd.jround(col("top") / col("n2").cast("double"), 6).as("top2_frac"),
+        graft.util.Rnd.jround(col("dup") / col("n2").cast("double"), 6).as("dup2_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+      |  FROM t, UNNEST(RANGE(1, len(toks))) AS r(i)
+      |  WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+      |  FLOOR(MAX(c) / CAST(SUM(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top2_frac,
+      |  FLOOR(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup2_frac
+      |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "text_token_stats" -> QueryDef.sql(tokens, tokensSql),
     "text_quality" -> QueryDef.sql(quality, qualitySql),
     "text_langid" -> QueryDef.sql(langid, langidSql),
-    "text_fingerprint" -> QueryDef.sql(fingerprint, fingerprintSql))
+    "text_fingerprint" -> QueryDef.sql(fingerprint, fingerprintSql),
+    "text_repetition" -> QueryDef.sql(repetition, repetitionSql,
+      "Gopher-style repetition quality signals: top/dup 2-gram fractions"))
 }
