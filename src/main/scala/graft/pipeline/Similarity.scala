@@ -122,8 +122,12 @@ object Similarity {
     // null-pads on length mismatch, which would silently NULL every plane
     // dot and send all vectors to bucket 0 (blocking degenerates to
     // all-pairs). Fail loudly instead.
-    val dim = e.select(size(col("iv")).as("d")).head().getInt(0)
-    require(dim == 64, s"sign-LSH sketch expects 64-dim embeddings, got $dim")
+    // head(1): an empty embeddings table has nothing to sketch — any
+    // dim passes vacuously (head() would throw on the empty frame)
+    e.select(size(col("iv")).as("d")).head(1).foreach { r =>
+      require(r.getInt(0) == 64,
+        s"sign-LSH sketch expects 64-dim embeddings, got ${r.getInt(0)}")
+    }
     val numPlanes = tables * bits
     val digest = java.security.MessageDigest.getInstance("MD5")
     val signs = Array.tabulate(numPlanes, 64) { (i, d) =>

@@ -88,6 +88,10 @@ object TextOps {
     * cross-engine. Scale shape: two groupBys (lang×token, doc×token),
     * rank-limit windows (WindowGroupLimit keeps the per-key top-K from
     * shuffling whole groups), one broadcast join; no all-pairs work.
+    *
+    * Row contract: a document with no tokens has no rank profile and
+    * emits NO row (like text_repetition's "< 2 tokens" rule) — callers
+    * counting rows-per-doc must left-join, not assume totality.
     */
   private val LangProfileK = 20
 

@@ -54,12 +54,11 @@ object GridQ {
     * correct, total). Mirrors [[ClassifierQ]]'s j2 chain per window.
     */
   private def m2(s: SparkSession, dir: String): DataFrame = {
-    val ser = SfaQ.series(s, dir).cache()
+    val ser = graft.util.Pipelines.tracked(s, SfaQ.series(s, dir))
     val branches = M2Windows.map { w =>
       val bins = SFAOps.equiDepthBins(SFAOps.disjointApprox(ser, w, L, normMean = false), Alpha)
-      val bags = SFAOps.bagOfWords(
-        SFAOps.packWords(SFAOps.slidingApproxDirect(ser, w, L, normMean = false), bins, Bits))
-        .cache()
+      val bags = graft.util.Pipelines.tracked(s, SFAOps.bagOfWords(
+        SFAOps.packWords(SFAOps.slidingApproxDirect(ser, w, L, normMean = false), bins, Bits)))
       // materialize before composing the tf-idf chain: its broadcast
       // subtrees are submitted concurrently, and against a cold cache
       // each would recompute the whole word pipeline independently
@@ -164,10 +163,9 @@ object GridQ {
         .select(col("user_id"), (col("prev") * BigShift + col("wf") * UniShift).as("key"))
       val bags = uni.unionByName(big)
         .groupBy("user_id", "key").agg(count(lit(1)).as("cnt"))
-      val cell = bags
+      val cell = graft.util.Pipelines.tracked(s, bags
         .groupBy((col("user_id") % NumClasses).as("cls"), col("key"))
-        .agg(sum(col("cnt")).as("obs"))
-        .cache()
+        .agg(sum(col("cnt")).as("obs")))
       cell.count() // materialize before the concurrently-submitted chi² subtrees
       val wt = cell.groupBy("key").agg(sum(col("obs")).as("wtot"))
       val lt = cell.groupBy("cls").agg(sum(col("obs")).as("ltot"))
@@ -291,7 +289,7 @@ object GridQ {
         .withColumn("n0", count(lit(1)).over(byUser))
         .filter(col("n0") >= snap && col("rn0") <= snap)
         .drop("rn0", "n0")
-      val bags = SFAOps.bagOfWords(SfaQ.slidingWordsOf(trunc)).cache()
+      val bags = graft.util.Pipelines.tracked(s, SFAOps.bagOfWords(SfaQ.slidingWordsOf(trunc)))
       SFAOps.nnBagJoin(
           bags.filter(col("user_id") % 2 === 1),
           bags.filter(col("user_id") % 2 === 0))
@@ -368,8 +366,8 @@ object GridQ {
       // cache the filtered fixtures: the cascade fit/predict run ~15
       // actions, and uncached each one re-parses the 4 MB CSV and
       // re-runs the long-format groupBy
-      val train = train0.filter(col("id") <= 60).cache()
-      val test = test0.filter(col("id") <= 60).cache()
+      val train = graft.util.Pipelines.tracked(s, train0.filter(col("id") <= 60))
+      val test = graft.util.Pipelines.tracked(s, test0.filter(col("id") <= 60))
       train.count(); test.count()
       val clf = new graft.sfa.MteaserClassifier(
         graft.sfa.Mteaser.Config(s = 3),

@@ -393,11 +393,19 @@ object RepresentationQ {
           "'pla', 8L, 0.3D * sa8 - CAST(sab8 AS DOUBLE) + CAST(sb8 AS DOUBLE)" +
           ") AS (repr, l, lb4)"))
 
+    // determinism: each pair's tightness ratio is ONE IEEE division
+    // rounded to integer millionths BEFORE aggregation, so the
+    // cross-row sum is an exact integer sum (order-free) and the mean
+    // is a single final division — an AVG over raw doubles would make
+    // the result depend on partition summation order
     joined.groupBy("repr", "l").agg(
       count(lit(1)).as("pairs"),
-      jround(avg(when(col("ed4") > 1, col("lb4") / col("ed4")).otherwise(lit(1.0))), 6)
-        .as("mean_tlb"),
+      sum(when(col("ed4") > 1, floor(col("lb4") / col("ed4") * 1e6 + 0.5))
+        .otherwise(lit(1000000.0)).cast("long")).as("r6sum"),
       sum(when(col("lb4") - col("ed4") > 1.0, 1L).otherwise(0L)).as("violations"))
+      .select(col("repr"), col("l"), col("pairs"),
+        (floor(col("r6sum") / col("pairs").cast("double") + 0.5) / 1e6).as("mean_tlb"),
+        col("violations"))
       .orderBy("repr", "l")
   }
 
@@ -476,7 +484,8 @@ object RepresentationQ {
       |  ) AS u(repr, l, lb4)
       |)
       |SELECT repr, l, COUNT(*) AS pairs,
-      |  FLOOR(AVG(CASE WHEN ed4 > 1 THEN lb4 / ed4 ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS mean_tlb,
+      |  FLOOR(SUM(CAST(CASE WHEN ed4 > 1 THEN FLOOR(lb4 / ed4 * 1e6 + 0.5)
+      |                       ELSE 1000000.0 END AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) + 0.5) / 1e6 AS mean_tlb,
       |  CAST(SUM(CASE WHEN lb4 - ed4 > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS violations
       |FROM joined GROUP BY 1, 2 ORDER BY repr, l""".stripMargin
 

@@ -205,8 +205,8 @@ object Stats {
     // ONE cached tokenize→bag pass feeds everything downstream
     // (vocabulary stats, the plan choice, and the chosen plan's input) —
     // leaving it lazy re-runs the 4-second tokenize per action
-    val allBags = tokens(s, dir).groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("c")).cache()
+    val allBags = graft.util.Pipelines.tracked(s,
+      tokens(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("c")))
     allBags.count()
     // vocabulary selection: drop words occurring in > VocabDfFrac of all
     // docs — stop words give a near-complete bipartite join; WEASEL
@@ -280,10 +280,9 @@ object Stats {
     }
     // materialize the vectors once: the broadcast (test) build and the
     // streamed train side are separate consumers of this shuffle
-    val vecs = allBags.groupBy("doc_id")
+    val vecs = graft.util.Pipelines.tracked(s, allBags.groupBy("doc_id")
       .agg(collect_list("word").as("ws"), collect_list("c").as("cs"))
-      .select(col("doc_id"), vecUdf(col("ws"), col("cs")).as("v"))
-      .cache()
+      .select(col("doc_id"), vecUdf(col("ws"), col("cs")).as("v")))
     vecs.count()
     val test = vecs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("tid"), col("v").as("tv"))

@@ -73,10 +73,9 @@ object WeaselQ {
     * the cache each consumer re-runs the whole sliding-words pipeline.
     */
   private def chiRankedFrom(bagsDF: DataFrame): DataFrame = {
-    val cell = bagsDF
+    val cell = graft.util.Pipelines.tracked(bagsDF.sparkSession, bagsDF
       .groupBy((col("user_id") % 3).as("cls"), col("key"))
-      .agg(sum(col("cnt")).as("obs"))
-      .cache()
+      .agg(sum(col("cnt")).as("obs")))
     cell.count() // materialize before the concurrently-submitted chi² subtrees
     val wt = cell.groupBy("key").agg(sum(col("obs")).as("wtot"))
     val lt = cell.groupBy("cls").agg(sum(col("obs")).as("ltot"))
@@ -108,6 +107,47 @@ object WeaselQ {
 
   private val GdIters = 3
   private val NClasses = 3
+
+  // ---- deterministic exp -----------------------------------------------
+  // libm exp() is not correctly rounded: the JVM intrinsic and DuckDB's
+  // C-library exp may differ in the last ulp, and the softmax's 1e-9
+  // half-up rounding can amplify a 1-ulp difference into a flipped
+  // prediction. Both engines therefore evaluate the SAME finite op
+  // tree: range reduction by an integer step (z = -n + f, f ∈ (-1, 0]),
+  // a 51-entry table of exp(-n) CONSTANTS (printed from this JVM into
+  // the SQL text, so the table is shared by construction, whatever libm
+  // produced), and a degree-13 Horner polynomial for exp(f). +, ×, /
+  // are IEEE-exact in both engines, so the results are bit-identical.
+  // z < -50 clamps to -50 (exp(-50) ≈ 2e-22 — rounds to 0 at 1e-9
+  // anyway).
+  private val ExpTable: Array[Double] = Array.tabulate(51)(n => math.exp(-n.toDouble))
+  private val PolyCoef: Array[Double] = {
+    val a = new Array[Double](14)
+    a(0) = 1.0
+    for (k <- 1 until 14) a(k) = a(k - 1) / k
+    a
+  }
+  private val detExp: Double => Double = {
+    val et = ExpTable; val pc = PolyCoef
+    z => {
+      val zc = if (z < -50.0) -50.0 else z
+      val n = math.floor(-zc).toInt
+      val f = zc + n
+      var p = pc(13)
+      var k = 12
+      while (k >= 0) { p = pc(k) + f * p; k -= 1 }
+      et(n) * p
+    }
+  }
+  private def dts(d: Double): String = java.lang.Double.toString(d)
+  /** exp(f) Horner expression over SQL term `f` — the same nesting the
+    * Scala loop evaluates. */
+  private def hornerSql(f: String): String =
+    (12 to 0 by -1).foldLeft(dts(PolyCoef(13))) {
+      (inner, k) => s"${dts(PolyCoef(k))} + $f * ($inner)"
+    }
+  private val etabSql: String =
+    (0 to 50).map(n => s"($n, ${dts(ExpTable(n))})").mkString(", ")
   // η = 0.01: Δwi = round(gradInt / (1e5 · nTrain)) in 1e-6 weight units
   // (gradInt carries probabilities ×1e9, weights ×1e6 → 1e9·η/1e6 = 1e5)
 
@@ -121,13 +161,12 @@ object WeaselQ {
     val bcDict = s.sparkContext.broadcast(dict)
     val fidUdf = udf { k: Long => bcDict.value.get(k) }
     // one cached row per series: dict-mapped sparse (fid, x) pairs
-    val byUser = bagsDF
+    val byUser = graft.util.Pipelines.tracked(s, bagsDF
       .withColumn("fid", fidUdf(col("key")))
       .groupBy("user_id")
       .agg(collect_list(when(col("fid").isNotNull,
         struct(col("fid"), col("cnt")))).as("fx"))
-      .withColumn("cls", (col("user_id") % NClasses).cast("int"))
-      .cache()
+      .withColumn("cls", (col("user_id") % NClasses).cast("int")))
     val nTrain = byUser.filter(col("user_id") % 2 === 0).count()
 
     // function VAL (serializable) — a local def would drag the
@@ -146,12 +185,13 @@ object WeaselQ {
     for (_ <- 1 to GdIters) {
       val bcW = s.sparkContext.broadcast(w)
       // per-sample contribs (fid, c, (pr_c − y_c·1e9)·x); pr = half-up
-      // 1e-9-rounded softmax of the integer margins — the ONLY
-      // non-integer step is exp(), applied to an exactly-shared input
+      // 1e-9-rounded softmax of the integer margins — the only
+      // non-integer step is [[detExp]], bit-identical across engines
+      val dexp = detExp
       val gradUdf = udf { (fx: Seq[org.apache.spark.sql.Row], cls: Int) =>
         val mi = margins(bcW.value, fx)
         val mx = mi.max
-        val e = Array.tabulate(NClasses)(c => math.exp((mi(c) - mx).toDouble / 1e6))
+        val e = Array.tabulate(NClasses)(c => dexp((mi(c) - mx).toDouble / 1e6))
         val se = e(0) + e(1) + e(2)
         val pr = Array.tabulate(NClasses)(c => math.floor(e(c) / se * 1e9 + 0.5).toLong)
         fx.flatMap { r =>
@@ -253,10 +293,16 @@ object WeaselQ {
       |  LEFT JOIN feats f ON f.user_id = g.user_id
       |  LEFT JOIN w${k - 1} w ON w.fid = f.fid AND w.c = g.c
       |  GROUP BY 1, 2
-      |), e$k AS MATERIALIZED (
+      |), z$k AS MATERIALIZED (
       |  SELECT user_id, c,
-      |    exp(CAST(mi - MAX(mi) OVER (PARTITION BY user_id) AS DOUBLE) / 1e6) AS e
+      |    GREATEST(CAST(mi - MAX(mi) OVER (PARTITION BY user_id) AS DOUBLE) / 1e6,
+      |             CAST(-50.0 AS DOUBLE)) AS zc
       |  FROM m$k
+      |), e$k AS MATERIALIZED (
+      |  SELECT user_id, c, et.ev * (${hornerSql("q.f")}) AS e
+      |  FROM (SELECT user_id, c, CAST(FLOOR(-zc) AS INTEGER) AS n,
+      |               zc + FLOOR(-zc) AS f FROM z$k) q
+      |  JOIN etab et USING (n)
       |), p$k AS MATERIALIZED (
       |  SELECT user_id, c, CAST(FLOOR(e / (e0 + e1 + e2) * 1e9 + 0.5) AS BIGINT) AS pr
       |  FROM e$k JOIN (
@@ -294,6 +340,7 @@ object WeaselQ {
       |), grid_tr AS MATERIALIZED (SELECT user_id, c FROM uq CROSS JOIN cls WHERE user_id % 2 = 0
       |), grid_te AS MATERIALIZED (SELECT user_id, c FROM uq CROSS JOIN cls WHERE user_id % 2 = 1
       |), ntr AS MATERIALIZED (SELECT COUNT(*) AS n FROM uq WHERE user_id % 2 = 0
+      |), etab AS MATERIALIZED (SELECT * FROM (VALUES $etabSql) AS t(n, ev)
       |), w0 AS MATERIALIZED (SELECT fid, c, CAST(0 AS BIGINT) AS wi FROM dict CROSS JOIN cls)""".stripMargin +
     (1 to GdIters).map(gdIterSql).mkString +
     s"""

@@ -138,6 +138,11 @@ object IndexOps {
       probe: Int,
       prefixStart: Int = 0,
       prefixLen: Int = 2)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
+    // exactness depends on this: a query with no τ (probed members < k)
+    // is treated as "the whole corpus holds < k rows", which only
+    // follows when the probe budget itself is ≥ k — probe < k would
+    // silently truncate results instead
+    require(probe >= k, s"probe budget ($probe) must be >= k ($k)")
     val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
       lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed)
     }
@@ -227,12 +232,12 @@ object IndexOps {
         schema).withColumn("qid", col("qid").cast(qidType))
     }
     // verify the probed members exactly → τ = per-query kth-best (the
-    // collect is Q rows; a query whose probe bucket held < k rows gets
-    // no τ and keeps every prefix un-prunable below)
-    val probed0 = narrow
+    // collect is Q rows; a query whose probed prefixes held < k rows
+    // gets no τ — sound because probe ≥ k forces probing to exhaust
+    // the corpus before that can happen, see the None case below)
+    val probed0 = graft.util.Pipelines.tracked(spark, narrow
       .join(broadcast(pairDF(probePairs)), Seq("prefix"))
-      .select(col("qid"), col("id"))
-      .cache()
+      .select(col("qid"), col("id")))
     val byD = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
     val tauMap: Map[Long, Double] = verify(probed0)
       .withColumn("drn", row_number().over(byD))

@@ -114,6 +114,8 @@ class MteaserClassifier(
     }
     val bestT = EarlyCascade.bestThreshold(state, cfg.minThreshold)
     outcomes.values.foreach(_.unpersist())
+    train.unpersist() // model state is collected; the folded cascade
+    // state is checkpointed — the input cache has no consumers left
 
     MteaserModel(offsets, slaves.toMap, masters.toMap, bestT)
   }

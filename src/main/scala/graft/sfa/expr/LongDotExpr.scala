@@ -1,9 +1,9 @@
 package graft.sfa.expr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Integer dot product of two `ARRAY<BIGINT>` columns as a native
   * Catalyst expression with whole-stage codegen — the hot kernel of
@@ -18,12 +18,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * integer-scaled embeddings (|x| ≤ 2¹⁷) the accumulator cannot
   * overflow a long at any realistic dimension.
   */
-case class LongDotExpr(a: Expression, b: Expression) extends BinaryExpression {
+case class LongDotExpr(a: Expression, b: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def left: Expression = a
   override def right: Expression = b
   override def dataType: DataType = LongType
   override def prettyName: String = "long_dot"
+
+  // Analysis-time contract for the SQL surface: non-BIGINT element
+  // types are implicitly cast (ARRAY<INT> literals etc.) or rejected —
+  // without this, getLong() would misread 4-byte element storage and
+  // return silently wrong dot products.
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def nullSafeEval(x: Any, y: Any): Any = {
     val av = x.asInstanceOf[ArrayData]

@@ -1,9 +1,9 @@
 package graft.sfa.expr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Fused SFA quantize + word pack as a native Catalyst expression with
   * whole-stage codegen: given a window's Fourier approximation
@@ -20,12 +20,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * edges row yields symbol 0, matching that form's left join.
   */
 case class SfaWordExpr(approx: Expression, edges: Expression, usedBits: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def left: Expression = approx
   override def right: Expression = edges
   override def dataType: DataType = LongType
   override def prettyName: String = "sfa_word"
+
+  // Analysis-time contract for the SQL surface: mismatched element
+  // types are implicitly cast or rejected instead of getDouble()
+  // misreading the array storage at runtime.
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
 
   override def nullSafeEval(a: Any, e: Any): Any = {
     val av = a.asInstanceOf[ArrayData]

@@ -55,6 +55,20 @@ object Pipelines {
   def cachedObj[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
     objs.getOrElseUpdate((sid(s), key), build).asInstanceOf[T]
 
+  private val trackCtr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Cache `df` AND register it for session-scoped release: an ad-hoc
+    * intra-query `.cache()` has no owner, so it would survive
+    * [[clear]]/[[evict]] for the JVM lifetime. Unlike [[cachedDF]] the
+    * frame is not eagerly materialized and the key is unique per call —
+    * this is ownership bookkeeping, not memoization.
+    */
+  def tracked(s: SparkSession, df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    dfs.put((sid(s), s"_tracked:${trackCtr.incrementAndGet()}"), cached)
+    cached
+  }
+
   /** Drop (and unpersist) every entry cached for `s` — call when a
     * session stops to release its storage.
     */
