@@ -190,11 +190,17 @@ object TextOps {
     * hotspot, no all-pairs work. Integer counts; ratios rounded 6 dp.
     */
   private def repetition(s: SparkSession, dir: String): DataFrame = {
+    // adjacent-pair zip, NOT per-index element_at: CollapseProject
+    // inlines the `toks` split into whatever consumes it, and an
+    // indexed lambda (element_at(toks, i) per i) would re-run the split
+    // once per ELEMENT — O(tokens²) splits per doc (measured 8 s vs
+    // 1.3 s at sf0.1). zip_with over two slices references toks a
+    // constant number of times per ROW, so the inlining stays linear.
     val grams = withTokens(docs(s, dir))
       .withColumn("grams", expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
-          "ELSE array() END"))
+        "CASE WHEN size(toks) >= 2 THEN zip_with(" +
+          "slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> concat(a, ' ', b)) ELSE array() END"))
       .select(col("doc_id"), explode(col("grams")).as("g"))
     grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
