@@ -54,8 +54,16 @@ object GridQ {
     * correct, total). Mirrors [[ClassifierQ]]'s j2 chain per window.
     */
   private def m2(s: SparkSession, dir: String): DataFrame = {
-    val ser = graft.util.Pipelines.tracked(s, SfaQ.series(s, dir))
-    val branches = M2Windows.map { w =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // SfaQ.series is already an eagerly-materialized session cache —
+    // safe for the overlapped branch fits below to share
+    val ser = SfaQ.series(s, dir)
+    // per-window branches are independent until the final union; their
+    // materializing actions (bags.count) overlap in driver threads so
+    // Spark interleaves the jobs instead of serializing the fits
+    val branches = M2Windows.map { w => Future {
       val bins = SFAOps.equiDepthBins(SFAOps.disjointApprox(ser, w, L, normMean = false), Alpha)
       val bags = graft.util.Pipelines.tracked(s, SFAOps.bagOfWords(
         SFAOps.packWords(SFAOps.slidingApproxDirect(ser, w, L, normMean = false), bins, Bits)))
@@ -93,7 +101,7 @@ object GridQ {
           sum(when(col("cls") === col("user_id") % NumClasses, 1L).otherwise(0L)).as("correct"),
           count(lit(1)).as("total"))
         .select(lit(w.toLong).as("w"), col("correct"), col("total"))
-    }
+    } }.map(Await.result(_, Duration.Inf))
     val byModel = Window.orderBy(col("correct").desc, col("w").desc)
     branches.reduce(_ unionByName _)
       .withColumn("rank", row_number().over(byModel).cast("long"))
@@ -152,9 +160,13 @@ object GridQ {
     * per-(f, uni/bigram) χ² ≥ limit feature counts emitted.
     */
   private def m3(s: SparkSession, dir: String): DataFrame = {
-    val words = SfaQ.slidingWords(s, dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val words = SfaQ.slidingWords(s, dir) // eagerly-materialized cache
     val byWin = Window.partitionBy("user_id").orderBy("win")
-    val branches = M3Fs.map { f =>
+    // per-f branches overlap their cell materializations (see m2)
+    val branches = M3Fs.map { f => Future {
       val mask = 1L << (Bits * f)
       val masked = words.withColumn("wf", col("word") % mask)
         .withColumn("prev", lag(col("wf"), 16).over(byWin))
@@ -180,7 +192,7 @@ object GridQ {
         .agg(count(lit(1)).as("n_features"),
           sum(when(col("chi2") >= ChiLimit, 1L).otherwise(0L)).as("n_selected"))
         .select(lit(f.toLong).as("f"), col("is_bigram"), col("n_features"), col("n_selected"))
-    }
+    } }.map(Await.result(_, Duration.Inf))
     branches.reduce(_ unionByName _).orderBy("f", "is_bigram")
   }
 
