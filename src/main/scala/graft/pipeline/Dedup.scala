@@ -368,9 +368,107 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(fpa, fpb)) <= $MaxHamming
        |ORDER BY a, b""".stripMargin
 
+  /** Near-dup jaccard threshold for canonicalization edges — higher
+    * than the 0.1 reporting floor: clusters should only merge docs
+    * that are actually near-copies. */
+  private val CompJac = 0.5
+
+  /** Canonicalization — the step after candidate pairs in every real
+    * dedup pipeline: connected components over the duplicate graph
+    * (exact-digest pairs ∪ capped-shingle pairs with jaccard ≥ 0.5),
+    * component id = min doc_id, keeper = the canonical doc. Emits one
+    * row per document (singletons keep themselves).
+    *
+    * Scale shape: iterative min-label propagation — per round one
+    * (edge ⋈ label) shuffle keyed on doc_id and a converged-count
+    * action, `localCheckpoint` truncating lineage between rounds;
+    * rounds ≤ component diameter (near-dup clusters are shallow; the
+    * iteration count is logged, never silent). This is the standard
+    * distributed-CC shape; at extreme diameters the large-star /
+    * small-star variant drops in without changing the contract.
+    */
+  private def components(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exactPairs = {
+      val h = d.select(col("doc_id"), md5(col("text")).as("h"))
+      h.select(col("h"), col("doc_id").as("a"))
+        .join(h.select(col("h"), col("doc_id").as("b")), "h")
+        .filter(col("a") < col("b")).select("a", "b")
+    }
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = rareShingles(s, dir, sh)
+    val x = rare.select(col("sh"), col("doc_id").as("a"))
+    val y = rare.select(col("sh"), col("doc_id").as("b"))
+    val nearPairs = x.join(y, "sh").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .filter(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double") >= CompJac)
+      .select("a", "b")
+    val edges = Pipelines.tracked(s, exactPairs.unionByName(nearPairs).distinct())
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+
+    var comp = d.select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      val nbrMin = sym.join(comp.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id")).agg(min("comp").as("nc"))
+      val next = comp.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.withColumnRenamed("comp", "c2").join(comp, "doc_id")
+        .filter(col("c2") =!= col("comp")).count()
+      comp = next
+      iters += 1
+    }
+    System.err.println(s"[dedup] components converged in $iters rounds")
+    comp.withColumn("keeper", when(col("comp") === col("doc_id"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE (min reachable id =
+    * the component id) over the SAME edge set — exact-digest pairs ∪
+    * capped-shingle jaccard ≥ 0.5, symmetric-closed, self-loops for
+    * totality. Pair blow-up is bounded: clusters are near-copies.
+    */
+  private val componentsSql =
+    s"""WITH RECURSIVE $shinglesCte,
+      |pf AS (SELECT sh AS shingle, COUNT(*) AS pf FROM sh GROUP BY 1),
+      |rare AS (
+      |  SELECT s.doc_id, s.sh FROM sh s JOIN pf ON s.sh = pf.shingle
+      |  WHERE pf.pf <= $PostingsCap),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |np AS (
+      |  SELECT i.a, i.b FROM (
+      |    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |    FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |    GROUP BY 1, 2) i
+      |  JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      |  WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= $CompJac),
+      |ep AS (
+      |  SELECT d1.doc_id AS a, d2.doc_id AS b FROM documents d1
+      |  JOIN documents d2 ON md5(d1.text) = md5(d2.text) AND d1.doc_id < d2.doc_id),
+      |edges AS (
+      |  SELECT a, b FROM np UNION SELECT a, b FROM ep
+      |  UNION SELECT b, a FROM np UNION SELECT b, a FROM ep),
+      |reach(v, u) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+      |SELECT v AS doc_id, MIN(u) AS comp,
+      |  CAST(CASE WHEN MIN(u) = v THEN 1 ELSE 0 END AS BIGINT) AS keeper
+      |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact" -> QueryDef.sql(exact, exactSql),
     "dedup_ngram_jaccard" -> QueryDef.sql(jaccard, jaccardSql),
     "dedup_minhash_lsh" -> QueryDef.sql(minhashLsh, minhashSql),
-    "dedup_simhash" -> QueryDef.sql(simhash, simhashSql))
+    "dedup_simhash" -> QueryDef.sql(simhash, simhashSql),
+    "dedup_components" -> QueryDef.sql(components, componentsSql,
+      "duplicate-cluster canonicalization: connected components over " +
+        "exact + jaccard>=0.5 edges, min-id keeper; oracle = recursive-" +
+        "CTE transitive closure"))
 }
