@@ -90,28 +90,36 @@ object Dedup {
     out
   }
 
+  /** Shared intersection stage: (a, b, inter, sza, szb) for every doc
+    * pair sharing ≥ 1 capped shingle — computed once per session; both
+    * the jaccard report (≥ 0.1) and the canonicalization edges (≥ 0.5)
+    * are filters over it.
+    */
+  private def pairOverlap(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"dedup.pairOverlap:$dir") {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val rare = rareShingles(s, dir, sh)
+      val a = rare.select(col("sh"), col("doc_id").as("a"))
+      val b = rare.select(col("sh"), col("doc_id").as("b"))
+      a.join(b, "sh").filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+    }
+
   /** N-gram Jaccard near-dup: candidate pairs share ≥1 capped shingle;
     * jaccard = |∩|/|∪| from exact integer set sizes; pairs with
     * (unrounded) jaccard ≥ 0.1 reported — the filter and the oracle use
     * the identical unrounded predicate, rounding applies to output only.
     */
-  private def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val rare = rareShingles(s, dir, sh)
-    val a = rare.select(col("sh"), col("doc_id").as("a"))
-    val b = rare.select(col("sh"), col("doc_id").as("b"))
-    val inter = a.join(b, "sh").filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+  private def jaccard(s: SparkSession, dir: String): DataFrame =
+    pairOverlap(s, dir)
       .withColumn("jacRaw", col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jacRaw") >= 0.1)
       .withColumn("jac", graft.util.Rnd.jround(col("jacRaw"), 6))
       .select("a", "b", "inter", "jac")
       .orderBy("a", "b")
-  }
 
   private val jaccardSql =
     s"""WITH $shinglesCte,
@@ -395,15 +403,7 @@ object Dedup {
         .join(h.select(col("h"), col("doc_id").as("b")), "h")
         .filter(col("a") < col("b")).select("a", "b")
     }
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val rare = rareShingles(s, dir, sh)
-    val x = rare.select(col("sh"), col("doc_id").as("a"))
-    val y = rare.select(col("sh"), col("doc_id").as("b"))
-    val nearPairs = x.join(y, "sh").filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+    val nearPairs = pairOverlap(s, dir)
       .filter(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double") >= CompJac)
       .select("a", "b")
     val edges = Pipelines.tracked(s, exactPairs.unionByName(nearPairs).distinct())
