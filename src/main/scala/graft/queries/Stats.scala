@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.util.{QueryDef, Tables}
+import graft.util.{Gated, QueryDef, Tables}
 
 /** Fit-side statistical operators from SURVEY §2.4 / §2.5, expressed over
   * the documents / embeddings tables:
@@ -35,6 +35,12 @@ object Stats {
     * small shared vocabulary would otherwise defeat the inverted index.
     */
   private val DenseVocabMax = 4096
+
+  /** Posting-row ceiling under which the sparse 1-NN plan may broadcast
+    * the held-out split (≈40 B/row → ~40 MB at the ceiling); above it
+    * the join falls back to a shuffle (see [[Gated.broadcastIfUnder]]).
+    */
+  private val SparseTestBroadcastMaxRows = 1000000L
 
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -258,7 +264,11 @@ object Stats {
     * outside the selected vocabulary drop out at the dictionary lookup,
     * so the input needs no separate vocabulary join.
     */
-  private[queries] def nnDense(s: SparkSession, allBags: DataFrame, vocab: Array[String]): DataFrame = {
+  private[queries] def nnDense(
+      s: SparkSession,
+      allBags: DataFrame,
+      vocab: Array[String],
+      maxBroadcastRows: Long = Gated.DefaultMaxRows): DataFrame = {
     val idx = vocab.zipWithIndex.toMap
     val bcIdx = s.sparkContext.broadcast(idx)
     val dim = vocab.length
@@ -288,28 +298,47 @@ object Stats {
       .select(col("doc_id").as("tid"), col("v").as("tv"))
     val train = vecs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id").as("rid"), col("v").as("rv"))
-    train.crossJoin(broadcast(test))
-      .withColumn("dist", distUdf(col("tv"), col("rv")))
-      .filter(col("dist") >= 0)
-      .groupBy("tid")
-      .agg(min(struct(col("dist"), col("rid"))).as("m"))
-      .select(col("tid"), col("m.rid").as("rid"), col("m.dist").as("dist"))
+    // The test split is fact-proportional (10% of docs × ≤4096-long
+    // vectors) — never broadcast whole. Block-nested-loop instead:
+    // slice the test side into broadcast-ceiling-sized chunks, stream
+    // the train side once per chunk (cheap: `vecs` is cached), union.
+    // Each tid lives in exactly one chunk, so the per-chunk
+    // groupBy(tid).min results union without a cross-chunk re-agg.
+    val nTest = test.count()
+    val chunks = Gated.numChunks(nTest, maxBroadcastRows)
+    if (chunks > 1)
+      System.err.println(s"[gated] j1 dense test split: $nTest rows -> $chunks broadcast chunks")
+    (0 until chunks).map { i =>
+      train.crossJoin(broadcast(Gated.chunk(test, "tid", i, chunks)))
+        .withColumn("dist", distUdf(col("tv"), col("rv")))
+        .filter(col("dist") >= 0)
+        .groupBy("tid")
+        .agg(min(struct(col("dist"), col("rid"))).as("m"))
+        .select(col("tid"), col("m.rid").as("rid"), col("m.dist").as("dist"))
+    }.reduce(_ union _)
   }
 
   /** Sparse (large-vocab) 1-NN path: inverted-index equi-join on word,
     * dist = Σ_shared(tc−rc)² − Σ_shared tc² + Σ_all tc². Everything
     * stays distributed — no train-corpus collect, no driver-sized state.
     */
-  private[queries] def nnSparse(bags: DataFrame): DataFrame = {
+  private[queries] def nnSparse(
+      bags: DataFrame,
+      maxBroadcastRows: Long = SparseTestBroadcastMaxRows): DataFrame = {
     val test = bags.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("tid"), col("word"), col("c").as("tc"))
     val train = bags.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id").as("rid"), col("word"), col("c").as("rc"))
     val selfsq = test.groupBy("tid").agg(sum(col("tc") * col("tc")).as("selfsq"))
-    // the held-out side is 10% of docs — broadcast it so the big train
-    // posting list streams map-side instead of shuffling into a
-    // sort-merge join; the (tid, rid) aggregate still combines map-side
-    val shared = broadcast(test).join(train, Seq("word"))
+    // the held-out side is 10% of docs, i.e. fact-proportional: only
+    // broadcast it while its posting list is provably small — above the
+    // ceiling fall back to a shuffle join (the (tid, rid) aggregate
+    // still combines map-side on either plan, and the word equi-join
+    // keys are vocabulary-pruned so neither side skews)
+    val nTestRows = test.count()
+    val shared = Gated
+      .broadcastIfUnder(test, nTestRows, maxBroadcastRows, "j1 sparse test postings")
+      .join(train, Seq("word"))
       .groupBy("tid", "rid")
       .agg(sum((col("tc") - col("rc")) * (col("tc") - col("rc"))).as("sdist"),
         sum(col("tc") * col("tc")).as("tshared"))

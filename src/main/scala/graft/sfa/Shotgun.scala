@@ -22,7 +22,13 @@ object Shotgun {
       minWindowLength: Int = 5,
       maxWindowLength: Int = 250,
       factor: Double = 0.92, // ensemble; the single classifier uses 1.0
-      normalization: Seq[Boolean] = Seq(true, false))
+      normalization: Seq[Boolean] = Seq(true, false),
+      /** Train-corpus byte ceiling for the collect-and-broadcast 1-NN
+        * path; beyond it the classifier switches to the distributed
+        * pair plan (no driver-sized state). 256 MB default — the same
+        * order as Spark's own broadcast comfort zone on an 8 GB driver.
+        */
+      broadcastMaxBytes: Long = 256L << 20)
 
   final case class ShotgunModel(
       norm: Boolean,
@@ -153,6 +159,42 @@ object Shotgun {
         nnUdf(col("data"), col("id"), col("norm"), col("w")).as("predLabel"))
       .filter(!isnan(col("predLabel")))
   }
+
+  /** Distributed twin of [[predictGrid]]: the train corpus stays a
+    * DataFrame (no driver collect, no corpus broadcast) and the 1-NN
+    * reduces as crossJoin → per-pair exact [[distance]] → map-side
+    * partial `min(struct(total, rid))`. Semantics are identical —
+    * per-window mins are the same FP sums, strict-improvement ties
+    * resolve to the lowest train id via the struct ordering, and a
+    * candidate any of whose windows admits no aligned offset
+    * accumulates ≥ Double.MaxValue, which both paths exclude. The
+    * cross-candidate early abandon is lost (each pair is independent),
+    * which trades compute for unbounded scale — the reference's own
+    * cost is the same O(N²·n·w).
+    */
+  def predictGridDistributed(
+      data: DataFrame,
+      train: DataFrame,
+      cfgs: Seq[(Boolean, Int)],
+      loo: Boolean)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cfgDf = cfgs.toDF("norm", "w")
+    val t = train.select(col("id").as("rid"), col("label").as("rlabel"), col("data").as("rdata"))
+    val pairUdf = udf { (q: Seq[Double], ts: Seq[Double], norm: Boolean, w: Int) =>
+      distance(q.toArray, ts.toArray, w, norm)
+    }
+    val looFilter = if (loo) col("id") =!= col("rid") else lit(true)
+    data.select(col("id"), col("label"), col("data"))
+      .crossJoin(t)
+      .filter(looFilter)
+      .crossJoin(broadcast(cfgDf))
+      .withColumn("total", pairUdf(col("data"), col("rdata"), col("norm"), col("w")))
+      .filter(col("total") < lit(Double.MaxValue))
+      .groupBy("norm", "w", "id", "label")
+      .agg(min(struct(col("total"), col("rid"), col("rlabel"))).as("m"))
+      .select(col("norm"), col("w"), col("id"), col("label"),
+        col("m.rlabel").as("predLabel"))
+  }
 }
 
 /** Single best-window Shotgun classifier (factor 1.0 → one model per
@@ -166,17 +208,45 @@ class ShotgunClassifier(cfg: Shotgun.Config = Shotgun.Config(), ensemble: Boolea
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
       .sortBy(_._1)
 
+  /** (rows, data cells, max series length) in one narrow agg — the
+    * size gate that decides collect-and-broadcast vs the distributed
+    * pair plan without ever collecting the corpus first.
+    */
+  private def trainStats(train: DataFrame): (Long, Long, Int) = {
+    val r = train.agg(count(lit(1)), sum(size(col("data"))), max(size(col("data")))).head()
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+
+  private def gridPredictions(
+      data: DataFrame,
+      train: DataFrame,
+      trainArr: Option[Array[(Long, Double, Array[Double])]],
+      grid: Seq[(Boolean, Int)],
+      loo: Boolean)(implicit spark: SparkSession): DataFrame =
+    trainArr match {
+      case Some(arr) => predictGrid(data, arr, grid, loo)
+      case None => predictGridDistributed(data, train, grid, loo)
+    }
+
   def fit(train: DataFrame)(implicit spark: SparkSession): Seq[ShotgunModel] = {
-    val trainArr = collectTrain(train)
-    val n = trainArr.length.toLong
-    val maxLen = trainArr.map(_._3.length).max
+    val (_, cells, maxLen) = trainStats(train)
+    // collect the corpus only while it provably fits the broadcast
+    // budget; past that the distributed pair plan takes over (same
+    // predictions, no driver-sized state)
+    val trainArr =
+      if (cells * 8L <= cfg.broadcastMaxBytes) Some(collectTrain(train))
+      else {
+        System.err.println(
+          s"[gated] shotgun train corpus: ${cells * 8L} B > ${cfg.broadcastMaxBytes} B — distributed pair plan")
+        None
+      }
     val windows = cfg.minWindowLength to math.min(maxLen, cfg.maxWindowLength)
     val factor = if (ensemble) cfg.factor else 1.0
 
     val perNorm = cfg.normalization.map { nm =>
       import train.sparkSession.implicits._
       val grid = windows.map(w => (nm, w))
-      val loo = predictGrid(train, trainArr, grid, loo = true).cache()
+      val loo = gridPredictions(train, train, trainArr, grid, loo = true).cache()
       val scores = loo.filter(col("predLabel") === col("label"))
         .groupBy("norm", "w").agg(count(lit(1)).as("correct"))
         .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
@@ -209,8 +279,11 @@ class ShotgunClassifier(cfg: Shotgun.Config = Shotgun.Config(), ensemble: Boolea
 
   def predict(models: Seq[ShotgunModel], train: DataFrame, test: DataFrame)(
       implicit spark: SparkSession): DataFrame = {
-    val trainArr = collectTrain(train)
-    val preds = predictGrid(test, trainArr, models.map(m => (m.norm, m.windowLength)), loo = false)
+    val (_, cells, _) = trainStats(train)
+    val trainArr =
+      if (cells * 8L <= cfg.broadcastMaxBytes) Some(collectTrain(train)) else None
+    val preds = gridPredictions(test, train, trainArr,
+      models.map(m => (m.norm, m.windowLength)), loo = false)
     val weights = models.map(m => ((m.norm, m.windowLength), m.trainCorrect)).toMap
     val wUdf = udf { (norm: Boolean, w: Int) => weights((norm, w)) }
     Boss.vote(preds.withColumn("weight", wUdf(col("norm"), col("w"))))

@@ -99,6 +99,51 @@ object Pipelines {
     math.max(1L, math.min(1024L, n / 5000L)).toInt
 }
 
+/** Size-gated broadcast: the single place a fact-derived frame is ever
+  * allowed onto the broadcast side of a join. Model-sized state (bins,
+  * dictionaries, centroids, configs) may call `functions.broadcast`
+  * directly; anything proportional to a fact table must come through
+  * here with its row count, so the gate — and a logged fallback — is a
+  * grep-able invariant rather than a convention.
+  */
+object Gated {
+  /** Default row ceiling for a broadcastable fact-derived frame. Sized
+    * for wide rows (the j1 dense path ships ≤4096-long vectors ≈ 32 KB/
+    * row → ~64 MB at the ceiling); caller may pass a tighter/looser
+    * ceiling when it knows the row width.
+    */
+  val DefaultMaxRows = 2000L
+
+  /** Broadcast `df` when `rows` is under `maxRows`; otherwise log and
+    * return it as-is, letting the join planner shuffle it. Correctness
+    * never depends on the choice — only the physical plan does.
+    */
+  def broadcastIfUnder(df: DataFrame, rows: Long, maxRows: Long, what: String): DataFrame =
+    if (rows <= maxRows) org.apache.spark.sql.functions.broadcast(df)
+    else {
+      System.err.println(
+        s"[gated] $what: $rows rows > broadcast ceiling $maxRows — shuffle join fallback")
+      df
+    }
+
+  /** Deterministic row-count chunking for block-nested-loop broadcasts:
+    * split `df` into `numChunks(rows, maxRows)` slices on a hash of
+    * `key`, each provably under the broadcast ceiling in expectation.
+    * The caller loops slices (broadcasting each) and unions results —
+    * the standard shape when the build side is fact-proportional but
+    * the probe side must not shuffle.
+    */
+  def numChunks(rows: Long, maxRows: Long): Int =
+    math.max(1L, (rows + maxRows - 1) / maxRows).toInt
+
+  def chunk(df: DataFrame, key: String, i: Int, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    // hash first: raw keys are often structured (e.g. every test doc_id
+    // ≡ 0 mod 10), which would skew or empty modulo slices
+    if (n <= 1) df else df.filter(pmod(hash(col(key)), lit(n)) === i)
+  }
+}
+
 /** A named query plus (optionally) the ANSI-SQL oracle the driver runs in
   * DuckDB over the same parquet tables. Column names and types must match
   * the Spark result exactly (driver sorts columns by name, then hashes).

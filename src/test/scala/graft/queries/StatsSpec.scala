@@ -29,5 +29,15 @@ class StatsSpec extends SparkSpec {
 
     assert(dense.nonEmpty, "test split produced no 1-NN rows")
     assert(dense.toSeq == sparse.toSeq)
+
+    // size-gated physical variants: the chunked (block-nested-loop)
+    // dense broadcast and the sparse shuffle-join fallback must both
+    // reproduce the ungated plans exactly
+    val denseChunked = Stats.nnDense(spark, allBags, vocab.toArray.sorted, maxBroadcastRows = 2)
+      .orderBy("tid").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(denseChunked.toSeq == dense.toSeq)
+    val sparseShuffle = Stats.nnSparse(allBags, maxBroadcastRows = 0)
+      .orderBy("tid").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sparseShuffle.toSeq == sparse.toSeq)
   }
 }

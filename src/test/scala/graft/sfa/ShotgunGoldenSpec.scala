@@ -48,4 +48,26 @@ class ShotgunGoldenSpec extends SparkSpec {
   test("Shotgun ensemble reaches golden accuracy on Beef") {
     gate("Beef", ensemble = true, 0.9)
   }
+
+  /** The distributed pair plan (train corpus too large to collect —
+    * forced with a zero broadcast budget) must reproduce the broadcast
+    * path's models and predictions exactly: same windows kept, same
+    * train scores, same test predictions per id.
+    */
+  test("distributed Shotgun fallback ≡ collect-and-broadcast path", graft.Slow) {
+    import spark.implicits._
+    val train = Loaders.loadUcrLocal(s"$base/Coffee/Coffee_TRAIN").toSeq.toDF()
+    val test = Loaders.loadUcrLocal(s"$base/Coffee/Coffee_TEST").toSeq.toDF()
+    val small = Shotgun.Config(maxWindowLength = 60)
+    val cBroad = new ShotgunClassifier(small, ensemble = true)
+    val cDist = new ShotgunClassifier(small.copy(broadcastMaxBytes = 0L), ensemble = true)
+    val mB = cBroad.fit(train)
+    val mD = cDist.fit(train)
+    assert(mD === mB)
+    val pB = cBroad.predict(mB, train, test)
+      .select("id", "pred").as[(Long, Double)].collect().sortBy(_._1)
+    val pD = cDist.predict(mD, train, test)
+      .select("id", "pred").as[(Long, Double)].collect().sortBy(_._1)
+    assert(pD === pB)
+  }
 }
