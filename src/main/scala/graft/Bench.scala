@@ -42,9 +42,13 @@ object Bench {
     // exactly those queries 5-20x vs clean reruns). The counter makes
     // "job-heavy" measurable so it can be driven down and kept down.
     val jobCounter = new java.util.concurrent.atomic.AtomicLong()
+    val jobLog = sys.env.contains("SPARK_GRAFT_JOBLOG")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobCounter.incrementAndGet()
+        if (jobLog) System.err.println(
+          s"[job] ${js.stageInfos.lastOption.map(_.name).getOrElse("?")} (${js.stageInfos.size} stages)")
+      }
     })
     val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 

@@ -378,6 +378,18 @@ object Similarity {
     * queryable number, not a claim.
     */
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    // at fixture corpus size the three memoized builds below are
+    // plan-depth-bound — run them (and the recall join) in the
+    // small-fit scope; at real scale the gate never triggers
+    val n = emb(s, dir).count()
+    Pipelines.smallFitScope(s, n) {
+      val res = Pipelines.tracked(s, annRecallBody(s, dir))
+      res.count()
+      res
+    }
+  }
+
+  private def annRecallBody(s: SparkSession, dir: String): DataFrame = {
     val brute = cosineTopK(s, dir).filter(col("rk") <= 3).select("q_id", "c_id")
     val qs = emb(s, dir).filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
     def recallOf(name: String, ann: DataFrame): DataFrame = {

@@ -54,12 +54,18 @@ object GridQ {
     * correct, total). Mirrors [[ClassifierQ]]'s j2 chain per window.
     */
   private def m2(s: SparkSession, dir: String): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     // SfaQ.series is already an eagerly-materialized session cache —
     // safe for the overlapped branch fits below to share
     val ser = SfaQ.series(s, dir)
+    // a window-grid FIT at fixture input size is plan-depth-bound:
+    // run it (and the result materialization) in the small-fit scope
+    graft.util.Pipelines.smallFitScope(s, ser.count()) { m2Body(s, ser) }
+  }
+
+  private def m2Body(s: SparkSession, ser: DataFrame): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     // per-window branches are independent until the final union; their
     // materializing actions (bags.count) overlap in driver threads so
     // Spark interleaves the jobs instead of serializing the fits
@@ -103,9 +109,11 @@ object GridQ {
         .select(lit(w.toLong).as("w"), col("correct"), col("total"))
     } }.map(Await.result(_, Duration.Inf))
     val byModel = Window.orderBy(col("correct").desc, col("w").desc)
-    branches.reduce(_ unionByName _)
+    val res = graft.util.Pipelines.tracked(s, branches.reduce(_ unionByName _)
       .withColumn("rank", row_number().over(byModel).cast("long"))
-      .orderBy("w")
+      .orderBy("w"))
+    res.count() // materialize inside the small-fit scope
+    res
   }
 
   private def m2Branch(w: Int): String =
@@ -364,7 +372,11 @@ object GridQ {
   private def mteaser(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     val base = "/root/reference/src/main/resources/datasets/multivariate"
-    val res = graft.util.Pipelines.cachedDF(s, "mteaser.pendigits") {
+    // fixture-scale fit: run the whole build (fits AND the eager
+    // cachedDF materialization) in the small-fit scope — see
+    // Pipelines.smallFitScope
+    val res = graft.util.Pipelines.smallFitScope(s, n = 60) {
+     graft.util.Pipelines.cachedDF(s, "mteaser.pendigits") {
       val train0 = graft.ts.Loaders.loadMultivariate(s, s"$base/PenDigits/PenDigits_TRAIN3",
         applyZNorm = false)
       val test0 = graft.ts.Loaders.loadMultivariate(s, s"$base/PenDigits/PenDigits_TEST3",
@@ -388,6 +400,7 @@ object GridQ {
           normalization = Seq(false), lrMaxIter = 20))
       val model = clf.fit(train)
       clf.predictDF(model, test)
+     }
     }
     res.groupBy(col("off").cast("long").as("off"))
       .agg(count(lit(1)).as("n"),

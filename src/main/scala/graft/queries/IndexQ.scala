@@ -97,15 +97,38 @@ object IndexQ {
       .orderBy("qid", "rank")
   }
 
-  private def j6(s: SparkSession, dir: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    val (corpus, queries, bins) = prepared(s, dir)
-    // prefix on symbols 2..3: 0/1 are the degenerate DC pair of z-normed
-    // slices (one giant group — no pruning there), same choice as j8/a8
-    IndexOps.knn(corpus, queries, bins, normed = false, k = K, probe = 10,
-      prefixStart = 2, prefixLen = PrefixLen)
-      .withColumn("d2", jround(col("d2"), 6))
-      .orderBy("qid", "rank")
+  /** j6 + its pruning telemetry, memoized so `j6_knn_index` and
+    * `j6_scan_fraction` share one filter-and-refine run.
+    */
+  private def j6Run(s: SparkSession, dir: String): (DataFrame, IndexOps.KnnStats) =
+    graft.util.Pipelines.cachedObj(s, s"index.j6run:$dir") {
+      implicit val sp: SparkSession = s
+      val (corpus, queries, bins) = prepared(s, dir)
+      // prefix from symbol 2 on: 0/1 are the degenerate DC pair of
+      // z-normed slices (one giant group — no pruning there), same
+      // choice as j8/a8; depth adaptive from corpus cardinality
+      val (df, stats) = IndexOps.knnWithStats(corpus, queries, bins, normed = false,
+        k = K, probe = 10, prefixStart = 2)
+      val res = graft.util.Pipelines.tracked(s,
+        df.withColumn("d2", jround(col("d2"), 6)).orderBy("qid", "rank"))
+      (res, stats)
+    }
+
+  private def j6(s: SparkSession, dir: String): DataFrame = j6Run(s, dir)._1
+
+  /** Pruning telemetry as a registered query (the KnnStats numbers):
+    * how much of the corpus×query space the LB pass touched after box
+    * pruning. Rows-only (the fraction depends on τ, i.e. on exact
+    * verified distances — not reasonably SQL-expressible); semantics
+    * gated by IndexOpsSpec's stats reconciliation test.
+    */
+  private def j6Stats(s: SparkSession, dir: String): DataFrame = {
+    val stats = j6Run(s, dir)._2
+    import s.implicits._
+    Seq((stats.corpusRows, stats.queryRows, stats.probeVerified, stats.lbScanned))
+      .toDF("corpus_rows", "query_rows", "probe_verified", "lb_scanned")
+      .withColumn("scan_fraction",
+        jround(col("lb_scanned") / (col("corpus_rows") * col("query_rows")), 6))
   }
 
   /** Brute-scan oracle — shared by j9 AND j6 (index exactness gate). */
@@ -312,5 +335,7 @@ object IndexQ {
     "j7_range_search" -> QueryDef.sql(j7, rangeSql),
     "j8_approx_prefix" -> QueryDef.sql(j8, approxSql),
     "j5_lb_distance" -> QueryDef.sql(j5, lbSql),
+    "j6_scan_fraction" -> QueryDef.rowsOnly(j6Stats,
+      "k-NN box-pruning telemetry (KnnStats); gated by IndexOpsSpec stats reconciliation"),
     "a8_minmax_boxes" -> QueryDef.sql(a8, boxSql))
 }

@@ -232,6 +232,12 @@ class BossEnsemble(cfg: Boss.Config = Boss.Config()) {
   /** Fit on (id LONG, label DOUBLE, data ARRAY<DOUBLE>). */
   def fit(train: DataFrame)(implicit spark: SparkSession): EnsembleModel = {
     val trainCount = train.count()
+    // fixture-scale fits drop AQE/auto-broadcast to stay few-job
+    graft.util.Pipelines.smallFitScope(spark, trainCount) { fitBody(train, trainCount) }
+  }
+
+  private def fitBody(train: DataFrame, trainCount: Long)(
+      implicit spark: SparkSession): EnsembleModel = {
     val maxLen = train.select(max(size(col("data")))).head.getInt(0)
     val maxW = math.min(maxLen, cfg.maxWindowLength)
     val windows = (cfg.minWindowLength to maxW).toSeq

@@ -112,7 +112,9 @@ object IndexOps {
     * @param probe   phase-1 verification budget per query (≥ k)
     * @param prefixStart first word symbol of the grouping prefix (use 2
     *                    to skip a degenerate DC pair, matching j8/a8)
-    * @param prefixLen   symbols in the grouping prefix
+    * @param prefixLen   symbols in the grouping prefix; 0 (default) =
+    *                    adaptive from corpus cardinality, see
+    *                    [[adaptiveDepth]]
     * @return (qid, rank, id, dist2) — identical to a brute scan
     */
   def knn(
@@ -123,8 +125,24 @@ object IndexOps {
       k: Int,
       probe: Int,
       prefixStart: Int = 0,
-      prefixLen: Int = 2)(implicit spark: SparkSession): DataFrame =
+      prefixLen: Int = 0)(implicit spark: SparkSession): DataFrame =
     knnWithStats(corpus, queries, bins, normed, k, probe, prefixStart, prefixLen)._1
+
+  /** Adaptive prefix depth — the reference's bulk-load rule
+    * `round(log_α(count / chunk))` with chunk = the trie's leaf
+    * capacity (SFABulkLoadTest.java:162-166, leafThreshold = 100 at
+    * SFABulkLoadTest.java:37), clamped to [1, maxDepth]. Evaluated in
+    * exact integer arithmetic: round(log_α(x)) = d ⇔ α^(2d−1) ≤ x² <
+    * α^(2d+1), so the same N gives the same depth on every engine (no
+    * FP-log knife edges).
+    */
+  def adaptiveDepth(n: Long, alpha: Int, maxDepth: Int, chunk: Long = 100L): Int = {
+    def roundGe(d: Int): Boolean =
+      BigInt(alpha).pow(2 * d - 1) * BigInt(chunk) * BigInt(chunk) <= BigInt(n) * BigInt(n)
+    var d = 1
+    while (d < maxDepth && roundGe(d + 1)) d += 1
+    d
+  }
 
   /** [[knn]] plus its pruning telemetry (computed eagerly; the stats
     * actions only touch the tiny box/prefix tables).
@@ -137,12 +155,19 @@ object IndexOps {
       k: Int,
       probe: Int,
       prefixStart: Int = 0,
-      prefixLen: Int = 2)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
+      prefixLen: Int = 0)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
     // exactness depends on this: a query with no τ (probed members < k)
     // is treated as "the whole corpus holds < k rows", which only
     // follows when the probe budget itself is ≥ k — probe < k would
     // silently truncate results instead
     require(probe >= k, s"probe budget ($probe) must be >= k ($k)")
+    // prefixLen = 0 → adaptive from corpus cardinality (deeper prefixes
+    // as the corpus grows, shallow for small corpora — the bulk-load
+    // depth rule). Exactness holds at ANY depth; depth only moves the
+    // box-granularity/prefix-count trade-off.
+    val plen =
+      if (prefixLen > 0) prefixLen
+      else adaptiveDepth(corpus.count(), bins(0).length + 1, bins.length - prefixStart)
     val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
       lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed)
     }
@@ -175,7 +200,7 @@ object IndexOps {
     // nested-loop over (corpus × survivor) pairs — the hash join needs a
     // scalar. 256 ≥ any alphabet in use (reference caps α at 8).
     val prefixCol = expr(
-      s"aggregate(slice(word, ${prefixStart + 1}, $prefixLen), 0L, (acc, s) -> acc * 256 + s)")
+      s"aggregate(slice(word, ${prefixStart + 1}, $plen), 0L, (acc, s) -> acc * 256 + s)")
     val narrow = corpus.select(col("id"), col("word"), prefixCol.as("prefix"))
     val payload = corpus.select(col("id"), col("data"))
     val qNarrow = queries.select(col("qid"), col("qword"), col("qapprox"))
@@ -284,7 +309,7 @@ object IndexOps {
       probeVerified = probePairs.map(_._3).sum,
       lbScanned = survPairs.map(_._3).sum)
     System.err.println(
-      f"[knn] box pruning: LB-scanned ${stats.lbScanned} of ${stats.corpusRows * stats.queryRows} " +
+      f"[knn] box pruning (prefix depth $plen): LB-scanned ${stats.lbScanned} of ${stats.corpusRows * stats.queryRows} " +
         f"(corpus×query) pairs = ${stats.scanFraction * 100}%.1f%%")
     (fin, stats)
   }

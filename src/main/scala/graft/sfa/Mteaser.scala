@@ -58,15 +58,24 @@ class MteaserClassifier(
   import Mteaser._
 
   def fit(train0: DataFrame)(implicit spark: SparkSession): MteaserModel = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val muse = new MuseClassifier(slaveCfg)
     // eager cache: the per-snapshot fits below run CONCURRENTLY and all
     // branch from `train` — against a lazy input each would race to
-    // recompute the whole upstream plan (the Pipelines.cachedDF rule)
-    val train = train0.cache()
-    train.count()
+    // recompute the whole upstream plan (the Pipelines.cachedDF rule).
+    // Only unpersist at the end if the cache was introduced HERE — a
+    // caller that handed in an already-cached frame owns that cache.
+    val ownCache = train0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val train = if (ownCache) train0.cache() else train0
+    val nTrain = train.count()
+    // fixture-scale cascades drop AQE/auto-broadcast to stay few-job
+    graft.util.Pipelines.smallFitScope(spark, nTrain) { fitBody(train, muse, ownCache) }
+  }
+
+  private def fitBody(train: DataFrame, muse: MuseClassifier, ownCache: Boolean)(
+      implicit spark: SparkSession): MteaserModel = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val maxLen = sampleLens(train).select(max(col("len"))).head.getInt(0)
     val maxL = math.min(maxLen, cfg.maxWindowLength)
     val step = maxL / cfg.s.toDouble
@@ -114,8 +123,9 @@ class MteaserClassifier(
     }
     val bestT = EarlyCascade.bestThreshold(state, cfg.minThreshold)
     outcomes.values.foreach(_.unpersist())
-    train.unpersist() // model state is collected; the folded cascade
-    // state is checkpointed — the input cache has no consumers left
+    // model state is collected and the folded cascade state is
+    // checkpointed — release the input cache iff fit() introduced it
+    if (ownCache) train.unpersist()
 
     MteaserModel(offsets, slaves.toMap, masters.toMap, bestT)
   }
@@ -136,7 +146,10 @@ class MteaserClassifier(
         val out = EarlyCascade.outcomeOf(
           muse.predictProba(slave, truncate(subset, model.offsets(s))),
           model.masters(s))
-        state = EarlyCascade.step(state, out, model.offsets(s), s, cfg.s).localCheckpoint(true)
+        // lazy checkpoint: the count right below materializes it, so
+        // the lineage still truncates per step without scheduling a
+        // separate checkpoint job
+        state = EarlyCascade.step(state, out, model.offsets(s), s, cfg.s).localCheckpoint(false)
         undecided = state.filter(col("pred").isNull).count()
       }
       s += 1

@@ -68,8 +68,16 @@ class TeaserClassifier(
   import Teaser._
 
   def fit(train: DataFrame)(implicit spark: SparkSession): TeaserModel = {
+    val statsRow = train.agg(count(lit(1)), max(size(col("data")))).head
+    // fixture-scale cascades drop AQE/auto-broadcast to stay few-job
+    graft.util.Pipelines.smallFitScope(spark, statsRow.getLong(0)) {
+      fitBody(train, statsRow.getInt(1))
+    }
+  }
+
+  private def fitBody(train: DataFrame, maxLen: Int)(
+      implicit spark: SparkSession): TeaserModel = {
     val weasel = new WeaselClassifier(slaveCfg)
-    val maxLen = train.select(max(size(col("data")))).head.getInt(0)
     val maxL = math.min(maxLen, cfg.maxWindowLength)
     val step = maxL / cfg.s.toDouble
     val offsets = new Array[Int](cfg.s + 1)
@@ -142,8 +150,9 @@ class TeaserClassifier(
         val out = EarlyCascade.outcomeOf(
           weasel.predictProba(slave, truncate(subset, model.offsets(s))),
           model.masters(s))
-        // localCheckpoint truncates the per-iteration lineage growth
-        state = EarlyCascade.step(state, out, model.offsets(s), s, cfg.s).localCheckpoint(true)
+        // localCheckpoint truncates the per-iteration lineage growth;
+        // lazy — the undecided count right after materializes it
+        state = EarlyCascade.step(state, out, model.offsets(s), s, cfg.s).localCheckpoint(false)
         undecided = state.filter(col("pred").isNull).count()
       }
       s += 1

@@ -386,8 +386,14 @@ class WeaselClassifier(cfg: Weasel.Config = Weasel.Config()) {
   }
 
   private def fitCore(train: DataFrame)(implicit spark: SparkSession): (WeaselModel, DataFrame) = {
-    import spark.implicits._
     val n = train.count()
+    // fixture-scale fits drop AQE/auto-broadcast to stay few-job
+    graft.util.Pipelines.smallFitScope(spark, n) { fitCoreBody(train, n) }
+  }
+
+  private def fitCoreBody(train: DataFrame, n: Long)(
+      implicit spark: SparkSession): (WeaselModel, DataFrame) = {
+    import spark.implicits._
     val maxLen = train.select(max(size(col("data")))).head.getInt(0)
     val hb = highestBit(cfg.maxWindowLength)
 

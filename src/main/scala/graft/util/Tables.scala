@@ -97,6 +97,56 @@ object Pipelines {
     */
   def fitParallelism(n: Long): Int =
     math.max(1L, math.min(1024L, n / 5000L)).toInt
+
+  /** Run `body` with AQE and wide shuffles turned off when the fit
+    * input is fixture-scale (n ≤ `threshold` rows), restoring the
+    * session conf after. Rationale: a classifier fit at fixture scale
+    * is PLAN-DEPTH-bound — AQE materializes every shuffle stage as its
+    * own scheduled job, so a 10-action fit schedules 50+ jobs whose
+    * wall time is hostage to driver contention, while the data would
+    * fit one task. At real scale (n past the threshold) the body runs
+    * untouched and keeps AQE's runtime re-planning. Restores to the
+    * previous values, so scopes nest; the caller must materialize its
+    * results inside the scope (our query wrappers cache eagerly).
+    */
+  def smallFitScope[T](s: SparkSession, n: Long, threshold: Long = 5000)(body: => T): T =
+    if (n > threshold) body
+    else {
+      FitScope.enter(s)
+      try body
+      finally FitScope.exit(s)
+    }
+
+  /** Depth-counted session-conf toggling for [[smallFitScope]]: fits
+    * may nest (a cascade fits slaves inside its own scope) and run in
+    * concurrent driver futures, so only the OUTERMOST scope saves/sets
+    * and only the last exit restores — a plain save/restore pair would
+    * race and could leave the session stuck on the small-fit settings.
+    */
+  private object FitScope {
+    // auto-broadcast also goes: every broadcast build is its own
+    // scheduled job, and at fixture scale a shuffle join inside the
+    // one query job is cheaper than scheduling a build job per join
+    private val settings = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    private var depth = 0
+    private var saved: Seq[(String, String)] = Nil
+
+    def enter(s: SparkSession): Unit = synchronized {
+      if (depth == 0) {
+        saved = settings.map { case (k, _) => k -> s.conf.get(k) }
+        settings.foreach { case (k, v) => s.conf.set(k, v) }
+      }
+      depth += 1
+    }
+
+    def exit(s: SparkSession): Unit = synchronized {
+      depth -= 1
+      if (depth == 0) saved.foreach { case (k, v) => s.conf.set(k, v) }
+    }
+  }
 }
 
 /** Size-gated broadcast: the single place a fact-derived frame is ever

@@ -56,6 +56,99 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("adaptive prefix depth follows the integer-exact bulk-load rule") {
+    // round(log_8(N/100)) with exact integer comparisons
+    assert(IndexOps.adaptiveDepth(100, 8, 6) === 1)
+    assert(IndexOps.adaptiveDepth(750, 8, 6) === 1) // log_8(7.5) ≈ 0.97 → 1
+    assert(IndexOps.adaptiveDepth(2262, 8, 6) === 1) // 8^1.5·100 ≈ 2262.7: boundary below
+    assert(IndexOps.adaptiveDepth(2263, 8, 6) === 2) // first N that rounds to 2
+    assert(IndexOps.adaptiveDepth(200000, 8, 6) === 4) // log_8(2000) ≈ 3.65 → 4
+    assert(IndexOps.adaptiveDepth(2000000, 8, 8) === 5) // log_8(20000) ≈ 4.76 → 5
+    assert(IndexOps.adaptiveDepth(2000000, 8, 3) === 3) // clamped to max depth
+  }
+
+  /** KnnStats reconciliation: the telemetry the `j6_scan_fraction`
+    * query emits must equal an independent driver-side recompute of the
+    * same box-prune plan (boxes → probe sets → τ from exact distances →
+    * survivor member counts).
+    */
+  test("knnWithStats telemetry equals an independent recompute") {
+    import spark.implicits._
+    val n = 120
+    val len = 64
+    val l = 8
+    val alpha = 8
+    val prefixLen = 2
+    val probe = 6
+    val k = 3
+    val walks = (0 until n).map(i => (i.toLong, Loaders.znorm(Loaders.randomWalk(len, 1000 + i))))
+    val approx = walks.map { case (id, d) =>
+      (id, d, Fourier.transformWindow(d, 0, len, l, normMean = false, lowerBounding = true))
+    }
+    val corpusApprox = approx.filter(_._1 % 2 == 0)
+    val bins = Array.tabulate(l) { c =>
+      SFA.equiWidthEdges(corpusApprox.map(a => SFA.roundAt(a._3(c), 2)).sorted.toArray, alpha)
+    }
+    def quant(a: Array[Double]): Array[Int] = a.indices.map { i =>
+      val edges = bins(i)
+      var c = 0
+      while (c < edges.length && a(i) >= edges(c)) c += 1
+      c
+    }.toArray
+    val corpusRows = corpusApprox.map { case (id, d, a) => (id, d, quant(a), a) }
+    val queryRows = approx.filter(_._1 % 2 == 1).take(15)
+      .map { case (id, d, a) => (id, d, quant(a), a) }
+    val corpus = corpusRows.toDF("id", "data", "word", "approx")
+    val queries = queryRows.toDF("qid", "qdata", "qword", "qapprox")
+
+    val (_, stats) = IndexOps.knnWithStats(
+      corpus, queries, bins, normed = false, k = k, probe = probe,
+      prefixStart = 0, prefixLen = prefixLen)(spark)
+
+    // independent recompute, straight loops
+    def prefixOf(w: Array[Int]): Long = w.take(prefixLen).foldLeft(0L)(_ * 256 + _)
+    val byPrefix = corpusRows.groupBy(r => prefixOf(r._3))
+    val boxes = byPrefix.map { case (p, ms) =>
+      val mns = Array.tabulate(l)(c => ms.map(_._4(c)).min)
+      val mxs = Array.tabulate(l)(c => ms.map(_._4(c)).max)
+      (p, ms.size.toLong, mns, mxs)
+    }.toSeq
+    def boxLb(mns: Array[Double], mxs: Array[Double], qa: Array[Double]): Double = {
+      def dist(i: Int): Double =
+        if (qa(i) < mns(i)) mns(i) - qa(i) else if (qa(i) > mxs(i)) qa(i) - mxs(i) else 0.0
+      var d = dist(0) * dist(0) // normed = false: DC pair at weight 1, slot 1 skipped
+      var i = 2
+      while (i < l) { val v = dist(i); d += 2.0 * v * v; i += 1 }
+      d
+    }
+    def ed2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var probeVerified = 0L
+    var lbScanned = 0L
+    queryRows.foreach { case (_, qd, _, qa) =>
+      val ranked = boxes.map { case (p, cnt, mns, mxs) => (p, cnt, boxLb(mns, mxs, qa)) }
+        .sortBy { case (p, _, lb) => (lb, p) }
+      var cum = 0L
+      val probed = ranked.takeWhile { case (_, cnt, _) =>
+        val before = cum; cum += cnt; before < probe
+      }
+      probeVerified += probed.map(_._2).sum
+      val probedSet = probed.map(_._1).toSet
+      val probedDists = corpusRows.filter(r => probedSet(prefixOf(r._3)))
+        .map(r => ed2(r._2, qd)).sorted
+      if (probedDists.length >= k) {
+        val tau = probedDists(k - 1)
+        lbScanned += ranked.collect {
+          case (p, cnt, lb) if !probedSet(p) && lb <= tau => cnt
+        }.sum
+      }
+    }
+    assert(stats.corpusRows === corpusRows.size.toLong)
+    assert(stats.queryRows === queryRows.size.toLong)
+    assert(stats.probeVerified === probeVerified)
+    assert(stats.lbScanned === lbScanned)
+  }
+
   test("SFA LB distance lower-bounds the true Euclidean distance") {
     val l = 8
     val alpha = 8
