@@ -424,6 +424,13 @@ object Dedup {
       comp = next
       iters += 1
     }
+    // fail LOUDLY on non-convergence: emitting partially-propagated
+    // labels would silently disagree with the transitive-closure oracle
+    // on any duplicate chain of diameter > the round cap (the cap only
+    // guards against an infinite loop on a logic bug — min-label
+    // propagation converges in <= diameter rounds)
+    require(changed == 0,
+      s"connected components did not converge within $iters rounds ($changed labels still moving)")
     System.err.println(s"[dedup] components converged in $iters rounds")
     comp.withColumn("keeper", when(col("comp") === col("doc_id"), 1L).otherwise(0L))
       .orderBy("doc_id")

@@ -55,17 +55,22 @@ object Pipelines {
   def cachedObj[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
     objs.getOrElseUpdate((sid(s), key), build).asInstanceOf[T]
 
-  private val trackCtr = new java.util.concurrent.atomic.AtomicLong()
-
   /** Cache `df` AND register it for session-scoped release: an ad-hoc
     * intra-query `.cache()` has no owner, so it would survive
     * [[clear]]/[[evict]] for the JVM lifetime. Unlike [[cachedDF]] the
-    * frame is not eagerly materialized and the key is unique per call —
-    * this is ownership bookkeeping, not memoization.
+    * frame is not eagerly materialized — this is ownership bookkeeping,
+    * not memoization. Keyed by the SEMANTIC plan hash: a re-run of the
+    * same query registers the same key and replaces its old entry
+    * (identical plans share one CacheManager entry, so no unpersist is
+    * needed on replace), while genuinely different plans — including
+    * concurrent branch fits calling from one source line — keep
+    * distinct entries. A long-lived session's registry is therefore
+    * bounded by its distinct tracked plans, not its call count.
     */
   def tracked(s: SparkSession, df: DataFrame): DataFrame = {
     val cached = df.cache()
-    dfs.put((sid(s), s"_tracked:${trackCtr.incrementAndGet()}"), cached)
+    val planKey = cached.queryExecution.logical.semanticHash()
+    dfs.put((sid(s), s"_tracked:$planKey"), cached)
     cached
   }
 
