@@ -453,6 +453,11 @@ object Similarity {
   private val DupProbes = 4
   private val DupThreshold = 0.45
 
+  /** Probe-sample rows the recall gate may broadcast per slice (64-dim
+    * long vectors ≈ 1 KB/row → ~50 MB at the ceiling).
+    */
+  private val ProbeBroadcastMaxRows = 50000L
+
   /** Multi-probe IVF cell membership over ALL vectors: (id, cell),
     * $DupProbes rows per vector. Cached — blocking + recall share it.
     */
@@ -558,12 +563,21 @@ object Similarity {
     val p = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("pid"), col("iv").as("piv"), col("nrm2").as("pn"))
     val o = e.select(col("vec_id").as("oid"), col("iv").as("oiv"), col("nrm2").as("on2"))
-    val truth = o.crossJoin(broadcast(p))
-      .filter(col("oid") =!= col("pid"))
-      .withColumn("dot", dot(col("piv"), col("oiv")))
-      .filter(col("dot") / (sqrt(col("pn")) * sqrt(col("on2"))) >= DupThreshold)
-      .select(least(col("pid"), col("oid")).as("a"), greatest(col("pid"), col("oid")).as("b"))
-      .distinct()
+    // the probe sample is a fixed FRACTION of the corpus — never
+    // broadcast whole; block-nested-loop over broadcast-ceiling-sized
+    // probe slices (plan identical to the old single broadcast when one
+    // chunk suffices), global distinct after the union
+    val nProbe = p.count()
+    val chunks = graft.util.Gated.numChunks(nProbe, ProbeBroadcastMaxRows)
+    if (chunks > 1)
+      System.err.println(s"[gated] block-recall probe sample: $nProbe rows -> $chunks broadcast chunks")
+    val truth = (0 until chunks).map { i =>
+      o.crossJoin(broadcast(graft.util.Gated.chunk(p, "pid", i, chunks)))
+        .filter(col("oid") =!= col("pid"))
+        .withColumn("dot", dot(col("piv"), col("oiv")))
+        .filter(col("dot") / (sqrt(col("pn")) * sqrt(col("on2"))) >= DupThreshold)
+        .select(least(col("pid"), col("oid")).as("a"), greatest(col("pid"), col("oid")).as("b"))
+    }.reduce(_ unionByName _).distinct()
     val hits = truth.join(cand, Seq("a", "b"))
     val candN = cand.agg(count(lit(1)).as("cand_pairs"))
     val trueN = truth.agg(count(lit(1)).as("true_pairs"))

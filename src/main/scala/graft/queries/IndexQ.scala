@@ -262,12 +262,19 @@ object IndexQ {
     }
     val byLb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("lb").asc, col("id").asc)
-    corpus.select(col("id"), col("word"))
-      .crossJoin(broadcast(queries.select(col("qid"), col("qword"), col("qapprox"))))
-      .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
-      .withColumn("rn", row_number().over(byLb))
-      .filter(col("rn") <= LbTopK)
-      .select(col("qid"), col("id"), jround(col("lb"), 6).as("lb"))
+    // query set streams in broadcast-ceiling-sized slices (each qid in
+    // exactly one slice — the per-slice top-k unions without re-rank)
+    val q = queries.select(col("qid"), col("qword"), col("qapprox"))
+    val nQ = q.count()
+    val chunks = graft.util.Gated.numChunks(nQ, 100000L)
+    (0 until chunks).map { i =>
+      corpus.select(col("id"), col("word"))
+        .crossJoin(broadcast(graft.util.Gated.chunk(q, "qid", i, chunks)))
+        .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
+        .withColumn("rn", row_number().over(byLb))
+        .filter(col("rn") <= LbTopK)
+        .select(col("qid"), col("id"), jround(col("lb"), 6).as("lb"))
+    }.reduce(_ union _)
       .orderBy("qid", "id")
   }
 

@@ -252,8 +252,10 @@ object Stats {
         nnDense(s, allBags,
           df_.select("word").collect().map(_.getString(0)).sorted)
       else nnSparse(allBags.join(df_.select("word"), "word"))
+    // no broadcast hint: documents is a fact table — let the planner
+    // (AQE) broadcast it only while it is actually small
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang").as("pred_lang"))
-    nn.join(broadcast(docs), nn("rid") === docs("doc_id"))
+    nn.join(docs, nn("rid") === docs("doc_id"))
       .select(col("tid").as("test_id"), col("rid").as("nn_id"), col("dist"), col("pred_lang"))
       .orderBy("test_id")
   }

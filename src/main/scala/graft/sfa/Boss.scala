@@ -323,11 +323,22 @@ class BossEnsemble(cfg: Boss.Config = Boss.Config()) {
     }.reduce(_ unionByName _)
   }
 
+  /** Train-bag rows the predict-side 1-NN may broadcast: the train-bag
+    * model table is train-corpus-proportional (the reference's own
+    * model shape), so past the ceiling the join falls back to the
+    * shuffle plan nn1 already supports.
+    */
+  private val BroadcastBagMaxRows = 2000000L
+
   /** Predict labels for (id, label, data) rows → (id, label, pred). */
   def predict(model: EnsembleModel, test: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val sfaModels = model.models.map(m => (m.norm, m.windowLength) -> m.sfa).toMap
     val words = slidingWordsGrid(test, sfaModels, cfg.maxF)
+    // trainBags is cached by fit — the count gate is cheap
+    val bcTrain = model.trainBags.count() <= BroadcastBagMaxRows
+    if (!bcTrain)
+      System.err.println("[gated] BOSS predict: train bags above broadcast ceiling — shuffle 1-NN join")
 
     val preds = model.models.groupBy(_.features).map { case (f, group) =>
       val sel = group.map(m => (m.norm, m.windowLength)).toDF("norm", "w")
@@ -335,7 +346,7 @@ class BossEnsemble(cfg: Boss.Config = Boss.Config()) {
       val trainB = model.trainBags.filter(col("f") === f).drop("f")
       val wts = group.map(m => (m.norm, m.windowLength, m.trainCorrect))
         .toDF("norm", "w", "weight")
-      nn1(bags, trainB, broadcastTrain = true, excludeSameId = false)
+      nn1(bags, trainB, broadcastTrain = bcTrain, excludeSameId = false)
         .join(broadcast(wts), Seq("norm", "w"))
     }.reduce(_ unionByName _)
     vote(preds)

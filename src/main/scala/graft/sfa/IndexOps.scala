@@ -155,7 +155,8 @@ object IndexOps {
       k: Int,
       probe: Int,
       prefixStart: Int = 0,
-      prefixLen: Int = 0)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
+      prefixLen: Int = 0,
+      queryBatchRows: Long = QueryBatchRows)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
     // exactness depends on this: a query with no τ (probed members < k)
     // is treated as "the whole corpus holds < k rows", which only
     // follows when the probe budget itself is ≥ k — probe < k would
@@ -203,14 +204,6 @@ object IndexOps {
       s"aggregate(slice(word, ${prefixStart + 1}, $plen), 0L, (acc, s) -> acc * 256 + s)")
     val narrow = corpus.select(col("id"), col("word"), prefixCol.as("prefix"))
     val payload = corpus.select(col("id"), col("data"))
-    val qNarrow = queries.select(col("qid"), col("qword"), col("qapprox"))
-    val qPayload = queries.select(col("qid"), col("qdata"))
-
-    def verify(cand: DataFrame): DataFrame = cand
-      .join(payload, Seq("id"))
-      .join(broadcast(qPayload), Seq("qid"))
-      .withColumn("d2", ed2Udf(col("data"), col("qdata")))
-      .drop("data", "qdata")
 
     // phase 0: per-prefix Fourier bounding boxes + member counts — one
     // narrow distributed agg, then COLLECTED: ≤ α^prefixLen rows of 2·l
@@ -230,23 +223,6 @@ object IndexOps {
         expr("transform(sort_array(collect_list(struct(coef, mx))), p -> p.mx)").as("mxs"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3)))
-    // queries are the broadcast side of every join below — collecting
-    // (qid, qapprox) adds no state the broadcasts don't already ship
-    val qRows = queries.select(col("qid").cast("long"), col("qapprox")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-
-    // phase 1 plan (driver): per query, box-LB every prefix, take the
-    // lowest-box-LB prefixes until their cumulative member count
-    // reaches `probe`
-    val probePairs = qRows.flatMap { case (qid, qa) =>
-      val ranked = boxRows
-        .map { case (p, cnt, mns, mxs) => (p, cnt, boxLb(mns, mxs, qa)) }
-        .sortBy { case (p, _, lb) => (lb, p) }
-      var cum = 0L
-      ranked.takeWhile { case (_, cnt, _) =>
-        val before = cum; cum += cnt; before < probe
-      }.map { case (p, cnt, _) => (qid, p, cnt) }
-    }
     val qidType = queries.schema("qid").dataType
     def pairDF(rows: Array[(Long, Long, Long)]): DataFrame = {
       import org.apache.spark.sql.types._
@@ -256,74 +232,135 @@ object IndexOps {
         java.util.Arrays.asList(rows.map(t => org.apache.spark.sql.Row(t._1, t._2)): _*),
         schema).withColumn("qid", col("qid").cast(qidType))
     }
-    // verify the probed members exactly → τ = per-query kth-best (the
-    // collect is Q rows; a query whose probed prefixes held < k rows
-    // gets no τ — sound because probe ≥ k forces probing to exhaust
-    // the corpus before that can happen, see the None case below)
-    val probed0 = graft.util.Pipelines.tracked(spark, narrow
-      .join(broadcast(pairDF(probePairs)), Seq("prefix"))
-      .select(col("qid"), col("id")))
     val byD = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
-    val tauMap: Map[Long, Double] = verify(probed0)
-      .withColumn("drn", row_number().over(byD))
-      .filter(col("drn") === k)
-      .select(col("qid").cast("long"), col("d2"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getDouble(1))
-      .toMap
 
-    // phase 2 plan (driver): drop prefixes whose box LB exceeds τ; the
-    // survivors' members get LB-scanned, rows with LB ≤ τ verified
-    // (exactness: boxLB ≤ LB ≤ d2)
-    // probe prefixes are excluded: every member is already exactly
-    // verified in probed0, so phase 2 and the probe set stay DISJOINT
-    // and the final union needs no dedup shuffle
-    val probedSet = probePairs.map { case (qid, p, _) => (qid, p) }.toSet
-    val survPairs = qRows.flatMap { case (qid, qa) =>
-      tauMap.get(qid) match {
-        case Some(t) => boxRows.collect {
-          case (p, cnt, mns, mxs)
-            if !probedSet((qid, p)) && boxLb(mns, mxs, qa) <= t => (qid, p, cnt)
-        }
-        // no τ ⇒ the probe pass already verified every member this
-        // query's prefixes hold (< k candidates exist at all) — nothing
-        // left to LB-scan
-        case None => Array.empty[(Long, Long, Long)]
+    // The probe/τ planning collects (qid, qapprox) and broadcasts query
+    // payloads — batch-sized state for a query BATCH, fact-proportional
+    // for an unbounded query set. Queries therefore process in slices
+    // of at most QueryBatchRows (boxes planned once, corpus untouched);
+    // one slice ≡ the unbatched plan.
+    def runBatch(qb: DataFrame): (DataFrame, KnnStats) = {
+      val qNarrow = qb.select(col("qid"), col("qword"), col("qapprox"))
+      val qPayload = qb.select(col("qid"), col("qdata"))
+
+      def verify(cand: DataFrame): DataFrame = cand
+        .join(payload, Seq("id"))
+        .join(broadcast(qPayload), Seq("qid"))
+        .withColumn("d2", ed2Udf(col("data"), col("qdata")))
+        .drop("data", "qdata")
+
+      // collecting this batch's (qid, qapprox) adds no state the
+      // broadcasts don't already ship
+      val qRows = qb.select(col("qid").cast("long"), col("qapprox")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+      // phase 1 plan (driver): per query, box-LB every prefix, take the
+      // lowest-box-LB prefixes until their cumulative member count
+      // reaches `probe`
+      val probePairs = qRows.flatMap { case (qid, qa) =>
+        val ranked = boxRows
+          .map { case (p, cnt, mns, mxs) => (p, cnt, boxLb(mns, mxs, qa)) }
+          .sortBy { case (p, _, lb) => (lb, p) }
+        var cum = 0L
+        ranked.takeWhile { case (_, cnt, _) =>
+          val before = cum; cum += cnt; before < probe
+        }.map { case (p, cnt, _) => (qid, p, cnt) }
       }
-    }
-    val tauUdf = udf { (qid: Long) => tauMap.get(qid) }
-    val phase2 = narrow.join(broadcast(pairDF(survPairs)), Seq("prefix"))
-      .join(broadcast(qNarrow), Seq("qid"))
-      .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
-      .filter(col("lb") <= tauUdf(col("qid").cast("long")))
-      .select(col("qid"), col("id"))
-    val fin = verify(phase2.union(probed0))
-      .withColumn("rank", row_number().over(byD).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"), col("d2"))
+      // verify the probed members exactly → τ = per-query kth-best (the
+      // collect is Q rows; a query whose probed prefixes held < k rows
+      // gets no τ — sound because probe ≥ k forces probing to exhaust
+      // the corpus before that can happen, see the None case below)
+      val probed0 = graft.util.Pipelines.tracked(spark, narrow
+        .join(broadcast(pairDF(probePairs)), Seq("prefix"))
+        .select(col("qid"), col("id")))
+      val tauMap: Map[Long, Double] = verify(probed0)
+        .withColumn("drn", row_number().over(byD))
+        .filter(col("drn") === k)
+        .select(col("qid").cast("long"), col("d2"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+        .toMap
 
-    // pruning telemetry — free: the prefix tables live on the driver
-    val stats = KnnStats(
-      corpusRows = boxRows.map(_._2).sum,
-      queryRows = qRows.length.toLong,
-      probeVerified = probePairs.map(_._3).sum,
-      lbScanned = survPairs.map(_._3).sum)
+      // phase 2 plan (driver): drop prefixes whose box LB exceeds τ; the
+      // survivors' members get LB-scanned, rows with LB ≤ τ verified
+      // (exactness: boxLB ≤ LB ≤ d2)
+      // probe prefixes are excluded: every member is already exactly
+      // verified in probed0, so phase 2 and the probe set stay DISJOINT
+      // and the final union needs no dedup shuffle
+      val probedSet = probePairs.map { case (qid, p, _) => (qid, p) }.toSet
+      val survPairs = qRows.flatMap { case (qid, qa) =>
+        tauMap.get(qid) match {
+          case Some(t) => boxRows.collect {
+            case (p, cnt, mns, mxs)
+              if !probedSet((qid, p)) && boxLb(mns, mxs, qa) <= t => (qid, p, cnt)
+          }
+          // no τ ⇒ the probe pass already verified every member this
+          // query's prefixes hold (< k candidates exist at all) — nothing
+          // left to LB-scan
+          case None => Array.empty[(Long, Long, Long)]
+        }
+      }
+      val tauUdf = udf { (qid: Long) => tauMap.get(qid) }
+      val phase2 = narrow.join(broadcast(pairDF(survPairs)), Seq("prefix"))
+        .join(broadcast(qNarrow), Seq("qid"))
+        .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
+        .filter(col("lb") <= tauUdf(col("qid").cast("long")))
+        .select(col("qid"), col("id"))
+      val fin = verify(phase2.union(probed0))
+        .withColumn("rank", row_number().over(byD).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("id"), col("d2"))
+
+      // pruning telemetry — free: the prefix tables live on the driver
+      (fin, KnnStats(
+        corpusRows = boxRows.map(_._2).sum,
+        queryRows = qRows.length.toLong,
+        probeVerified = probePairs.map(_._3).sum,
+        lbScanned = survPairs.map(_._3).sum))
+    }
+
+    val qTotal = queries.count()
+    val nBatches = graft.util.Gated.numChunks(qTotal, queryBatchRows)
+    if (nBatches > 1)
+      System.err.println(s"[gated] knn query set: $qTotal rows -> $nBatches probe-plan batches")
+    val parts = (0 until nBatches).map { i =>
+      runBatch(graft.util.Gated.chunk(queries, "qid", i, nBatches))
+    }
+    val fin = parts.map(_._1).reduce(_ union _)
+    val stats = parts.map(_._2).reduce { (a, b) =>
+      KnnStats(a.corpusRows, a.queryRows + b.queryRows,
+        a.probeVerified + b.probeVerified, a.lbScanned + b.lbScanned)
+    }
     System.err.println(
       f"[knn] box pruning (prefix depth $plen): LB-scanned ${stats.lbScanned} of ${stats.corpusRows * stats.queryRows} " +
         f"(corpus×query) pairs = ${stats.scanFraction * 100}%.1f%%")
     (fin, stats)
   }
 
+  /** Query rows a single probe-plan batch may collect/broadcast
+    * (slice + word + approx ≈ 0.5 KB/row → ~50 MB at the ceiling).
+    */
+  private val QueryBatchRows = 100000L
+
   /** Brute-force scan k-NN — the exactness oracle (J9,
-    * SFATrieTest.java:75-86 / 247-275).
+    * SFATrieTest.java:75-86 / 247-275). The query set streams against
+    * the corpus in broadcast-ceiling-sized slices (one slice ≡ the
+    * plain broadcast plan); each qid lives in exactly one slice so the
+    * per-slice top-k unions without re-ranking.
     */
   def knnScan(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val byD = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
-    corpus.crossJoin(broadcast(queries))
-      .withColumn("d2", ed2Udf(col("data"), col("qdata")))
-      .withColumn("rank", row_number().over(byD).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"), col("d2"))
+    val nQ = queries.count()
+    val chunks = graft.util.Gated.numChunks(nQ, QueryBatchRows)
+    if (chunks > 1)
+      System.err.println(s"[gated] knnScan query set: $nQ rows -> $chunks broadcast chunks")
+    (0 until chunks).map { i =>
+      corpus.crossJoin(broadcast(graft.util.Gated.chunk(queries, "qid", i, chunks)))
+        .withColumn("d2", ed2Udf(col("data"), col("qdata")))
+        .withColumn("rank", row_number().over(byD).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("id"), col("d2"))
+    }.reduce(_ union _)
   }
 
   /** ε-range search (J7, SFATrie.java:593-649): all records within
@@ -338,13 +375,20 @@ object IndexOps {
     val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
       lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed)
     }
-    corpus.select(col("id"), col("word"), col("data"))
-      .crossJoin(broadcast(queries.select(col("qid"), col("qword"), col("qapprox"), col("qdata"))))
-      .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
-      .filter(col("lb") <= eps2)
-      .withColumn("d2", ed2Udf(col("data"), col("qdata")))
-      .filter(col("d2") <= eps2)
-      .select(col("qid"), col("id"), col("d2"))
+    val q = queries.select(col("qid"), col("qword"), col("qapprox"), col("qdata"))
+    val nQ = q.count()
+    val chunks = graft.util.Gated.numChunks(nQ, QueryBatchRows)
+    if (chunks > 1)
+      System.err.println(s"[gated] rangeSearch query set: $nQ rows -> $chunks broadcast chunks")
+    (0 until chunks).map { i =>
+      corpus.select(col("id"), col("word"), col("data"))
+        .crossJoin(broadcast(graft.util.Gated.chunk(q, "qid", i, chunks)))
+        .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
+        .filter(col("lb") <= eps2)
+        .withColumn("d2", ed2Udf(col("data"), col("qdata")))
+        .filter(col("d2") <= eps2)
+        .select(col("qid"), col("id"), col("d2"))
+    }.reduce(_ union _)
   }
 
   /** Approximate 1-leaf search (J8, SFATrie.java:511-559): scan only the
@@ -362,7 +406,10 @@ object IndexOps {
     val c = corpus.select(col("id"), col("data"), prefixOf(col("word")).as("prefix"))
     val q = queries.select(col("qid"), col("qdata"), prefixOf(col("qword")).as("prefix"))
     val byD = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
-    c.join(broadcast(q), Seq("prefix"))
+    // equi-join on prefix: broadcast only while the query batch is
+    // provably bounded; past the ceiling the planner shuffles both sides
+    c.join(graft.util.Gated.broadcastIfUnder(q, queries.count(), QueryBatchRows,
+        "approx-prefix query set"), Seq("prefix"))
       .withColumn("d2", ed2Udf(col("data"), col("qdata")))
       .withColumn("rank", row_number().over(byD))
       .filter(col("rank") === 1)

@@ -54,6 +54,16 @@ class IndexSpec extends SparkSpec {
       assert(iId == id, s"$key: index id $iId != scan id $id")
       assert(math.abs(iD2 - d2) < 1e-9)
     }
+
+    // query-side batching (forced: 4 queries per probe-plan slice) must
+    // reproduce the single-batch results exactly
+    val (batchedDf, batchedStats) = IndexOps.knnWithStats(
+      corpus, queries, bins, normed = false, k = 3, probe = 6,
+      queryBatchRows = 4)(spark)
+    val batched = batchedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(batched == idx)
+    assert(batchedStats.queryRows == 15L)
   }
 
   test("adaptive prefix depth follows the integer-exact bulk-load rule") {
