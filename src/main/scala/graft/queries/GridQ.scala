@@ -168,6 +168,12 @@ object GridQ {
     * per-(f, uni/bigram) χ² ≥ limit feature counts emitted.
     */
   private def m3(s: SparkSession, dir: String): DataFrame = {
+    // an f-sweep GRID at fixture input size is plan-depth-bound — same
+    // small-fit scoping as m2 (no-op at real scale)
+    graft.util.Pipelines.smallFitScope(s, SfaQ.series(s, dir).count()) { m3Body(s, dir) }
+  }
+
+  private def m3Body(s: SparkSession, dir: String): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -201,7 +207,10 @@ object GridQ {
           sum(when(col("chi2") >= ChiLimit, 1L).otherwise(0L)).as("n_selected"))
         .select(lit(f.toLong).as("f"), col("is_bigram"), col("n_features"), col("n_selected"))
     } }.map(Await.result(_, Duration.Inf))
-    branches.reduce(_ unionByName _).orderBy("f", "is_bigram")
+    val res = graft.util.Pipelines.tracked(s,
+      branches.reduce(_ unionByName _).orderBy("f", "is_bigram"))
+    res.count() // materialize inside the small-fit scope
+    res
   }
 
   private def m3Branch(f: Int): String = {

@@ -132,6 +132,35 @@ object SfaQ {
       .select(col("user_id"), col("word"), col("cnt"))
       .orderBy("user_id", "word")
 
+  /** F6-sparse: the reference's SPARSE one-way ANOVA F — the F statistic
+    * of per-sample word COUNTS over bag-of-pattern keys, absent keys
+    * counting 0 (SFASupervised.java:231-319, getFonewaySparse; unused
+    * by the reference's own classifiers, implemented for inventory
+    * completeness). Classes = user_id % 3; nSamples/class sizes are the
+    * bag universe (every qualifying series has ≥1 window). All sums are
+    * exact integers; the only FP is the final per-word reduction
+    * (class-count division), rounded to 4 dp like f6.
+    */
+  private def f6sparse(s: SparkSession, dir: String): DataFrame = {
+    val bags = slidingBags(s, dir).withColumn("cls", col("user_id") % 3)
+    val uni = bags.select("user_id", "cls").distinct()
+    val csz = uni.groupBy("cls").agg(count(lit(1)).as("n_c"))
+    val nTot = uni.count().toDouble
+    val g = bags.groupBy("word", "cls")
+      .agg(sum("cnt").as("s_gc"), sum(col("cnt") * col("cnt")).as("ssq"))
+    g.join(broadcast(csz), "cls")
+      .groupBy("word")
+      .agg(sum("ssq").as("ssqt"), sum("s_gc").as("stot"),
+        sum(col("s_gc").cast("double") * col("s_gc") / col("n_c")).as("sb"))
+      .withColumn("ssbn", col("sb") - col("stot").cast("double") * col("stot") / lit(nTot))
+      .withColumn("sswn", col("ssqt") - col("sb"))
+      .withColumn("f_stat", jround(
+        when(col("sswn") === 0.0, 0.0)
+          .otherwise((col("ssbn") / lit(2.0)) / (col("sswn") / lit(nTot - 3.0))), 4))
+      .select(col("word"), col("f_stat"))
+      .orderBy("word")
+  }
+
   private def j1(s: SparkSession, dir: String): DataFrame = {
     val bags = slidingBags(s, dir)
     SFAOps.nnBagJoin(
@@ -311,6 +340,28 @@ object SfaQ {
 
   private val a1Sql = prefix + slidingCtes +
     "\nSELECT user_id, word, cnt FROM bags ORDER BY user_id, word"
+
+  private val f6sparseSql = prefix + slidingCtes +
+    """
+      |, uni AS (SELECT DISTINCT user_id, user_id % 3 AS cls FROM bags)
+      |, csz AS (SELECT cls, COUNT(*) AS n_c FROM uni GROUP BY 1)
+      |, ntot AS (SELECT COUNT(*) AS n FROM uni)
+      |, gg AS (
+      |  SELECT word, user_id % 3 AS cls,
+      |    CAST(SUM(cnt) AS BIGINT) AS s_gc,
+      |    CAST(SUM(cnt*cnt) AS BIGINT) AS ssq
+      |  FROM bags GROUP BY 1, 2)
+      |, ws AS (
+      |  SELECT gg.word,
+      |    CAST(SUM(gg.ssq) AS BIGINT) AS ssqt,
+      |    CAST(SUM(gg.s_gc) AS BIGINT) AS stot,
+      |    SUM(CAST(gg.s_gc AS DOUBLE) * gg.s_gc / c.n_c) AS sb
+      |  FROM gg JOIN csz c ON gg.cls = c.cls GROUP BY 1)
+      |SELECT ws.word,
+      |  FLOOR((CASE WHEN (ws.ssqt - ws.sb) = 0 THEN 0.0
+      |    ELSE ((ws.sb - CAST(ws.stot AS DOUBLE) * ws.stot / n.n) / 2.0)
+      |         / ((ws.ssqt - ws.sb) / (n.n - 3.0)) END) * 1e4 + 0.5) / 1e4 AS f_stat
+      |FROM ws, ntot n ORDER BY ws.word""".stripMargin
 
   private val j1Sql = prefix + slidingCtes + nnCtes +
     "\nSELECT test_id, nn_id, CAST(dist AS BIGINT) AS dist FROM nn WHERE rn = 1 ORDER BY test_id"
@@ -658,6 +709,8 @@ object SfaQ {
         "4-decimal rounding leaves ~7 orders of magnitude headroom over the " +
         "recurrence's FP drift"),
     "a1_sfa_bags" -> QueryDef.sql(a1, a1Sql),
+    "f6_anova_f_sparse" -> QueryDef.sql(f6sparse, f6sparseSql,
+      "sparse one-way ANOVA F over bag-of-pattern keys (getFonewaySparse)"),
     "j1_nn_sfa_join" -> QueryDef.sql(j1, j1Sql),
     "a6_accuracy_eval" -> QueryDef.sql(a6, a6Sql),
     "o1_orderline" -> QueryDef.sql(o1, o1Sql),

@@ -115,13 +115,35 @@ object LinModel {
   val Ovr = "ovr"
   val Multinomial = "multinomial"
 
+  /** Convergence tolerance of BOTH OvR paths — 1e-2, and this value is
+    * LOAD-BEARING for reference parity, not a shortcut. Measured r5:
+    * tightening it shifts the stopping point and with it the
+    * probability geometry the TEASER one-class master consumes — at
+    * 1e-4 the full-CBF golden's earliness moves to 0.580 vs the
+    * reference's 0.64 (outside its own ±0.05; accuracy stays green),
+    * and at 1e-6 breeze's line search fails outright on separable
+    * fixtures ("zoom failed", history reset). liblinear stops early by
+    * design too (eps 0.01 on a different criterion), which is exactly
+    * why the reference's published accuracies/earliness arise from
+    * NEAR-optimum models; converging harder is parity with the
+    * objective but NOT with the reference's behavior. Consequence for
+    * the local-vs-distributed paths: both run the same objective, start
+    * point, and L-BFGS(m=10) at this tol, but stop at measurably
+    * different near-optimum points — predictions agree except on
+    * decision-boundary samples of non-separable data (measured 4/900 =
+    * 0.44% on LinModelSpec's adversarial fixture; 0/60 on separable
+    * data). That bound is spec-pinned rather than pretending exact
+    * cross-path FP equality is attainable.
+    */
+  private val OvrTol = 1e-2
+
   private def newBinaryLr(n: Long, maxIter: Int) = new LogisticRegression()
     .setMaxIter(maxIter)
     .setRegParam(1.0 / n) // λ = 1/(C·n) with the reference's C = 1
     .setStandardization(false)
     .setFitIntercept(true)
     .setFamily("binomial")
-    .setTol(1e-2) // liblinear's own eps is 0.1; see WeaselClassifier.newLr
+    .setTol(OvrTol)
 
   /** Fit per the configured solver. `vecs` must carry (label, features)
     * and should already be coalesced for small fits
@@ -177,7 +199,7 @@ object LinModel {
 
   /** Driver-local OvR: same objective MLlib's binomial LR minimizes —
     * mean logistic loss + (λ/2)·‖w‖² with the intercept unpenalized,
-    * standardization off, breeze L-BFGS(m=10, tol=1e-2) from MLlib's
+    * standardization off, breeze L-BFGS(m=10, tol=OvrTol) from MLlib's
     * own start point (w = 0, b = log-odds of the label prior) — so the
     * fitted weights land at the same optimum as the distributed path,
     * minus the per-iteration job round-trips. Rows are ordered by `id`
@@ -244,7 +266,7 @@ object LinModel {
     val nPos = xs.count(_._1 == pos)
     val nNeg = m - nPos
     if (nPos > 0 && nNeg > 0) init(dim) = math.log(nPos.toDouble / nNeg)
-    val res = new LBFGS[BDV[Double]](maxIter, 10, 1e-2).minimize(obj, init)
+    val res = new LBFGS[BDV[Double]](maxIter, 10, OvrTol).minimize(obj, init)
     (res.toArray.take(dim), res(dim))
   }
 

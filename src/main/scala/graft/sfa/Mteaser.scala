@@ -92,10 +92,12 @@ class MteaserClassifier(
         // one pass: the final refit's vectors score the train set too
         val (slave, proba) = muse.fitWithProba(truncated)
         // the ONLY collect: correct-sample features for the driver-side
-        // one-class problem (model-sized by design)
+        // one-class problem (model-sized by design). Ordered by sample
+        // id — the SMO is sample-order-dependent and id order is the
+        // reference's train-array order (see Teaser.fit).
         val correctFeats = proba.filter(col("label") === col("pred"))
-          .select(col("probs")).collect()
-          .map(r => EarlyCascade.features(r.getSeq[Double](0).toArray))
+          .select(col("id"), col("probs")).orderBy("id").collect()
+          .map(r => EarlyCascade.features(r.getSeq[Double](1).toArray))
         val master = OneClassSVM.fitGrid(correctFeats, cfg.nu)
         // threshold tuning scores the slave on FULL-length samples
         // (reference tuning predict runs with testing=false →

@@ -94,10 +94,14 @@ class TeaserClassifier(
         val (slave, proba) = weasel.fitWithProba(truncated)
         slaves(s) = slave
         // the ONLY collect: correct-sample features — the reference's
-        // driver-side libsvm problem (model-sized by design)
+        // driver-side libsvm problem (model-sized by design). Ordered
+        // by sample id: the SMO's working-set selection (and the CV
+        // permutation) is sample-ORDER-dependent, so an unordered
+        // collect would tie the fitted master to partitioning; id order
+        // is the reference's own train-array order.
         val correctFeats = proba.filter(col("label") === col("pred"))
-          .select(col("probs")).collect()
-          .map(r => features(r.getSeq[Double](0).toArray))
+          .select(col("id"), col("probs")).orderBy("id").collect()
+          .map(r => features(r.getSeq[Double](1).toArray))
         val master = OneClassSVM.fitGrid(correctFeats, cfg.nu)
         masters(s) = master
         // threshold tuning scores the slave on the FULL-length series,

@@ -46,10 +46,23 @@ class BossGoldenSpec extends SparkSpec {
   test("BOSS ensemble reaches golden accuracy on Beef") {
     // LOO train accuracy matches the golden EXACTLY (20/30) and the
     // ensemble is the same 11 windows; the test set is 30 samples and
-    // we score 23/30 vs the reference's 25/30 — the two flips are
-    // knife-edge SFA symbols from FP-level Fourier divergence (the
-    // reference seeds its MFT recurrence with JTransforms' FFT, ours
-    // with a direct DFT). Widened band: 2 samples ≈ 0.067 < 0.10.
+    // we score 23/30 vs the reference's 25/30. r5 pinned the mechanism
+    // (BASELINE.md D1): the fitted ensemble contains EXACT
+    // approx-coefficient == bin-edge ties at edge 0.0 — 60 sites in
+    // config (norm,w=17,f=10) alone, and configs (15,10)/(14,8)/(13,8)
+    // also measure min |approx−edge| = 0 — where the coefficient is
+    // analytically zero and the equi-depth edge is exactly 0.0. Under
+    // the reference's `value < edge` bin walk the symbol at such a site
+    // is decided by the FP SIGN of a value that should be 0, so any
+    // engine-level FP path difference (JTransforms-FFT-seeded MFT vs
+    // our direct-DFT-seeded recurrence) flips it. Corroborating
+    // measurements: multiplicative input perturbations — which preserve
+    // exact zeros — flip NO prediction up to 1e-6 relative and first
+    // flip at 1e-5 (via the smallest nonzero gaps, measured
+    // 1.5e-7…1.3e-6 per config), so the 2-sample gap is a zero-tie
+    // artifact, not an algorithmic divergence. Band kept at ±0.10
+    // (2 samples ≈ 0.067); exact ±0.05 parity would require replicating
+    // the reference's bit-level FFT output.
     gate("Beef", 0.667, 0.833, delta = 0.10)
   }
 
