@@ -381,22 +381,96 @@ object Dedup {
     * that are actually near-copies. */
   private val CompJac = 0.5
 
+  /** Connected-component labels (vertex → min vertex id of its
+    * component) by the alternating LARGE-STAR / SMALL-STAR algorithm
+    * (public algorithm: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", ACM SoCC 2014; also the shape GraphFrames
+    * ships). Replaces min-label propagation (r4): propagation needs
+    * O(component diameter) rounds — a diameter-60 duplicate chain
+    * would trip the round cap — while star-contraction converges in
+    * O(log n) rounds on ANY graph.
+    *
+    * Per round (each a keyed shuffle + distinct, lineage truncated by
+    * localCheckpoint):
+    *  - large-star: every node links its strictly-LARGER neighbors to
+    *    m = min(Γ⁺) — long tails fold toward minima;
+    *  - small-star: every node links its ≤-neighbors (and itself) to
+    *    m — stars flatten.
+    * Fixed point = disjoint stars centered at component minima; the
+    * round count is logged and convergence is REQUIRED (the cap only
+    * guards an infinite loop on a logic bug). Gated by
+    * DedupComponentsSpec (≡ driver union-find on random graphs; a
+    * 300-node path converges in ≪ diameter rounds) and the recursive-
+    * CTE transitive-closure oracle of `dedup_components`.
+    *
+    * @param vertices one column `doc_id` (isolated vertices label
+    *                 themselves)
+    * @param edges0   columns (a, b); direction/duplicates/self-loops ok
+    * @return (doc_id, comp)
+    */
+  private[pipeline] def ccLabels(vertices: DataFrame, edges0: DataFrame): DataFrame = {
+    var e = edges0.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < 50) {
+      // large-star
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val e1 = sym.filter(col("y") > col("x")).join(mins, "x")
+        .filter(col("y") =!= col("m"))
+        .select(col("m").as("u"), col("y").as("v"))
+        .distinct().localCheckpoint(true)
+      // small-star
+      val sym1 = e1.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(e1.select(col("v").as("x"), col("u").as("y")))
+      val mins1 = sym1.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val e2 = sym1.filter(col("y") <= col("x")).join(mins1, "x")
+        .filter(col("y") =!= col("m"))
+        .select(col("m").as("u"), col("y").as("v"))
+        .unionAll(mins1.filter(col("x") =!= col("m"))
+          .select(col("m").as("u"), col("x").as("v")))
+        .distinct().localCheckpoint(true)
+      // fixed point: the round was an identity transform of the edge set
+      converged = e2.exceptAll(e).unionAll(e.exceptAll(e2)).isEmpty
+      e = e2
+      iters += 1
+    }
+    require(converged,
+      s"connected components did not reach a fixed point within $iters star rounds")
+    System.err.println(s"[dedup] components converged in $iters star rounds")
+    // final stars: (m, y) — y's label is m; centers / isolated label
+    // themselves (min-agg is defensive: at the fixed point each leaf
+    // has exactly one center)
+    val labels = e.groupBy(col("v").as("doc_id")).agg(min(col("u")).as("lbl"))
+    vertices.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("comp"))
+  }
+
   /** Canonicalization — the step after candidate pairs in every real
     * dedup pipeline: connected components over the duplicate graph
     * (exact-digest pairs ∪ capped-shingle pairs with jaccard ≥ 0.5),
     * component id = min doc_id, keeper = the canonical doc. Emits one
-    * row per document (singletons keep themselves).
-    *
-    * Scale shape: iterative min-label propagation — per round one
-    * (edge ⋈ label) shuffle keyed on doc_id and a converged-count
-    * action, `localCheckpoint` truncating lineage between rounds;
-    * rounds ≤ component diameter (near-dup clusters are shallow; the
-    * iteration count is logged, never silent). This is the standard
-    * distributed-CC shape; at extreme diameters the large-star /
-    * small-star variant drops in without changing the contract.
+    * row per document (singletons keep themselves). CC via
+    * [[ccLabels]] (large-star/small-star, O(log n) rounds).
     */
   private def components(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // iterative CC at fixture corpus size is scheduling-bound (each
+    // star round is distincts + checkpoints) — small-fit scope, no-op
+    // at real scale where AQE matters
+    graft.util.Pipelines.smallFitScope(s, d.count()) {
+      val res = Pipelines.tracked(s, componentsBody(s, dir, d))
+      res.count()
+      res
+    }
+  }
+
+  private def componentsBody(s: SparkSession, dir: String, d: DataFrame): DataFrame = {
     val exactPairs = {
       val h = d.select(col("doc_id"), md5(col("text")).as("h"))
       h.select(col("h"), col("doc_id").as("a"))
@@ -407,32 +481,8 @@ object Dedup {
       .filter(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double") >= CompJac)
       .select("a", "b")
     val edges = Pipelines.tracked(s, exactPairs.unionByName(nearPairs).distinct())
-    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-
-    var comp = d.select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < 50) {
-      val nbrMin = sym.join(comp.withColumnRenamed("doc_id", "b"), "b")
-        .groupBy(col("a").as("doc_id")).agg(min("comp").as("nc"))
-      val next = comp.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      changed = next.withColumnRenamed("comp", "c2").join(comp, "doc_id")
-        .filter(col("c2") =!= col("comp")).count()
-      comp = next
-      iters += 1
-    }
-    // fail LOUDLY on non-convergence: emitting partially-propagated
-    // labels would silently disagree with the transitive-closure oracle
-    // on any duplicate chain of diameter > the round cap (the cap only
-    // guards against an infinite loop on a logic bug — min-label
-    // propagation converges in <= diameter rounds)
-    require(changed == 0,
-      s"connected components did not converge within $iters rounds ($changed labels still moving)")
-    System.err.println(s"[dedup] components converged in $iters rounds")
-    comp.withColumn("keeper", when(col("comp") === col("doc_id"), 1L).otherwise(0L))
+    ccLabels(d.select("doc_id"), edges)
+      .withColumn("keeper", when(col("comp") === col("doc_id"), 1L).otherwise(0L))
       .orderBy("doc_id")
   }
 
