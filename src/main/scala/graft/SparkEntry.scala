@@ -19,6 +19,7 @@ object SparkEntry {
       graft.pipeline.TextOps.defs ++
       graft.pipeline.Similarity.defs ++
       graft.pipeline.Multimodal.defs ++
+      graft.pipeline.Curation.defs ++
       graft.queries.SfaQ.defs ++
       graft.queries.IndexQ.defs ++
       graft.queries.RepresentationQ.defs ++

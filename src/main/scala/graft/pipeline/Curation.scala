@@ -1,0 +1,207 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.{Pipelines, QueryDef, Rnd, Tables}
+
+/** Corpus-curation operators for the large-scale training-data
+  * pipeline, beyond per-document filtering: benchmark decontamination,
+  * duplicated-span coverage, and deterministic stratified sampling.
+  * These are the steps a 100 TB pre-training corpus goes through after
+  * dedup ([[Dedup]]) and quality scoring ([[TextOps]]).
+  *
+  * Design for 100 TB:
+  *  - decontamination is an inverted-index equi-join on the n-gram —
+  *    the eval-set gram dictionary is corpus-derived (fact-proportional)
+  *    so it is NEVER broadcast by hint; Spark's planner may still
+  *    broadcast it when it fits under the auto threshold, which is the
+  *    right call either way;
+  *  - duplicated-span coverage reuses the same gram stream; the only
+  *    wide stages are one groupBy on the gram and one distinct on
+  *    (doc, position) — both partial-aggregated map-side;
+  *  - stratified sampling is a PREDICATE, not a sort: a document is
+  *    kept iff an md5-derived bucket falls under its stratum's rate, so
+  *    there is no per-stratum global sort or window — the scalable
+  *    alternative to quota-by-rank sampling, and deterministic across
+  *    engines (md5 is bit-portable, unlike engine hash functions).
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Word n-gram length shared by decontamination and span coverage —
+    * 8 words, the scale community's usual contamination gram size
+    * (long enough that collisions imply copying, short enough to
+    * survive small edits).
+    */
+  private val GramN = 8
+
+  /** (doc_id, i, g): every word 8-gram with its 0-based start
+    * position; NOT distinct (span coverage needs positions). Computed
+    * once per session — decontamination and span coverage share it.
+    */
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"curation.grams:$dir")(gramsOf(docs(s, dir)))
+
+  private[graft] def gramsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") >= GramN)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, n - $GramN), i -> array_join(slice(ws, i + 1, $GramN), ' '))")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "g")
+
+  /** Driver/executor-local 8-gram expansion, bit-identical to
+    * [[gramsOf]]'s SQL tokenization (split on single space, drop empty
+    * tokens, join with single space) — the per-record path the
+    * streaming decontamination twin uses.
+    */
+  private[graft] def gramsLocal(text: String): Seq[String] = {
+    val ws = text.split(" ", -1).filter(_.nonEmpty)
+    if (ws.length < GramN) Seq.empty
+    else (0 to ws.length - GramN).map(i => ws.slice(i, i + GramN).mkString(" ")).distinct
+  }
+
+  /** Shared DuckDB CTE: same grams, 1-based start positions (only
+    * relative positions matter — coverage counts are shift-invariant).
+    */
+  private val gramsCte =
+    s"""ws AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id, i, array_to_string(ws[i:i+${GramN - 1}], ' ') AS g
+      |  FROM ws, UNNEST(generate_series(1, len(ws) - ${GramN - 1})) AS t(i)
+      |  WHERE len(ws) >= $GramN)""".stripMargin
+
+  /** Benchmark-decontamination split: every 97th doc plays the eval
+    * benchmark; the rest are the training corpus to be screened.
+    */
+  private[graft] val EvalMod = 97
+
+  /** Benchmark decontamination: for every training document, the
+    * number of its distinct 8-grams that also occur in the eval set,
+    * the contaminated fraction, and a flag (any shared 8-gram ⇒
+    * contaminated — the standard strict rule). Training docs shorter
+    * than 8 words carry n_grams = 0 and are clean by definition.
+    */
+  private def decon(s: SparkSession, dir: String): DataFrame =
+    deconOf(docs(s, dir), grams(s, dir))
+
+  private[graft] def deconOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
+    val g = gramsDf.select("doc_id", "g").distinct()
+    val evalGrams = g.filter(col("doc_id") % EvalMod === 0).select("g").distinct()
+    val train = g.filter(col("doc_id") % EvalMod =!= 0)
+    val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = train.join(evalGrams, "g").groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+    d.filter(col("doc_id") % EvalMod =!= 0).select("doc_id")
+      .join(tot, Seq("doc_id"), "left").join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"))
+      .withColumn("overlap_frac",
+        Rnd.jround(col("hit_grams") / greatest(col("n_grams"), lit(1L)).cast("double"), 6))
+      .withColumn("contaminated", when(col("hit_grams") > 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private val deconSql =
+    s"""WITH $gramsCte,
+      |gd AS (SELECT DISTINCT doc_id, g FROM g),
+      |ev AS (SELECT DISTINCT g FROM gd WHERE doc_id % $EvalMod = 0),
+      |tr AS (SELECT * FROM gd WHERE doc_id % $EvalMod <> 0),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY 1),
+      |hit AS (SELECT tr.doc_id, COUNT(*) AS hit_grams FROM tr JOIN ev ON tr.g = ev.g GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(t.n_grams, 0) AS n_grams,
+      |  COALESCE(h.hit_grams, 0) AS hit_grams,
+      |  ${Rnd.jroundSql(s"COALESCE(h.hit_grams, 0) / CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS DOUBLE)", 6)} AS overlap_frac,
+      |  CAST(CASE WHEN COALESCE(h.hit_grams, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM documents d
+      |LEFT JOIN tot t USING (doc_id) LEFT JOIN hit h USING (doc_id)
+      |WHERE d.doc_id % $EvalMod <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Duplicated-span coverage (the Gopher/RefinedWeb "fraction of the
+    * document inside a duplicated passage" signal): an 8-gram occurring
+    * in more than one document marks its 8 token positions as
+    * duplicated; dup_frac = |union of marked positions| / n_tokens.
+    * Doc-level dedup ([[Dedup]]) finds near-copies; this finds the
+    * boilerplate WITHIN otherwise-unique documents.
+    */
+  private def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansOf(docs(s, dir), grams(s, dir))
+
+  private[pipeline] def dupSpansOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
+    val dupG = gramsDf.groupBy("g").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("g")
+    val covered = gramsDf.join(dupG, "g")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${GramN - 1})")).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    d.select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), coalesce(col("covered"), lit(0L)).as("covered"))
+      .withColumn("dup_frac",
+        Rnd.jround(col("covered") / greatest(col("n_tokens"), lit(1L)).cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val dupSpansSql =
+    s"""WITH $gramsCte,
+      |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, p.p
+      |  FROM g JOIN dup USING (g), UNNEST(generate_series(g.i, g.i + ${GramN - 1})) AS p(p)),
+      |ncov AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY 1),
+      |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM ws)
+      |SELECT n.doc_id, n.n_tokens, COALESCE(c.covered, 0) AS covered,
+      |  ${Rnd.jroundSql("COALESCE(c.covered, 0) / CAST(GREATEST(n.n_tokens, 1) AS DOUBLE)", 6)} AS dup_frac
+      |FROM n LEFT JOIN ncov c USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
+
+  /** Deterministic stratified (domain-rebalancing) sampling: equalize
+    * languages toward the smallest stratum by keeping each document iff
+    * its md5-bucket falls under the stratum rate
+    * floor(1e6·target/n_stratum) ppm, target = min stratum size.
+    * A pure per-row predicate — no per-stratum sort/window, so the plan
+    * is a scan + one model-sized (|langs| rows) join at any corpus
+    * size; md5 makes the sample identical in any engine.
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    sampleStratifiedOf(docs(s, dir))
+
+  private[pipeline] def sampleStratifiedOf(d: DataFrame): DataFrame = {
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val target = counts.agg(min(col("n")).as("target"))
+    val rates = counts.crossJoin(target)
+      .select(col("lang"), floor(lit(1e6) * col("target") / col("n")).cast("long").as("rate_ppm"))
+    // rates is model-sized (one row per language) — broadcast by hint so
+    // the fact scan is never the build side at any corpus size
+    d.join(broadcast(rates), "lang")
+      .withColumn("bucket", conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 1000000L)
+      .filter(col("bucket") < col("rate_ppm"))
+      .select("doc_id", "lang", "source", "rate_ppm", "bucket")
+      .orderBy("doc_id")
+  }
+
+  private val sampleSql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT MIN(n) AS target FROM c),
+      |r AS (SELECT c.lang, CAST(FLOOR(1e6 * t.target / c.n) AS BIGINT) AS rate_ppm FROM c, t)
+      |SELECT d.doc_id, d.lang, d.source, r.rate_ppm,
+      |  ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000000 AS bucket
+      |FROM documents d JOIN r USING (lang)
+      |WHERE ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000000 < r.rate_ppm
+      |ORDER BY d.doc_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "decon_ngram_overlap" -> QueryDef.sql(decon, deconSql,
+      "benchmark decontamination: 8-gram overlap of training docs vs the eval split"),
+    "dup_span_coverage" -> QueryDef.sql(dupSpans, dupSpansSql,
+      "fraction of each doc covered by cross-document duplicated 8-gram spans"),
+    "sample_stratified" -> QueryDef.sql(sampleStratified, sampleSql,
+      "deterministic md5-bucket stratified sampling equalizing language strata"))
+}

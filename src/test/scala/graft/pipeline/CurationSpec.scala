@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-case gates for the curation operators, independent of the
+  * DuckDB oracles (which re-check the same semantics over the fixture
+  * corpus at sf0.01).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private val gram8 = "g1 g2 g3 g4 g5 g6 g7 g8"
+
+  test("decontamination flags exactly the train docs sharing an eval 8-gram") {
+    // doc 0 (0 % 97 == 0) is the eval doc; doc 1 copies its 8-gram,
+    // doc 2 is disjoint, doc 3 is too short to carry any 8-gram
+    val d = mkDocs(Seq(
+      (0L, s"e0 $gram8 e1", "en", "s"),
+      (1L, s"t0 t1 $gram8 t2", "en", "s"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "s"),
+      (3L, "short doc", "en", "s")))
+    val got = Curation.deconOf(d, Curation.gramsOf(d))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(!got.contains(0L), "eval doc must not be screened")
+    assert(got(1L) == (1L, 1L), "copying doc: one hit, contaminated")
+    assert(got(2L)._2 == 0L, "disjoint doc is clean")
+    assert(got(3L) == (0L, 0L), "sub-8-token doc has no grams and is clean")
+  }
+
+  test("dup-span coverage marks exactly the shared 8-gram's positions") {
+    // docs 10/11 share one 8-gram (coverage 8 of 10 tokens = 0.8);
+    // doc 12 shares nothing
+    val d = mkDocs(Seq(
+      (10L, s"a0 $gram8 a1", "en", "s"),
+      (11L, s"b0 b1 $gram8", "en", "s"),
+      (12L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "en", "s")))
+    val got = Curation.dupSpansOf(d, Curation.gramsOf(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == Set(
+      (10L, 10L, 8L, 0.8), (11L, 10L, 8L, 0.8), (12L, 10L, 0L, 0.0)))
+  }
+
+  test("stratified sampling keeps the whole smallest stratum and respects rates") {
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(50)}").mkString(" ")
+    val d = mkDocs(
+      (0 until 40).map(i => (i.toLong, words(12), "en", "s")) ++
+        (40 until 50).map(i => (i.toLong, words(12), "de", "s")))
+    val got = Curation.sampleStratifiedOf(d).collect()
+    // smallest stratum (de, n = 10 = target) has rate 1e6 ppm: all kept
+    assert(got.count(_.getString(1) == "de") == 10)
+    // en rate = floor(1e6 * 10/40) = 250000; every kept row's recomputed
+    // md5 bucket must satisfy the predicate (engine-portable determinism)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val textOf = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val hex = md.digest(textOf(r.getLong(0)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val bucket = java.lang.Long.parseLong(hex, 16) % 1000000L
+      assert(bucket == r.getLong(4) && bucket < r.getLong(3))
+    }
+    // and nothing outside the predicate was dropped from en
+    val enKept = got.count(_.getString(1) == "en")
+    val enExpect = (0 until 40).count { i =>
+      val hex = md.digest(textOf(i.toLong).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L < 250000L
+    }
+    assert(enKept == enExpect)
+  }
+}
