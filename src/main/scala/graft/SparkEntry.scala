@@ -20,6 +20,7 @@ object SparkEntry {
       graft.pipeline.Similarity.defs ++
       graft.pipeline.Multimodal.defs ++
       graft.pipeline.Curation.defs ++
+      graft.pipeline.Layout.defs ++
       graft.queries.SfaQ.defs ++
       graft.queries.IndexQ.defs ++
       graft.queries.RepresentationQ.defs ++
