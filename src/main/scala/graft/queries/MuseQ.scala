@@ -61,10 +61,27 @@ object MuseQ {
       .groupBy("key")
       .agg(max(col("wtot")).as("wtot"),
         sum((col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp")).as("chi2"))
-    val byChi = Window.orderBy(col("chi2").desc, col("key").asc)
-    chi.withColumn("rn", row_number().over(byChi))
+    // Selection boundary instead of a global row_number: an unfiltered
+    // rank over the full vocabulary has no WindowGroupLimit rewrite and
+    // would sort every key on ONE partition. The boundary row b = the
+    // TopK-th key under (chi2 desc, key asc) comes from a distributed
+    // TakeOrdered (per-partition heaps, K rows to the driver); a key is
+    // selected iff it sorts at-or-before b. With < TopK keys b is the
+    // global last row, so everything stays selected — same as rn <= TopK.
+    // chiC is materialized once so the boundary and the predicate see
+    // bit-identical chi2 values (a re-executed double agg could differ
+    // in the last ulp and flip a boundary tie).
+    val chiC = Pipelines.tracked(chi.sparkSession, chi)
+    chiC.count() // materialize: the broadcast-exchange thread and the main
+    // plan would otherwise race to fill the cache from separate executions
+    val bound = chiC.orderBy(col("chi2").desc, col("key").asc).limit(TopK)
+      .orderBy(col("chi2").asc, col("key").desc).limit(1)
+      .select(col("chi2").as("bchi"), col("key").as("bkey"))
+    val selected = col("chi2") > col("bchi") ||
+      (col("chi2") === col("bchi") && col("key") <= col("bkey"))
+    chiC.crossJoin(broadcast(bound))
       .select(col("key"), graft.util.Rnd.jround(col("chi2"), 6).as("chi2"),
-        when(col("rn") <= TopK, col("wtot")).otherwise(0L).as("kept_cnt"))
+        when(selected, col("wtot")).otherwise(0L).as("kept_cnt"))
       .orderBy("key")
   }
 
