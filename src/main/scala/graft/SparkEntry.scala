@@ -21,6 +21,7 @@ object SparkEntry {
       graft.pipeline.Multimodal.defs ++
       graft.pipeline.Curation.defs ++
       graft.pipeline.Layout.defs ++
+      graft.pipeline.Export.defs ++
       graft.queries.SfaQ.defs ++
       graft.queries.IndexQ.defs ++
       graft.queries.RepresentationQ.defs ++

@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.{QueryDef, Rnd, Tables}
+
+/** Training-data export operators: the last mile of the 100 TB
+  * pipeline, after dedup/quality/curation — sequence packing into
+  * fixed-length contexts, deterministic sharded export, and vocabulary
+  * coverage analysis.
+  *
+  * Design for 100 TB:
+  *  - sequence packing is the GPT-style concat-and-slice: documents are
+  *    concatenated in deterministic order and cut at every CTX-token
+  *    boundary. A single global concat order would serialize the
+  *    cumulative sum, so the corpus first splits into md5 buckets whose
+  *    COUNT GROWS WITH THE CORPUS (~1000 docs each) — each bucket is an
+  *    independent bounded concat stream, the per-bucket prefix-sum
+  *    window sorts ~1000 rows, and buckets pack in parallel on every
+  *    executor. No stage touches more than one bucket.
+  *  - shard assignment is a pure per-row md5 predicate (like
+  *    [[Curation]]'s stratified sampler): no global sort, no window —
+  *    a scan that any engine distributes perfectly, bit-identical
+  *    across engines. The physical writer pays ONE shuffle on the
+  *    shard key and writes per-shard sorted parquet.
+  *  - vocabulary coverage takes the global top-K of the
+  *    (fact-proportional) token vocabulary via TakeOrderedAndProject —
+  *    per-partition bounded heaps, K rows to the driver — so the full
+  *    vocabulary never sorts on one partition (an UNPARTITIONED rank
+  *    filter gets no WindowGroupLimit rewrite; ExportSpec pins the
+  *    TakeOrdered shape on the executed plan).
+  */
+object Export {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Fixed training-context length in tokens. */
+  private[pipeline] val CtxLen = 512
+
+  /** Target documents per packing bucket: bounds the per-bucket window
+    * sort at any corpus size (the bucket COUNT scales, not the bucket).
+    */
+  private val DocsPerBucket = 1000L
+
+  /** md5-derived 32-bit integer of the document text — the shared
+    * deterministic hash for bucketing/sharding (engine-portable, unlike
+    * Spark's `hash`/DuckDB's `hash`).
+    */
+  private def md5Int(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val md5IntSql = "('0x' || substr(md5(text), 1, 8))::BIGINT"
+
+  /** GPT-style sequence packing map: concatenating each bucket's
+    * documents in doc_id order and slicing every $CtxLen tokens, which
+    * contexts does each document land in? Output per doc: the bucket,
+    * the token start offset in the bucket stream, and the first/last
+    * context index it occupies. Empty documents carry no tokens and are
+    * excluded. The packing is fully deterministic: md5 buckets,
+    * doc_id order.
+    */
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesOf(docs(s, dir))
+
+  private[pipeline] def packSequencesOf(d: DataFrame): DataFrame = {
+    val nDocs = d.count()
+    val nBuckets = math.max(32L, (nDocs + DocsPerBucket - 1) / DocsPerBucket)
+    val byDoc = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_toks"),
+        (md5Int(col("text")) % nBuckets).as("bucket"))
+      .filter(col("n_toks") >= 1)
+      .withColumn("end_off", sum(col("n_toks")).over(byDoc))
+      .select(col("doc_id"), col("bucket"), col("n_toks"),
+        (col("end_off") - col("n_toks")).as("start_off"),
+        floor((col("end_off") - col("n_toks")) / lit(CtxLen.toDouble)).cast("long").as("ctx_first"),
+        floor((col("end_off") - 1L) / lit(CtxLen.toDouble)).cast("long").as("ctx_last"))
+      .orderBy("doc_id")
+  }
+
+  private val packSql =
+    s"""WITH n AS (SELECT GREATEST(32, CAST(CEIL(COUNT(*) / $DocsPerBucket.0) AS BIGINT)) AS b
+      |           FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_toks,
+      |    $md5IntSql % n.b AS bucket
+      |  FROM documents, n),
+      |p AS (
+      |  SELECT doc_id, bucket, n_toks,
+      |    SUM(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      |  FROM t WHERE n_toks >= 1)
+      |SELECT doc_id, bucket, n_toks, CAST(end_off - n_toks AS BIGINT) AS start_off,
+      |  CAST(FLOOR((end_off - n_toks) / $CtxLen.0) AS BIGINT) AS ctx_first,
+      |  CAST(FLOOR((end_off - 1) / $CtxLen.0) AS BIGINT) AS ctx_last
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Shards used by the export QUERY (the writer takes its own). */
+  private[pipeline] val NShards = 16L
+
+  /** Deterministic shard manifest: every document maps to shard
+    * md5 % $NShards; output is the per-shard rollup (doc/token/char
+    * totals and the doc_id range) that an export job publishes next to
+    * the data — uniformity is readable off the doc counts.
+    */
+  private def exportShards(s: SparkSession, dir: String): DataFrame =
+    exportShardsOf(docs(s, dir))
+
+  private[pipeline] def withShard(d: DataFrame, nShards: Long): DataFrame =
+    d.withColumn("shard", md5Int(col("text")) % nShards)
+
+  private[pipeline] def exportShardsOf(d: DataFrame): DataFrame =
+    withShard(d, NShards)
+      .withColumn("n_toks",
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+
+  private val shardsSql =
+    s"""SELECT $md5IntSql % $NShards AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Physical sharded writer: one shuffle on the shard key, per-shard
+    * doc_id-sorted parquet under `path/shard=<k>/`. The shard column is
+    * the same md5 assignment the manifest query publishes, so the
+    * manifest and the files agree by construction.
+    */
+  def writeShards(d: DataFrame, path: String, nShards: Int): Unit =
+    withShard(d, nShards.toLong)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+
+  /** Top tokens of the whole corpus. */
+  private[pipeline] val VocabTopK = 100
+
+  /** Vocabulary coverage curve: the $VocabTopK most frequent tokens
+    * with each prefix's cumulative share of all corpus tokens — the
+    * standard "how much does a K-entry vocab cover" diagnostic before
+    * tokenizer training. The top-K comes from a distributed TakeOrdered;
+    * the rank/cumulative windows run over ≤ K rows.
+    */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(docs(s, dir))
+
+  private[pipeline] def vocabCoverageOf(d: DataFrame): DataFrame = {
+    val counts = d
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val byCnt = Window.orderBy(col("cnt").desc, col("token").asc)
+    val cum = Window.orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global top-K via TakeOrderedAndProject (per-partition heaps, K rows
+    // to the driver) — an UNPARTITIONED rank filter gets no
+    // WindowGroupLimit rewrite, so orderBy+limit is the distributed form;
+    // the rank/cumsum windows then run over ≤ K rows
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(VocabTopK)
+      .withColumn("rank", row_number().over(byCnt).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"),
+        Rnd.jround(sum(col("cnt")).over(cum) / col("total"), 6).as("coverage"))
+      .orderBy("rank")
+  }
+
+  private val vocabSql =
+    s"""WITH c AS (
+      |  SELECT t.token, COUNT(*) AS cnt
+      |  FROM documents, UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS t(token)
+      |  GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS total FROM c),
+      |r AS (SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM c)
+      |SELECT rank, token, cnt,
+      |  ${Rnd.jroundSql(
+           "SUM(cnt) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total", 6)} AS coverage
+      |FROM r, tot WHERE rank <= $VocabTopK ORDER BY rank""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "pack_sequences" -> QueryDef.sql(packSequences, packSql,
+      s"GPT-style concat-and-slice packing into $CtxLen-token contexts over scaling md5 buckets"),
+    "export_shards" -> QueryDef.sql(exportShards, shardsSql,
+      s"deterministic md5 shard manifest ($NShards shards) with per-shard doc/token/char rollups"),
+    "vocab_coverage" -> QueryDef.sql(vocabCoverage, vocabSql,
+      s"top-$VocabTopK token vocabulary with cumulative corpus coverage (WindowGroupLimit-ranked)"))
+}
