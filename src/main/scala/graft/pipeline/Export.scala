@@ -37,7 +37,7 @@ object Export {
     Tables.load(s, dir, "documents")
 
   /** Fixed training-context length in tokens. */
-  private[pipeline] val CtxLen = 512
+  private[graft] val CtxLen = 512
 
   /** Target documents per packing bucket: bounds the per-bucket window
     * sort at any corpus size (the bucket COUNT scales, not the bucket).
@@ -48,10 +48,20 @@ object Export {
     * deterministic hash for bucketing/sharding (engine-portable, unlike
     * Spark's `hash`/DuckDB's `hash`).
     */
-  private def md5Int(c: org.apache.spark.sql.Column) =
+  private[graft] def md5Int(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   private val md5IntSql = "('0x' || substr(md5(text), 1, 8))::BIGINT"
+
+  /** Whitespace token count — the corpus-wide tokenization convention
+    * (split on single space, drop empties), shared with the stream twin.
+    */
+  private[graft] def tokCount(c: org.apache.spark.sql.Column) =
+    size(filter(split(c, " "), w => w =!= "")).cast("long")
+
+  /** Deterministic packing-bucket assignment, shared with the stream twin. */
+  private[graft] def bucketOf(c: org.apache.spark.sql.Column, nBuckets: Long) =
+    md5Int(c) % nBuckets
 
   /** GPT-style sequence packing map: concatenating each bucket's
     * documents in doc_id order and slicing every $CtxLen tokens, which
@@ -66,12 +76,14 @@ object Export {
 
   private[pipeline] def packSequencesOf(d: DataFrame): DataFrame = {
     val nDocs = d.count()
-    val nBuckets = math.max(32L, (nDocs + DocsPerBucket - 1) / DocsPerBucket)
+    packSequencesOf(d, math.max(32L, (nDocs + DocsPerBucket - 1) / DocsPerBucket))
+  }
+
+  private[graft] def packSequencesOf(d: DataFrame, nBuckets: Long): DataFrame = {
     val byDoc = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.select(col("doc_id"),
-        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_toks"),
-        (md5Int(col("text")) % nBuckets).as("bucket"))
+    d.select(col("doc_id"), tokCount(col("text")).as("n_toks"),
+        bucketOf(col("text"), nBuckets).as("bucket"))
       .filter(col("n_toks") >= 1)
       .withColumn("end_off", sum(col("n_toks")).over(byDoc))
       .select(col("doc_id"), col("bucket"), col("n_toks"),
