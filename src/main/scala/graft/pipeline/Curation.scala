@@ -190,20 +190,20 @@ object Curation {
     // rates is model-sized (one row per language) — broadcast by hint so
     // the fact scan is never the build side at any corpus size
     d.join(broadcast(rates), "lang")
-      .withColumn("bucket", conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 1000000L)
+      .withColumn("bucket", Export.md5Int(col("text")) % 1000000L)
       .filter(col("bucket") < col("rate_ppm"))
       .select("doc_id", "lang", "source", "rate_ppm", "bucket")
       .orderBy("doc_id")
   }
 
   private val sampleSql =
-    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
       |t AS (SELECT MIN(n) AS target FROM c),
       |r AS (SELECT c.lang, CAST(FLOOR(1e6 * t.target / c.n) AS BIGINT) AS rate_ppm FROM c, t)
       |SELECT d.doc_id, d.lang, d.source, r.rate_ppm,
-      |  ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000000 AS bucket
+      |  ${Export.md5IntSql("d.text")} % 1000000 AS bucket
       |FROM documents d JOIN r USING (lang)
-      |WHERE ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000000 < r.rate_ppm
+      |WHERE ${Export.md5IntSql("d.text")} % 1000000 < r.rate_ppm
       |ORDER BY d.doc_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(

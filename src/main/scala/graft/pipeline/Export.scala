@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.util.{QueryDef, Rnd, Tables}
+import graft.util.{Pipelines, QueryDef, Rnd, Tables}
 
 /** Training-data export operators: the last mile of the 100 TB
   * pipeline, after dedup/quality/curation — sequence packing into
@@ -44,14 +44,19 @@ object Export {
     */
   private val DocsPerBucket = 1000L
 
-  /** md5-derived 32-bit integer of the document text — the shared
-    * deterministic hash for bucketing/sharding (engine-portable, unlike
-    * Spark's `hash`/DuckDB's `hash`).
+  /** md5-derived 32-bit integer of the document text — THE deterministic
+    * hash convention for bucketing/sharding/sampling (engine-portable,
+    * unlike Spark's `hash`/DuckDB's `hash`); [[Curation]]'s stratified
+    * sampler uses the same pair.
     */
   private[graft] def md5Int(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  private val md5IntSql = "('0x' || substr(md5(text), 1, 8))::BIGINT"
+  /** DuckDB text twin of [[md5Int]] over the SQL expression `e`. */
+  private[graft] def md5IntSql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  private val md5IntText = md5IntSql("text")
 
   /** Whitespace token count — the corpus-wide tokenization convention
     * (split on single space, drop empties), shared with the stream twin.
@@ -99,7 +104,7 @@ object Export {
       |t AS (
       |  SELECT doc_id,
       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_toks,
-      |    $md5IntSql % n.b AS bucket
+      |    $md5IntText % n.b AS bucket
       |  FROM documents, n),
       |p AS (
       |  SELECT doc_id, bucket, n_toks,
@@ -127,8 +132,7 @@ object Export {
 
   private[pipeline] def exportShardsOf(d: DataFrame): DataFrame =
     withShard(d, NShards)
-      .withColumn("n_toks",
-        size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+      .withColumn("n_toks", tokCount(col("text")))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
@@ -136,7 +140,7 @@ object Export {
       .orderBy("shard")
 
   private val shardsSql =
-    s"""SELECT $md5IntSql % $NShards AS shard, COUNT(*) AS n_docs,
+    s"""SELECT $md5IntText % $NShards AS shard, COUNT(*) AS n_docs,
       |  CAST(SUM(CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)) AS BIGINT) AS n_tokens,
       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
@@ -165,9 +169,13 @@ object Export {
     vocabCoverageOf(docs(s, dir))
 
   private[pipeline] def vocabCoverageOf(d: DataFrame): DataFrame = {
-    val counts = d
+    // materialized once: the total-tokens broadcast subtree and the
+    // top-K path would otherwise each pay the full tokenize+aggregate
+    // corpus pass
+    val counts = Pipelines.tracked(d.sparkSession, d
       .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .groupBy("token").agg(count(lit(1)).as("cnt")))
+    counts.count()
     val total = counts.agg(sum(col("cnt")).as("total"))
     val byCnt = Window.orderBy(col("cnt").desc, col("token").asc)
     val cum = Window.orderBy(col("cnt").desc, col("token").asc)
@@ -202,5 +210,5 @@ object Export {
     "export_shards" -> QueryDef.sql(exportShards, shardsSql,
       s"deterministic md5 shard manifest ($NShards shards) with per-shard doc/token/char rollups"),
     "vocab_coverage" -> QueryDef.sql(vocabCoverage, vocabSql,
-      s"top-$VocabTopK token vocabulary with cumulative corpus coverage (WindowGroupLimit-ranked)"))
+      s"top-$VocabTopK token vocabulary with cumulative corpus coverage (TakeOrdered global top-K)"))
 }

@@ -44,10 +44,9 @@ object MuseQ {
     bags(s, dir).orderBy("user_id", "dim", "key")
 
   private def f8(s: SparkSession, dir: String): DataFrame = {
-    val cell = bags(s, dir)
+    val cell = Pipelines.tracked(s, bags(s, dir)
       .groupBy((col("user_id") % 3).as("cls"), col("key"))
-      .agg(sum(col("cnt")).as("obs"))
-      .cache()
+      .agg(sum(col("cnt")).as("obs")))
     cell.count() // materialize: the chi² compose consumes it from
     // concurrently-submitted subtrees, each of which would recompute
     // the word chain against a cold cache

@@ -32,20 +32,21 @@ class ExportSpec extends SparkSpec {
 
   test("writeShards: partitioned files agree with the manifest query") {
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
-    Export.writeShards(docs, out, 8)
-    val back = spark.read.parquet(out)
-    // every doc present exactly once, shard dirs exist
-    assert(back.count() == docs.count())
-    assert(back.select("doc_id").distinct().count() == docs.count())
-    val dirs = new java.io.File(out).listFiles().count(_.getName.startsWith("shard="))
-    assert(dirs == 8, s"expected 8 shard dirs, got $dirs")
-    // the written shard equals the deterministic md5 assignment
-    val expected = Export.withShard(docs, 8L).select(col("doc_id"), col("shard"))
-    val mismatch = back.select(col("doc_id"), col("shard").cast("long").as("s2"))
-      .join(expected, "doc_id")
-      .filter(col("s2") =!= col("shard")).count()
-    assert(mismatch == 0)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    try {
+      Export.writeShards(docs, out, 8)
+      val back = spark.read.parquet(out)
+      // every doc present exactly once, shard dirs exist
+      assert(back.count() == docs.count())
+      assert(back.select("doc_id").distinct().count() == docs.count())
+      val dirs = new java.io.File(out).listFiles().count(_.getName.startsWith("shard="))
+      assert(dirs == 8, s"expected 8 shard dirs, got $dirs")
+      // the written shard equals the deterministic md5 assignment
+      val expected = Export.withShard(docs, 8L).select(col("doc_id"), col("shard"))
+      val mismatch = back.select(col("doc_id"), col("shard").cast("long").as("s2"))
+        .join(expected, "doc_id")
+        .filter(col("s2") =!= col("shard")).count()
+      assert(mismatch == 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
   test("vocab_coverage: monotone coverage ending at ~1 when K >= |vocab|, TakeOrdered plan") {
