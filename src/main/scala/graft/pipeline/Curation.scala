@@ -37,9 +37,20 @@ object Curation {
     */
   private val GramN = 8
 
-  /** (doc_id, i, g): every word 8-gram with its 0-based start
-    * position; NOT distinct (span coverage needs positions). Computed
-    * once per session — decontamination and span coverage share it.
+  /** (doc_id, i, gh): every word 8-gram's 60-bit [[Export.md5Long]]
+    * hash with its 0-based start position; NOT distinct (span coverage
+    * needs positions). Computed once per session — decontamination and
+    * span coverage share it.
+    *
+    * The gram IDENTITY is the hash, not the string: the gram text
+    * (~50 B of UTF-8 for 8 words) exists only inside the map stage and
+    * an 8-byte key is what shuffles through the downstream
+    * groupBy/joins — at corpus scale that is the difference between
+    * shuffling the corpus ×8 and shuffling ~1/6 of it. Hash-gram
+    * equality is the standard contamination/dup-span formulation; at
+    * 60 bits, 10^12 corpus grams produce ~10^5 random collisions —
+    * immaterial for screening counts (and the DuckDB oracle applies
+    * the identical hash, so the gate is exact).
     */
   private def grams(s: SparkSession, dir: String): DataFrame =
     Pipelines.cachedDF(s, s"curation.grams:$dir")(gramsOf(docs(s, dir)))
@@ -50,28 +61,31 @@ object Curation {
       .filter(col("n") >= GramN)
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, n - $GramN), i -> array_join(slice(ws, i + 1, $GramN), ' '))")))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "g")
+      .select(col("doc_id"), col("pos").as("i"), Export.md5Long(col("col")).as("gh"))
 
   /** Driver/executor-local 8-gram expansion, bit-identical to
-    * [[gramsOf]]'s SQL tokenization (split on single space, drop empty
-    * tokens, join with single space) — the per-record path the
-    * streaming decontamination twin uses.
+    * [[gramsOf]] (split on single space, drop empty tokens, join with
+    * single space, [[Export.md5LongLocal]] hash) — the per-record path
+    * the streaming decontamination twin uses.
     */
-  private[graft] def gramsLocal(text: String): Seq[String] = {
+  private[graft] def gramsLocal(text: String): Seq[Long] = {
     val ws = text.split(" ", -1).filter(_.nonEmpty)
     if (ws.length < GramN) Seq.empty
-    else (0 to ws.length - GramN).map(i => ws.slice(i, i + GramN).mkString(" ")).distinct
+    else (0 to ws.length - GramN)
+      .map(i => Export.md5LongLocal(ws.slice(i, i + GramN).mkString(" "))).distinct
   }
 
-  /** Shared DuckDB CTE: same grams, 1-based start positions (only
-    * relative positions matter — coverage counts are shift-invariant).
+  /** Shared DuckDB CTE: same hashed grams, 1-based start positions
+    * (only relative positions matter — coverage counts are
+    * shift-invariant).
     */
   private val gramsCte =
     s"""ws AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents
       |),
       |g AS (
-      |  SELECT doc_id, i, array_to_string(ws[i:i+${GramN - 1}], ' ') AS g
+      |  SELECT doc_id, i,
+      |    ${Export.md5LongSql(s"array_to_string(ws[i:i+${GramN - 1}], ' ')")} AS gh
       |  FROM ws, UNNEST(generate_series(1, len(ws) - ${GramN - 1})) AS t(i)
       |  WHERE len(ws) >= $GramN)""".stripMargin
 
@@ -90,11 +104,11 @@ object Curation {
     deconOf(docs(s, dir), grams(s, dir))
 
   private[graft] def deconOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
-    val g = gramsDf.select("doc_id", "g").distinct()
-    val evalGrams = g.filter(col("doc_id") % EvalMod === 0).select("g").distinct()
+    val g = gramsDf.select("doc_id", "gh").distinct()
+    val evalGrams = g.filter(col("doc_id") % EvalMod === 0).select("gh").distinct()
     val train = g.filter(col("doc_id") % EvalMod =!= 0)
     val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hit = train.join(evalGrams, "g").groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+    val hit = train.join(evalGrams, "gh").groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
     d.filter(col("doc_id") % EvalMod =!= 0).select("doc_id")
       .join(tot, Seq("doc_id"), "left").join(hit, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -108,11 +122,11 @@ object Curation {
 
   private val deconSql =
     s"""WITH $gramsCte,
-      |gd AS (SELECT DISTINCT doc_id, g FROM g),
-      |ev AS (SELECT DISTINCT g FROM gd WHERE doc_id % $EvalMod = 0),
+      |gd AS (SELECT DISTINCT doc_id, gh FROM g),
+      |ev AS (SELECT DISTINCT gh FROM gd WHERE doc_id % $EvalMod = 0),
       |tr AS (SELECT * FROM gd WHERE doc_id % $EvalMod <> 0),
       |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY 1),
-      |hit AS (SELECT tr.doc_id, COUNT(*) AS hit_grams FROM tr JOIN ev ON tr.g = ev.g GROUP BY 1)
+      |hit AS (SELECT tr.doc_id, COUNT(*) AS hit_grams FROM tr JOIN ev ON tr.gh = ev.gh GROUP BY 1)
       |SELECT d.doc_id,
       |  COALESCE(t.n_grams, 0) AS n_grams,
       |  COALESCE(h.hit_grams, 0) AS hit_grams,
@@ -134,14 +148,14 @@ object Curation {
     dupSpansOf(docs(s, dir), grams(s, dir))
 
   private[pipeline] def dupSpansOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
-    val dupG = gramsDf.groupBy("g").agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > 1).select("g")
+    val dupG = gramsDf.groupBy("gh").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("gh")
     // |union of [i, i+7]| over a doc's dup-gram starts = Σ min(8, gap to
     // previous sorted start): an interval union over collect_set(i), NOT
     // an explode of 8 positions per gram + distinct — 8× less shuffle
     // volume and one wide stage fewer, with the set bounded by the doc's
     // own token count. The oracle keeps the literal position-union SQL.
-    val covered = gramsDf.join(dupG, "g")
+    val covered = gramsDf.join(dupG, "gh")
       .groupBy("doc_id").agg(sort_array(collect_set(col("i"))).as("starts"))
       .select(col("doc_id"), expr(
         s"""aggregate(starts,
@@ -160,10 +174,10 @@ object Curation {
 
   private val dupSpansSql =
     s"""WITH $gramsCte,
-      |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
       |cov AS (
       |  SELECT DISTINCT g.doc_id, p.p
-      |  FROM g JOIN dup USING (g), UNNEST(generate_series(g.i, g.i + ${GramN - 1})) AS p(p)),
+      |  FROM g JOIN dup USING (gh), UNNEST(generate_series(g.i, g.i + ${GramN - 1})) AS p(p)),
       |ncov AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY 1),
       |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM ws)
       |SELECT n.doc_id, n.n_tokens, COALESCE(c.covered, 0) AS covered,

@@ -58,6 +58,31 @@ object Export {
 
   private val md5IntText = md5IntSql("text")
 
+  /** 60-bit md5-derived long (15 hex chars — the widest prefix that
+    * cannot overflow a signed BIGINT in either engine, the same width
+    * as [[Dedup]]'s SimHash fingerprint): the key-compression hash for
+    * fact-proportional join/group keys like n-grams, where 32 bits
+    * would collide at corpus scale.
+    */
+  private[graft] def md5Long(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB text twin of [[md5Long]]. */
+  private[graft] def md5LongSql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Executor-local twin of [[md5Long]], bit-identical to the column
+    * form (lowercase-hex md5 of the UTF-8 bytes, first 15 hex chars) —
+    * for streaming per-record paths.
+    */
+  private[graft] def md5LongLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = the top 7.5 bytes of the digest
+    val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Whitespace token count — the corpus-wide tokenization convention
     * (split on single space, drop empties), shared with the stream twin.
     */

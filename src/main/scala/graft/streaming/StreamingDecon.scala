@@ -27,16 +27,22 @@ import graft.pipeline.Curation
 object StreamingDecon {
 
   final case class DocEvent(doc_id: Long, text: String)
-  final case class GramEvent(doc_id: Long, g: String)
+  final case class GramEvent(doc_id: Long, gh: Long)
   final case class Verdict(doc_id: Long, n_grams: Long, hit_grams: Long, contaminated: Long)
 
-  /** Expand one training document to its distinct gram events; docs too
-    * short for any 8-gram yield a single null-gram sentinel (joins to
-    * nothing, still produces a verdict).
+  /** A gh value [[graft.pipeline.Export.md5LongLocal]] can never
+    * produce (hashes are 60-bit non-negative) — the sentinel for docs
+    * too short for any 8-gram.
+    */
+  private[streaming] val NoGram = Long.MinValue
+
+  /** Expand one training document to its distinct hashed-gram events;
+    * docs too short for any 8-gram yield a single sentinel event (joins
+    * to nothing, still produces a verdict).
     */
   def gramEvents(d: DocEvent): Seq[GramEvent] = {
     val gs = Curation.gramsLocal(d.text)
-    if (gs.isEmpty) Seq(GramEvent(d.doc_id, null))
+    if (gs.isEmpty) Seq(GramEvent(d.doc_id, NoGram))
     else gs.map(GramEvent(d.doc_id, _))
   }
 
@@ -44,7 +50,8 @@ object StreamingDecon {
     *
     * @param docs      streaming training documents (eval-split docs, if
     *                  present, are ignored — they ARE the benchmark)
-    * @param evalGrams static one-column (`g`) distinct benchmark grams
+    * @param evalGrams static one-column (`gh`) distinct hashed
+    *                  benchmark grams
     */
   def verdictStream(docs: Dataset[DocEvent], evalGrams: DataFrame)(
       implicit spark: SparkSession): Dataset[Verdict] = {
@@ -53,17 +60,17 @@ object StreamingDecon {
       .filter(d => d.doc_id % Curation.EvalMod != 0L)
       .flatMap(gramEvents _)
     grams.toDF()
-      .join(evalGrams.select(col("g"), lit(1L).as("hit")), Seq("g"), "left")
-      .select(col("doc_id"), col("g"), coalesce(col("hit"), lit(0L)).as("hit"))
-      .as[(Long, String, Long)]
+      .join(evalGrams.select(col("gh"), lit(1L).as("hit")), Seq("gh"), "left")
+      .select(col("doc_id"), col("gh"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (id: Long, events: Iterator[(Long, String, Long)], state: GroupState[Boolean]) => {
+        (id: Long, events: Iterator[(Long, Long, Long)], state: GroupState[Boolean]) => {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
             var n = 0L; var h = 0L
-            events.foreach { case (_, g, hit) => if (g != null) { n += 1; h += hit } }
+            events.foreach { case (_, gh, hit) => if (gh != NoGram) { n += 1; h += hit } }
             Iterator(Verdict(id, n, h, if (h > 0) 1L else 0L))
           }
         })

@@ -35,7 +35,7 @@ class StreamingDeconSpec extends SparkSpec {
 
     val evalGrams = Curation.gramsOf(docsDf)
       .filter(col("doc_id") % Curation.EvalMod === 0)
-      .select("g").distinct()
+      .select("gh").distinct()
 
     val input = MemoryStream[StreamingDecon.DocEvent]
     val query = StreamingDecon.verdictStream(input.toDS(), evalGrams)
