@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{Pipelines, QueryDef, Tables}
+import graft.pipeline.Export.{md5Long, md5LongSql}
 
 /** Deduplication operators for the large-scale training-data pipeline.
   *
@@ -11,7 +12,9 @@ import graft.util.{Pipelines, QueryDef, Tables}
   *    never on the raw text bytes;
   *  - near-dup via shingling uses an inverted-index equi-join (shingle →
   *    postings) with a postings-list frequency cap to bound the pair
-  *    blow-up on stop-shingles — the standard scalable formulation. The
+  *    blow-up on stop-shingles — the standard scalable formulation;
+  *    shingle identity is a 60-bit md5 prefix so the postings/
+  *    intersection shuffles move 8-byte keys, never gram text. The
   *    cap drops hot shingles from the similarity estimate (slight
   *    underestimate); the dropped-shingle count is logged, never silent;
   *  - MinHash LSH shuffles once on the band key; signature hashes are
@@ -41,7 +44,15 @@ object Dedup {
     """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS copies
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
-  /** Word 3-gram shingles, DISTINCT per doc. Spark side. */
+  /** Word 3-gram shingles, DISTINCT per doc. `sh` is the shingle's
+    * 60-bit [[Export.md5Long]] hash, not the text: the string (~20 B)
+    * exists only inside the map stage and an 8-byte key is what moves
+    * through the distinct/postings/intersection shuffles. MinHash's
+    * 28-bit slot hash and SimHash's 60-bit fingerprint seed are both
+    * md5 PREFIXES of the shingle, so they fall out of `sh` by bit
+    * arithmetic (`sh >> 32` and `sh` itself) — every downstream value
+    * is bit-identical to hashing the string directly.
+    */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Pipelines.cachedDF(s, s"dedup.shingles:$dir") {
     val tok = docs(s, dir)
@@ -50,18 +61,19 @@ object Dedup {
       .withColumn("n", size(col("ws")))
       .filter(col("n") >= 3)
     tok.select(col("doc_id"),
-        explode(expr("transform(sequence(0, n-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("sh"))
+        explode(expr("transform(sequence(0, n-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+      .select(col("doc_id"), md5Long(col("g")).as("sh"))
       .distinct()
     }
 
-  /** Shared CTE producing the same distinct shingles in DuckDB. */
+  /** Shared CTE producing the same distinct hashed shingles in DuckDB. */
   private val shinglesCte =
-    """ws AS (
+    s"""ws AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents
       |),
       |sh AS (
       |  SELECT DISTINCT doc_id,
-      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |    ${md5LongSql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS sh
       |  FROM ws, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
       |  WHERE len(ws) >= 3)""".stripMargin
 
@@ -142,8 +154,9 @@ object Dedup {
   private[graft] val NumHashes = 32
   private[graft] val RowsPerBand = 4
 
-  /** Parametric minhash over a 28-bit base hash: ONE md5 per shingle
-    * (truncated to 7 hex chars), then NumHashes affine permutations
+  /** Parametric minhash over a 28-bit base hash: the top 28 bits of
+    * the shingle hash (≡ the md5 prefix truncated to 7 hex chars — one
+    * md5 per shingle, computed map-side), then NumHashes affine permutations
     * h_i = (a_i·h + b_i) mod p with p = 2³¹−1 — pure codegen'd integer
     * arithmetic, engine-portable, no RNG. a_i·h ≤ 2³¹·2²⁸ < 2⁶³: no
     * overflow. Constants are fixed (Knuth multiplicative mixes of i).
@@ -209,8 +222,10 @@ object Dedup {
     // map-side partials are 32 longs — no row multiplication, one shuffle
     val minCols = (0 until NumHashes).map(i =>
       min(expr(s"(${permA(i)}L * hv + ${permB(i)}L) % ${MinhashP}L")).as(s"m$i"))
+    // slot hash = the top 28 bits of the 60-bit shingle hash — exactly
+    // the first-7-hex-chars md5 prefix the signature always used
     val sigs = sh
-      .withColumn("hv", expr("cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)"))
+      .withColumn("hv", expr("shiftright(sh, 32)"))
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -255,7 +270,7 @@ object Dedup {
       .mkString("\n      ")
     s"""WITH $shinglesCte,
       |base AS (
-      |  SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT) AS hv FROM sh
+      |  SELECT doc_id, sh >> 32 AS hv FROM sh
       |),
       |hashed AS (
       |  SELECT doc_id, hi,
@@ -308,8 +323,8 @@ object Dedup {
     * codegen'd conditional sums — no row explosion.
     */
   private def simhashFp(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-      .withColumn("hv", expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)"))
+    // the 60-bit shingle hash IS the fingerprint seed
+    val sh = shingles(s, dir).withColumn("hv", col("sh"))
     val bitSums = (0 until SimBits).map { b =>
       sum(when(expr(s"(hv div ${1L << b}) % 2") === 1, 1).otherwise(-1)).as(s"s$b")
     }
@@ -328,7 +343,7 @@ object Dedup {
     val fp = (0 until SimBits).map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
     s"""shh AS (
-       |  SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS hv FROM sh
+       |  SELECT doc_id, sh AS hv FROM sh
        |), bitsums AS (
        |  SELECT doc_id,
        |    $sums
