@@ -109,7 +109,13 @@ object Export {
     packSequencesOf(d, math.max(32L, (nDocs + DocsPerBucket - 1) / DocsPerBucket))
   }
 
-  private[graft] def packSequencesOf(d: DataFrame, nBuckets: Long): DataFrame = {
+  private[graft] def packSequencesOf(d: DataFrame, nBuckets: Long): DataFrame =
+    packCore(d, nBuckets).orderBy("doc_id")
+
+  /** The packing map without the output ordering (shared by the per-doc
+    * query and the per-context rollup).
+    */
+  private def packCore(d: DataFrame, nBuckets: Long): DataFrame = {
     val byDoc = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.select(col("doc_id"), tokCount(col("text")).as("n_toks"),
@@ -120,12 +126,14 @@ object Export {
         (col("end_off") - col("n_toks")).as("start_off"),
         floor((col("end_off") - col("n_toks")) / lit(CtxLen.toDouble)).cast("long").as("ctx_first"),
         floor((col("end_off") - 1L) / lit(CtxLen.toDouble)).cast("long").as("ctx_last"))
-      .orderBy("doc_id")
   }
 
-  private val packSql =
-    s"""WITH n AS (SELECT GREATEST(32, CAST(CEIL(COUNT(*) / $DocsPerBucket.0) AS BIGINT)) AS b
-      |           FROM documents),
+  /** Shared DuckDB CTE chain: the packing map (doc_id, bucket, n_toks,
+    * start_off, ctx_first, ctx_last) as relation `pk`.
+    */
+  private val packCte =
+    s"""n AS (SELECT GREATEST(32, CAST(CEIL(COUNT(*) / $DocsPerBucket.0) AS BIGINT)) AS b
+      |      FROM documents),
       |t AS (
       |  SELECT doc_id,
       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_toks,
@@ -135,11 +143,52 @@ object Export {
       |  SELECT doc_id, bucket, n_toks,
       |    SUM(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
-      |  FROM t WHERE n_toks >= 1)
-      |SELECT doc_id, bucket, n_toks, CAST(end_off - n_toks AS BIGINT) AS start_off,
-      |  CAST(FLOOR((end_off - n_toks) / $CtxLen.0) AS BIGINT) AS ctx_first,
-      |  CAST(FLOOR((end_off - 1) / $CtxLen.0) AS BIGINT) AS ctx_last
-      |FROM p ORDER BY doc_id""".stripMargin
+      |  FROM t WHERE n_toks >= 1),
+      |pk AS (
+      |  SELECT doc_id, bucket, n_toks, CAST(end_off - n_toks AS BIGINT) AS start_off,
+      |    CAST(FLOOR((end_off - n_toks) / $CtxLen.0) AS BIGINT) AS ctx_first,
+      |    CAST(FLOOR((end_off - 1) / $CtxLen.0) AS BIGINT) AS ctx_last
+      |  FROM p)""".stripMargin
+
+  private val packSql =
+    s"""WITH $packCte
+      |SELECT doc_id, bucket, n_toks, start_off, ctx_first, ctx_last
+      |FROM pk ORDER BY doc_id""".stripMargin
+
+  /** Per-context packing rollup: for every (bucket, context) the number
+    * of documents intersecting it and its token fill. Concat-and-slice
+    * fills every context exactly except each bucket's tail, so the
+    * interesting numbers are fragmentation (docs per context) and tail
+    * waste — the packing-efficiency metrics. The expansion is one row
+    * per (doc, context) span ≈ corpus_tokens/$CtxLen rows: linear, all
+    * map-side until the final (bucket, ctx) aggregate.
+    */
+  private def packContexts(s: SparkSession, dir: String): DataFrame =
+    packContextsOf(docs(s, dir))
+
+  private[pipeline] def packContextsOf(d: DataFrame): DataFrame = {
+    val nDocs = d.count()
+    val core = packCore(d, math.max(32L, (nDocs + DocsPerBucket - 1) / DocsPerBucket))
+    core.select(col("bucket"), col("start_off"),
+        (col("start_off") + col("n_toks")).as("end_off"),
+        explode(sequence(col("ctx_first"), col("ctx_last"))).as("ctx"))
+      .select(col("bucket"), col("ctx"),
+        (least(col("end_off"), (col("ctx") + 1L) * CtxLen) -
+          greatest(col("start_off"), col("ctx") * CtxLen)).as("toks"))
+      .groupBy("bucket", "ctx")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy("bucket", "ctx")
+  }
+
+  private val packCtxSql =
+    s"""WITH $packCte,
+      |e AS (
+      |  SELECT bucket, c.ctx,
+      |    LEAST(start_off + n_toks, (c.ctx + 1) * $CtxLen)
+      |      - GREATEST(start_off, c.ctx * $CtxLen) AS toks
+      |  FROM pk, UNNEST(generate_series(pk.ctx_first, pk.ctx_last)) AS c(ctx))
+      |SELECT bucket, ctx, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Shards used by the export QUERY (the writer takes its own). */
   private[pipeline] val NShards = 16L
@@ -232,6 +281,8 @@ object Export {
   val defs: Map[String, QueryDef] = Map(
     "pack_sequences" -> QueryDef.sql(packSequences, packSql,
       s"GPT-style concat-and-slice packing into $CtxLen-token contexts over scaling md5 buckets"),
+    "pack_contexts" -> QueryDef.sql(packContexts, packCtxSql,
+      "per-context packing rollup: docs-per-context fragmentation + tail fill"),
     "export_shards" -> QueryDef.sql(exportShards, shardsSql,
       s"deterministic md5 shard manifest ($NShards shards) with per-shard doc/token/char rollups"),
     "vocab_coverage" -> QueryDef.sql(vocabCoverage, vocabSql,

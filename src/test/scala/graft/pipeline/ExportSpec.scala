@@ -30,6 +30,17 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("pack_contexts: every context full except each bucket's tail; totals reconcile") {
+    val p = Export.packSequencesOf(docs).collect()
+    val ctx = Export.packContextsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastCtx = ctx.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    for ((b, c, _, toks) <- ctx if c < lastCtx(b))
+      assert(toks == Export.CtxLen, s"non-tail context ($b,$c) has $toks tokens")
+    assert(ctx.map(_._4).sum == p.map(_.getAs[Long]("n_toks")).sum,
+      "context token total != packed token total")
+  }
+
   test("writeShards: partitioned files agree with the manifest query") {
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
     try {
