@@ -220,11 +220,93 @@ object Curation {
       |WHERE ${Export.md5IntSql("d.text")} % 1000000 < r.rate_ppm
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The corpus funnel: the survival count after each curation stage
+    * applied in pipeline order — the one-table report a data team
+    * publishes with a training corpus. Stages (each over the previous
+    * stage's survivors):
+    *
+    *  0 raw → 1 exact-dedup keepers (min doc_id per md5(text) group) →
+    *  2 decontaminated (drop the eval split and any training doc
+    *    sharing an 8-gram with it) → 3 quality (n ≥ 20 tokens and
+    *    type-token ratio ≥ ½, as the INTEGER predicate 2·uniq ≥ n — no
+    *    FP compare) → 4 stratified sample (md5-bucket rates computed on
+    *    the stage-3 survivors' language counts).
+    *
+    * Every stage is a semi/anti-join of doc_id sets — document text is
+    * touched only where a stage's own predicate needs it, and all
+    * counts are exact integers.
+    */
+  private def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(docs(s, dir), grams(s, dir))
+
+  private[pipeline] def funnelOf(d: DataFrame, g: DataFrame): DataFrame = {
+    val s1 = d.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val evalG = g.filter(col("doc_id") % EvalMod === 0).select("gh").distinct()
+    val hitDocs = g.filter(col("doc_id") % EvalMod =!= 0)
+      .join(evalG, "gh").select("doc_id").distinct()
+    val s2 = s1.filter(col("doc_id") % EvalMod =!= 0)
+      .join(hitDocs, Seq("doc_id"), "left_anti")
+    val qPass = d
+      .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).cast("long").as("uniq"))
+      .filter(col("n") >= 20L && col("uniq") * 2L >= col("n"))
+      .select("doc_id")
+    val s3 = s2.join(qPass, "doc_id")
+    val s3d = s3.join(d.select("doc_id", "lang", "text"), "doc_id")
+    val counts = s3d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val rates = counts.crossJoin(counts.agg(min(col("n")).as("target")))
+      .select(col("lang"), floor(lit(1e6) * col("target") / col("n")).cast("long").as("rate_ppm"))
+    val s4 = s3d.join(broadcast(rates), "lang")
+      .filter(Export.md5Int(col("text")) % 1000000L < col("rate_ppm"))
+      .select("doc_id")
+    def stage(i: Long, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage"), lit(name).as("name"), col("n_docs"))
+    stage(0L, "raw", d).unionByName(stage(1L, "dedup_keeper", s1))
+      .unionByName(stage(2L, "decontaminated", s2))
+      .unionByName(stage(3L, "quality", s3))
+      .unionByName(stage(4L, "sampled", s4))
+      .orderBy("stage")
+  }
+
+  private val funnelSql =
+    s"""WITH $gramsCte,
+      |s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % $EvalMod = 0),
+      |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gh) WHERE g.doc_id % $EvalMod <> 0),
+      |s2 AS (SELECT doc_id FROM s1 WHERE doc_id % $EvalMod <> 0
+      |       AND doc_id NOT IN (SELECT doc_id FROM hits)),
+      |q AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n,
+      |      CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS uniq
+      |    FROM documents)
+      |  WHERE n >= 20 AND uniq * 2 >= n),
+      |s3 AS (SELECT doc_id FROM s2 JOIN q USING (doc_id)),
+      |s3d AS (SELECT d.doc_id, d.lang, d.text FROM s3 JOIN documents d USING (doc_id)),
+      |c AS (SELECT lang, COUNT(*) AS n FROM s3d GROUP BY 1),
+      |r AS (SELECT c.lang, CAST(FLOOR(1e6 * t.target / c.n) AS BIGINT) AS rate_ppm
+      |      FROM c, (SELECT MIN(n) AS target FROM c) t),
+      |s4 AS (SELECT s3d.doc_id FROM s3d JOIN r USING (lang)
+      |       WHERE ${Export.md5IntSql("s3d.text")} % 1000000 < r.rate_ppm)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name, COUNT(*) AS n_docs FROM documents
+      |  UNION ALL SELECT 1, 'dedup_keeper', COUNT(*) FROM s1
+      |  UNION ALL SELECT 2, 'decontaminated', COUNT(*) FROM s2
+      |  UNION ALL SELECT 3, 'quality', COUNT(*) FROM s3
+      |  UNION ALL SELECT 4, 'sampled', COUNT(*) FROM s4)
+      |ORDER BY stage""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "decon_ngram_overlap" -> QueryDef.sql(decon, deconSql,
       "benchmark decontamination: 8-gram overlap of training docs vs the eval split"),
     "dup_span_coverage" -> QueryDef.sql(dupSpans, dupSpansSql,
       "fraction of each doc covered by cross-document duplicated 8-gram spans"),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleSql,
-      "deterministic md5-bucket stratified sampling equalizing language strata"))
+      "deterministic md5-bucket stratified sampling equalizing language strata"),
+    "curation_funnel" -> QueryDef.sql(funnel, funnelSql,
+      "per-stage corpus survival: raw → dedup → decontaminated → quality → sampled"))
 }

@@ -46,6 +46,26 @@ class CurationSpec extends SparkSpec {
       (10L, 10L, 8L, 0.8), (11L, 10L, 8L, 0.8), (12L, 10L, 0L, 0.0)))
   }
 
+  test("funnel drops the planted duplicate, contaminated, and low-quality docs in order") {
+    // 20-token good text (all-distinct tokens → ttr = 1)
+    def good(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    val d = mkDocs(Seq(
+      (0L, s"e0 $gram8 e1", "en", "s"), // eval doc (0 % 97 == 0): dropped at decon
+      (1L, good("a"), "en", "s"), // survives everything (bucket-dependent sampling)
+      (2L, good("a"), "en", "s"), // exact duplicate of 1: dropped at dedup
+      (3L, s"t0 t1 $gram8 t2 " + good("b"), "en", "s"), // contaminated: dropped at decon
+      (4L, "x1 x2 x1 x2", "en", "s"), // 4 tokens: dropped at quality
+      (5L, good("c"), "en", "s"))) // survives to quality
+    val got = Curation.funnelOf(d, Curation.gramsOf(d))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(0L) == 6L, "raw count")
+    assert(got(1L) == 5L, "dedup drops the exact copy")
+    assert(got(2L) == 3L, "decon drops the eval doc and the contaminated doc")
+    assert(got(3L) == 2L, "quality drops the 4-token doc")
+    // single stratum at target size → rate 1e6 ppm → all survivors kept
+    assert(got(4L) == 2L, "sampling keeps the single-stratum survivors")
+  }
+
   test("stratified sampling keeps the whole smallest stratum and respects rates") {
     val rnd = new scala.util.Random(7)
     def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(50)}").mkString(" ")
