@@ -103,12 +103,31 @@ object Curation {
   private def decon(s: SparkSession, dir: String): DataFrame =
     deconOf(docs(s, dir), grams(s, dir))
 
+  /** Bloom prefilter for the train-vs-eval gram join: the eval gram
+    * set is BENCHMARK-sized (bounded — eval suites are fixed), so a 1%
+    * Bloom filter of it broadcasts in ~1.2 bytes/gram and screens the
+    * fact-proportional training gram stream MAP-SIDE; only
+    * bloom-positive grams (true hits + ~1% FPs) enter the exact join,
+    * which removes the full train-gram shuffle against the eval side.
+    * The exact join over the survivors makes the result identical to
+    * the unfiltered join — the Bloom can only admit extras, never drop
+    * a true hit, and the extras lose the exact equality check.
+    */
+  private def bloomCandidates(train: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val n = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gh", n, 0.01)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((gh: Long) => bc.value.mightContainLong(gh))
+    train.filter(might(col("gh")))
+  }
+
   private[graft] def deconOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
     val g = gramsDf.select("doc_id", "gh").distinct()
     val evalGrams = g.filter(col("doc_id") % EvalMod === 0).select("gh").distinct()
     val train = g.filter(col("doc_id") % EvalMod =!= 0)
     val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hit = train.join(evalGrams, "gh").groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+    val hit = bloomCandidates(train, evalGrams).join(evalGrams, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
     d.filter(col("doc_id") % EvalMod =!= 0).select("doc_id")
       .join(tot, Seq("doc_id"), "left").join(hit, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -243,7 +262,7 @@ object Curation {
     val s1 = d.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val evalG = g.filter(col("doc_id") % EvalMod === 0).select("gh").distinct()
-    val hitDocs = g.filter(col("doc_id") % EvalMod =!= 0)
+    val hitDocs = bloomCandidates(g.filter(col("doc_id") % EvalMod =!= 0), evalG)
       .join(evalG, "gh").select("doc_id").distinct()
     val s2 = s1.filter(col("doc_id") % EvalMod =!= 0)
       .join(hitDocs, Seq("doc_id"), "left_anti")
