@@ -254,6 +254,10 @@ object Similarity {
   private val IvfCells = 32
   private val IvfProbes = 8
 
+  /** Layout dirs already (re)built by THIS JVM — see [[ivfLayoutAnn]]. */
+  private val builtLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** IVF-bucketed ANN: corpus is partitioned into $IvfCells cells; a
     * query probes the $IvfProbes nearest cells and exact-reranks only
     * their members. Centroids are deterministic and engine-portable:
@@ -314,6 +318,67 @@ object Similarity {
       .select("q_id", "cell")
     val cand = probes.join(m1, "cell").select("q_id", "c_id").distinct()
     val scored = cand.join(broadcast(q), "q_id").join(c, "c_id")
+      .withColumn("dot", dot(col("qiv"), col("civ")))
+      .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "c_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Persisted IVF layout + pruned ANN: the corpus embeddings are
+    * written ONCE as parquet PARTITIONED BY their IVF cell, after which
+    * every ANN query reads only its probed cells' partitions — the
+    * scan's PartitionFilters do the trie descent (IvfLayoutSpec asserts
+    * the pruned plan). This is the embedding-side analogue of the
+    * bucketed-join layout ([[Layout]]) and of the reference's
+    * prefix-partitioned index files (`ModelIO.saveIndex`): pay the
+    * cell shuffle at build time, amortize it over every query. The
+    * probed-cell list is query-batch-sized (#queries × $IvfProbes) —
+    * the same driver-side planning budget as the k-NN index's batched
+    * probes. Output ≡ `sim_ivf_ann` bit-for-bit (each corpus vector
+    * lives in exactly one cell, the vectors round-trip parquet as exact
+    * integers, and the scoring expressions are shared), so the query
+    * reuses that oracle.
+    */
+  private def ivfLayoutAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
+    val cent = ivfCentroids(c.select(col("c_id").as("id"), col("civ").as("iv")), IvfCells)
+    val loc = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivf/" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString).getAbsolutePath
+    // Session-scoped build-once: a fresh JVM always rebuilds (an on-disk
+    // _SUCCESS check would serve a stale layout if the source table
+    // changed between runs); within a session every re-run reuses it.
+    if (builtLayouts.add(loc)) {
+      val byCell = Window.partitionBy("c_id").orderBy(desc("score"), col("cell"))
+      val m1 = c.crossJoin(broadcast(cent))
+        .withColumn("score", dot(col("civ"), col("cv")) / sqrt(col("cn2")))
+        .withColumn("rn", row_number().over(byCell))
+        .filter(col("rn") === 1)
+        .select("c_id", "cell")
+      m1.join(c, "c_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(loc)
+    }
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
+    val byQ = Window.partitionBy("q_id").orderBy(desc("score"), col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("score", dot(col("qiv"), col("cv")) / sqrt(col("cn2")))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= IvfProbes)
+      .select("q_id", "cell")
+    val probed = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val layout = s.read.parquet(loc)
+      .filter(col("cell").isin(probed: _*)) // → PartitionFilters pruning
+      .select(col("cell").cast("long").as("cell"), col("c_id"), col("civ"), col("cn"))
+    // one cell per corpus vector ⇒ (q_id, c_id) pairs are already
+    // unique — no distinct barrier needed before scoring
+    val scored = probes.join(layout, "cell")
+      .join(broadcast(q), "q_id")
       .withColumn("dot", dot(col("qiv"), col("civ")))
       .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
@@ -614,6 +679,9 @@ object Similarity {
     "sim_ivf_ann" -> QueryDef.sql(ivfAnn, ivfSql,
       "IVF-bucketed ANN: deterministic integer centroids, one Lloyd step, " +
         s"$IvfProbes-of-$IvfCells cell probe + exact re-rank"),
+    "layout_ivf_ann" -> QueryDef.sql(ivfLayoutAnn, ivfSql,
+      "ANN over the persisted cell-partitioned embedding layout: probed " +
+        "cells only, via parquet partition pruning (≡ sim_ivf_ann)"),
     "sim_ann_recall" -> QueryDef.sql(annRecall, recallSql,
       "recall@3 of the LSH and IVF ANN paths vs the brute-force top-3"),
     "dedup_embed_cosine" -> QueryDef.sql(embedCosine, embedCosineSql,
