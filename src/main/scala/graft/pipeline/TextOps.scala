@@ -226,8 +226,92 @@ object TextOps {
       |  FLOOR(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup2_frac
       |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- PII redaction ----------------------------------------------------
+  // The Java-regex and RE2 (DuckDB) dialects agree on everything used
+  // here: ASCII classes, {m,n} bounds, \d, \b.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhonePat = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction (the C4/CCNet/Dolma curation step): mask emails,
+    * IPv4 addresses, and phone-shaped numbers in a text column,
+    * reporting per-doc match counts and the cleaned text. Pure per-row
+    * `regexp_count`/`regexp_replace` — codegen'd, shuffle-free, no UDF;
+    * at 100 TB this is a map-only pass fused into whatever scan feeds
+    * it. Masking runs as a fixed cascade (email → ip → phone), and each
+    * count is taken on the PREVIOUS stage's output, so counts always
+    * equal masks inserted — a mask boundary can create a `\b` that the
+    * raw text didn't have (e.g. an email glued to a phone number), and
+    * counting the raw text would then under-report what was masked.
+    * PiiScrubSpec pins the semantics on adversarial plants and
+    * idempotence.
+    */
+  def piiScrub(df: DataFrame): DataFrame =
+    df.withColumn("n_email", regexp_count(col("text"), lit(EmailPat)).cast("long"))
+      .withColumn("t1", regexp_replace(col("text"), EmailPat, "<EMAIL>"))
+      .withColumn("n_ip", regexp_count(col("t1"), lit(IpPat)).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), IpPat, "<IP>"))
+      .withColumn("n_phone", regexp_count(col("t2"), lit(PhonePat)).cast("long"))
+      .withColumn("clean", regexp_replace(col("t2"), PhonePat, "<PHONE>"))
+      .drop("t1", "t2")
+
+  /** The registered query: the synthetic corpus carries no PII, so both
+    * engines first append the SAME deterministic doc_id-derived contact
+    * block (emails / phone / IP on residue-class schedules, so zero-,
+    * one- and two-match docs all occur) and then scrub it. The md5 of
+    * the cleaned text puts every masked byte under the hash oracle.
+    */
+  private def pii(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = docs(s, dir).withColumn("text", concat(
+      col("text"),
+      when(pmod(id, lit(3)) =!= 2,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(pmod(id, lit(7)) === 0,
+        concat(lit(" cc user"), id.cast("string"), lit("b@mail.example.org"))).otherwise(lit("")),
+      when(pmod(id, lit(5)) =!= 0,
+        concat(lit(" phone 555-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(pmod(id, lit(4)) === 1,
+        concat(lit(" ip 10.0."), pmod(id, lit(256)).cast("string"), lit("."),
+          pmod(shiftright(id, 8), lit(256)).cast("string"))).otherwise(lit(""))))
+    piiScrub(aug)
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        md5(col("clean")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val piiSql =
+    """WITH aug AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 <> 2 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' cc user' || CAST(doc_id AS VARCHAR) || 'b@mail.example.org' ELSE '' END
+      |    || CASE WHEN doc_id % 5 <> 0 THEN ' phone 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 1 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 256) % 256 AS VARCHAR) ELSE '' END
+      |    AS text
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM aug),
+      |s2 AS (
+      |  SELECT doc_id, n_email,
+      |    CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+      |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+      |  FROM s1)
+      |SELECT doc_id, n_email,
+      |  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+      |  n_ip,
+      |  CAST(length(regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS clean_chars,
+      |  md5(regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_fp
+      |FROM s2 ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "text_token_stats" -> QueryDef.sql(tokens, tokensSql),
+    "text_pii_scrub" -> QueryDef.sql(pii, piiSql,
+      "PII redaction: email/IPv4/phone masking with per-doc counts over " +
+        "a deterministic doc_id-derived contact augmentation"),
     "text_quality" -> QueryDef.sql(quality, qualitySql),
     "text_langid" -> QueryDef.sql(langid, langidSql),
     "text_fingerprint" -> QueryDef.sql(fingerprint, fingerprintSql),
