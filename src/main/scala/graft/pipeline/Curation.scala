@@ -204,6 +204,64 @@ object Curation {
       |FROM n LEFT JOIN ncov c USING (doc_id)
       |ORDER BY n.doc_id""".stripMargin
 
+  /** Duplicated-span REMOVAL (the act to [[dupSpans]]' measure; the
+    * Lee-et-al./C4 "excise duplicated passages" rewrite): every token
+    * position inside a cross-document duplicated 8-gram is dropped and
+    * the survivors are rejoined, yielding the cleaned text (fingerprint)
+    * plus removed-token accounting. By construction `removed` equals
+    * [[dupSpans]]' `covered` — SpanRemovalSpec asserts that identity.
+    *
+    * Scale shape: the dup-gram start positions arrive as ONE array per
+    * document (the same bounded `collect_set` as coverage), and the
+    * excision itself is a row-local higher-order `filter` — a map-only
+    * pass with NO token-level shuffle, unlike an explode + anti-join +
+    * reassemble formulation that would shuffle the corpus's every token
+    * twice. The per-row cost is O(n_tokens · n_dup_starts) int
+    * compares, bounded by the document's own length — for pathological
+    * single-doc blowups the fallback is chunking the doc upstream, not
+    * a different plan.
+    */
+  private def spanRemoval(s: SparkSession, dir: String): DataFrame =
+    spanRemovalOf(docs(s, dir), grams(s, dir))
+
+  private[pipeline] def spanRemovalOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
+    val dupG = gramsDf.groupBy("gh").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("gh")
+    val starts = gramsDf.join(dupG, "gh")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("i"))).as("starts"))
+    d.select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .join(starts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept",
+        expr(s"filter(ws, (w, i) -> NOT exists(starts, x -> x <= i AND i < x + $GramN))"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("removed"),
+        md5(array_join(col("kept"), " ")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val spanRemovalSql =
+    s"""WITH $gramsCte,
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, p.p
+      |  FROM g JOIN dup USING (gh), UNNEST(generate_series(g.i, g.i + ${GramN - 1})) AS p(p)),
+      |tok AS (
+      |  SELECT ws.doc_id, t.i, ws.ws[t.i] AS w
+      |  FROM ws, UNNEST(generate_series(1, len(ws.ws))) AS t(i)),
+      |kept AS (
+      |  SELECT tok.doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok.w, ' ' ORDER BY tok.i) AS clean
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.p
+      |  WHERE cov.p IS NULL GROUP BY tok.doc_id)
+      |SELECT ws.doc_id,
+      |  CAST(len(ws.ws) AS BIGINT) AS n_tokens,
+      |  CAST(len(ws.ws) - COALESCE(k.n_kept, 0) AS BIGINT) AS removed,
+      |  md5(COALESCE(k.clean, '')) AS clean_fp
+      |FROM ws LEFT JOIN kept k USING (doc_id)
+      |ORDER BY ws.doc_id""".stripMargin
+
   /** Deterministic stratified (domain-rebalancing) sampling: equalize
     * languages toward the smallest stratum by keeping each document iff
     * its md5-bucket falls under the stratum rate
@@ -324,6 +382,8 @@ object Curation {
       "benchmark decontamination: 8-gram overlap of training docs vs the eval split"),
     "dup_span_coverage" -> QueryDef.sql(dupSpans, dupSpansSql,
       "fraction of each doc covered by cross-document duplicated 8-gram spans"),
+    "dup_span_removal" -> QueryDef.sql(spanRemoval, spanRemovalSql,
+      "excise cross-document duplicated 8-gram spans; cleaned-text fingerprints"),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleSql,
       "deterministic md5-bucket stratified sampling equalizing language strata"),
     "curation_funnel" -> QueryDef.sql(funnel, funnelSql,

@@ -46,6 +46,30 @@ class CurationSpec extends SparkSpec {
       (10L, 10L, 8L, 0.8), (11L, 10L, 8L, 0.8), (12L, 10L, 0L, 0.0)))
   }
 
+  test("span removal excises exactly the covered positions; removed ≡ coverage") {
+    val d = mkDocs(Seq(
+      (10L, s"a0 $gram8 a1", "en", "s"), // shares the 8-gram: middle excised
+      (11L, s"b0 b1 $gram8", "en", "s"), // same 8-gram at the tail
+      (12L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "en", "s"), // untouched
+      (13L, s"$gram8 g9", "en", "s"), // 13 ≡ 14: overlapping dup grams,
+      (14L, s"$gram8 g9", "en", "s"), //   union = all 9 positions → ''
+      (15L, "tiny", "en", "s"))) // sub-gram doc: untouched
+    val got = Curation.spanRemovalOf(d, Curation.gramsOf(d))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(10L) == ((10L, 8L, fp("a0 a1"))))
+    assert(got(11L) == ((10L, 8L, fp("b0 b1"))))
+    assert(got(12L) == ((10L, 0L, fp("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))))
+    assert(got(13L) == ((9L, 9L, fp(""))))
+    assert(got(14L) == ((9L, 9L, fp(""))))
+    assert(got(15L) == ((1L, 0L, fp("tiny"))))
+    // the removal count IS the coverage union, doc for doc
+    val cov = Curation.dupSpansOf(d, Curation.gramsOf(d))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (_, removed, _)) => assert(removed == cov(id)) }
+  }
+
   test("funnel drops the planted duplicate, contaminated, and low-quality docs in order") {
     // 20-token good text (all-distinct tokens → ttr = 1)
     def good(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
