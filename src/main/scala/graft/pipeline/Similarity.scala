@@ -673,6 +673,56 @@ object Similarity {
       |  (SELECT COUNT(*) FROM hits) AS hit_pairs,
       |  FLOOR((SELECT COUNT(*) FROM hits) / CAST(GREATEST((SELECT COUNT(*) FROM tpair), 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall""".stripMargin
 
+  /** Semantic dedup (the SemDeDup recipe, public: Abbas et al. 2023):
+    * connected components over the embedding-cosine near-dup graph —
+    * the IVF-cell-blocked pairs with cosine ≥ $DupThreshold — with the
+    * min-id vector as each semantic cluster's keeper. One row per
+    * vector; singletons keep themselves. The cluster step reuses
+    * [[Dedup.ccLabels]] (large-star/small-star, O(log n) keyed-shuffle
+    * rounds), so the scale shape is the blocked pair join plus the
+    * same contraction dedup_components runs.
+    *
+    * The oracle recomputes the closure by recursive CTE over the
+    * IDENTICAL candidate CTEs — an independent formulation of the same
+    * graph, so the gate is exact; the blocking's recall against
+    * unblocked ground truth is the separate measured gate
+    * (`dedup_block_recall`).
+    */
+  private def semantic(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Pipelines.smallFitScope(s, e.count()) {
+      val pairs = embedCosine(s, dir).select("a", "b")
+      val res = Pipelines.tracked(s,
+        Dedup.ccLabels(e.select(col("vec_id").as("doc_id")), pairs)
+          .withColumn("keeper", when(col("comp") === col("doc_id"), 1L).otherwise(0L))
+          .select(col("doc_id").as("vec_id"), col("comp"), col("keeper"))
+          .orderBy("vec_id"))
+      res.count()
+      res
+    }
+  }
+
+  private val semanticSql =
+    s"""WITH RECURSIVE $baseCtes, $dupCandCtes, ddots AS (
+      |  SELECT cd.a, cd.b, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+      |  FROM dcand cd
+      |  JOIN flat q ON q.vec_id = cd.a
+      |  JOIN flat c ON c.vec_id = cd.b AND q.i = c.i
+      |  GROUP BY 1, 2
+      |), sp AS (
+      |  SELECT d.a, d.b FROM ddots d
+      |  JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
+      |  WHERE d.dot / (SQRT(na.n2) * SQRT(nb.n2)) >= $DupThreshold
+      |), edges AS (
+      |  SELECT a, b FROM sp UNION SELECT b, a FROM sp
+      |), reach(v, u) AS (
+      |  SELECT vec_id, vec_id FROM iv
+      |  UNION
+      |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+      |SELECT v AS vec_id, MIN(u) AS comp,
+      |  CAST(CASE WHEN MIN(u) = v THEN 1 ELSE 0 END AS BIGINT) AS keeper
+      |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "sim_cosine_topk" -> QueryDef.sql(cosineTopK, cosineSql),
     "sim_lsh_ann" -> QueryDef.sql(lshAnn, lshSql),
@@ -689,5 +739,8 @@ object Similarity {
         s"($DupProbes of $DupCells cells)"),
     "dedup_block_recall" -> QueryDef.sql(blockRecall, blockRecallSql,
       "measured blocking recall of the IVF-cell near-dup blocking vs exact " +
-        "ground truth on a deterministic probe sample"))
+        "ground truth on a deterministic probe sample"),
+    "dedup_semantic" -> QueryDef.sql(semantic, semanticSql,
+      "SemDeDup: connected components over the cosine near-dup graph, " +
+        "min-id keeper per semantic cluster; oracle = recursive-CTE closure"))
 }
