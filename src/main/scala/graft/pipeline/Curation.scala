@@ -166,16 +166,38 @@ object Curation {
   private def dupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpansOf(docs(s, dir), grams(s, dir))
 
-  private[pipeline] def dupSpansOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
+  /** Per-doc SORTED dup-gram start positions — the one definition of
+    * "duplicated span" that coverage (measure) and removal (act) both
+    * derive from, so the documented `removed ≡ covered` identity cannot
+    * drift: a gram is duplicated iff it occurs in > 1 distinct document,
+    * and a doc's spans are the union of [start, start+7] over its
+    * dup-gram starts. The start set is bounded by the doc's own token
+    * count (collect_set, never an 8× position explode).
+    */
+  private[pipeline] def dupStarts(gramsDf: DataFrame): DataFrame = {
     val dupG = gramsDf.groupBy("gh").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1).select("gh")
-    // |union of [i, i+7]| over a doc's dup-gram starts = Σ min(8, gap to
-    // previous sorted start): an interval union over collect_set(i), NOT
-    // an explode of 8 positions per gram + distinct — 8× less shuffle
-    // volume and one wide stage fewer, with the set bounded by the doc's
-    // own token count. The oracle keeps the literal position-union SQL.
-    val covered = gramsDf.join(dupG, "gh")
+    gramsDf.join(dupG, "gh")
       .groupBy("doc_id").agg(sort_array(collect_set(col("i"))).as("starts"))
+  }
+
+  /** Shared DuckDB fragment for the same definition: dup grams and the
+    * literal position-union `cov` (the oracle keeps the naive
+    * formulation that the Spark side's algebraic forms are hash-checked
+    * against).
+    */
+  private val dupCovCtes =
+    s"""dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, p.p
+      |  FROM g JOIN dup USING (gh), UNNEST(generate_series(g.i, g.i + ${GramN - 1})) AS p(p))""".stripMargin
+
+  private[pipeline] def dupSpansOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
+    // |union of [i, i+7]| over a doc's dup-gram starts = Σ min(8, gap to
+    // previous sorted start): an interval union over the bounded starts
+    // array, NOT an explode of 8 positions per gram + distinct — 8× less
+    // shuffle volume and one wide stage fewer.
+    val covered = dupStarts(gramsDf)
       .select(col("doc_id"), expr(
         s"""aggregate(starts,
            |  named_struct('prev', CAST(-$GramN AS INT), 'cov', CAST(0 AS BIGINT)),
@@ -193,10 +215,7 @@ object Curation {
 
   private val dupSpansSql =
     s"""WITH $gramsCte,
-      |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
-      |cov AS (
-      |  SELECT DISTINCT g.doc_id, p.p
-      |  FROM g JOIN dup USING (gh), UNNEST(generate_series(g.i, g.i + ${GramN - 1})) AS p(p)),
+      |$dupCovCtes,
       |ncov AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY 1),
       |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM ws)
       |SELECT n.doc_id, n.n_tokens, COALESCE(c.covered, 0) AS covered,
@@ -209,11 +228,12 @@ object Curation {
     * position inside a cross-document duplicated 8-gram is dropped and
     * the survivors are rejoined, yielding the cleaned text (fingerprint)
     * plus removed-token accounting. By construction `removed` equals
-    * [[dupSpans]]' `covered` — SpanRemovalSpec asserts that identity.
+    * [[dupSpans]]' `covered` (both derive from [[dupStarts]]) —
+    * CurationSpec asserts that identity doc-for-doc.
     *
     * Scale shape: the dup-gram start positions arrive as ONE array per
-    * document (the same bounded `collect_set` as coverage), and the
-    * excision itself is a row-local higher-order `filter` — a map-only
+    * document (the shared bounded [[dupStarts]]), and the excision
+    * itself is a row-local higher-order `filter` — a map-only
     * pass with NO token-level shuffle, unlike an explode + anti-join +
     * reassemble formulation that would shuffle the corpus's every token
     * twice. The per-row cost is O(n_tokens · n_dup_starts) int
@@ -224,13 +244,9 @@ object Curation {
   private def spanRemoval(s: SparkSession, dir: String): DataFrame =
     spanRemovalOf(docs(s, dir), grams(s, dir))
 
-  private[pipeline] def spanRemovalOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
-    val dupG = gramsDf.groupBy("gh").agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > 1).select("gh")
-    val starts = gramsDf.join(dupG, "gh")
-      .groupBy("doc_id").agg(sort_array(collect_set(col("i"))).as("starts"))
+  private[pipeline] def spanRemovalOf(d: DataFrame, gramsDf: DataFrame): DataFrame =
     d.select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
-      .join(starts, Seq("doc_id"), "left")
+      .join(dupStarts(gramsDf), Seq("doc_id"), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
       .withColumn("kept",
         expr(s"filter(ws, (w, i) -> NOT exists(starts, x -> x <= i AND i < x + $GramN))"))
@@ -239,14 +255,10 @@ object Curation {
         (size(col("ws")) - size(col("kept"))).cast("long").as("removed"),
         md5(array_join(col("kept"), " ")).as("clean_fp"))
       .orderBy("doc_id")
-  }
 
   private val spanRemovalSql =
     s"""WITH $gramsCte,
-      |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
-      |cov AS (
-      |  SELECT DISTINCT g.doc_id, p.p
-      |  FROM g JOIN dup USING (gh), UNNEST(generate_series(g.i, g.i + ${GramN - 1})) AS p(p)),
+      |$dupCovCtes,
       |tok AS (
       |  SELECT ws.doc_id, t.i, ws.ws[t.i] AS w
       |  FROM ws, UNNEST(generate_series(1, len(ws.ws))) AS t(i)),

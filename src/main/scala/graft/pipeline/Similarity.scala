@@ -552,19 +552,28 @@ object Similarity {
     cand
   }
 
-  private def embedCosine(s: SparkSession, dir: String): DataFrame = {
+  /** Candidate pairs re-scored by exact integer cosine and filtered at
+    * $DupThreshold — the ONE definition of the near-dup edge set that
+    * [[embedCosine]] (presentation: rounded cos, sorted) and
+    * [[semantic]] (consumption: raw pairs into the CC contraction) both
+    * derive from. Unsorted and unrounded on purpose: a global sort is
+    * presentation cost the graph consumer must not pay.
+    */
+  private def dupPairs(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cand = dupCandidates(s, dir)
     val va = e.select(col("vec_id").as("a"), col("iv").as("aiv"), col("nrm2").as("an"))
     val vb = e.select(col("vec_id").as("b"), col("iv").as("biv"), col("nrm2").as("bn"))
-    cand.join(va, "a").join(vb, "b")
+    dupCandidates(s, dir).join(va, "a").join(vb, "b")
       .withColumn("dot", dot(col("aiv"), col("biv")))
       .withColumn("cosRaw", col("dot") / (sqrt(col("an")) * sqrt(col("bn"))))
       .filter(col("cosRaw") >= DupThreshold)
+  }
+
+  private def embedCosine(s: SparkSession, dir: String): DataFrame =
+    dupPairs(s, dir)
       .withColumn("cos", graft.util.Rnd.jround(col("cosRaw"), 6))
       .select("a", "b", "cos")
       .orderBy("a", "b")
-  }
 
   /** All-vector multi-probe IVF CTEs (seeds → assign → integer centroid
     * sums → top-$DupProbes membership → candidate pairs `dcand`).
@@ -601,18 +610,28 @@ object Similarity {
       |  WHERE l.id < r.id
       |)""".stripMargin
 
-  private val embedCosineSql =
-    s"""WITH $baseCtes, $dupCandCtes, ddots AS (
+  /** Shared DuckDB fragment mirroring [[dupPairs]]: exact integer dots
+    * over the blocked candidates (`ddots`) and the threshold-filtered
+    * edge set with both norms carried (`spairs`).
+    */
+  private val dupPairCtes =
+    s"""ddots AS (
       |  SELECT cd.a, cd.b, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
       |  FROM dcand cd
       |  JOIN flat q ON q.vec_id = cd.a
       |  JOIN flat c ON c.vec_id = cd.b AND q.i = c.i
       |  GROUP BY 1, 2
-      |)
-      |SELECT d.a, d.b,
-      |  FLOOR(d.dot / (SQRT(na.n2) * SQRT(nb.n2)) * 1e6 + 0.5) / 1e6 AS cos
-      |FROM ddots d JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
-      |WHERE d.dot / (SQRT(na.n2) * SQRT(nb.n2)) >= $DupThreshold
+      |), spairs AS (
+      |  SELECT d.a, d.b, d.dot, na.n2 AS an2, nb.n2 AS bn2
+      |  FROM ddots d JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
+      |  WHERE d.dot / (SQRT(na.n2) * SQRT(nb.n2)) >= $DupThreshold
+      |)""".stripMargin
+
+  private val embedCosineSql =
+    s"""WITH $baseCtes, $dupCandCtes, $dupPairCtes
+      |SELECT a, b,
+      |  FLOOR(dot / (SQRT(an2) * SQRT(bn2)) * 1e6 + 0.5) / 1e6 AS cos
+      |FROM spairs
       |ORDER BY a, b""".stripMargin
 
   /** Measured blocking recall of the IVF-cell near-dup blocking against
@@ -691,7 +710,7 @@ object Similarity {
   private def semantic(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Pipelines.smallFitScope(s, e.count()) {
-      val pairs = embedCosine(s, dir).select("a", "b")
+      val pairs = dupPairs(s, dir).select("a", "b")
       val res = Pipelines.tracked(s,
         Dedup.ccLabels(e.select(col("vec_id").as("doc_id")), pairs)
           .withColumn("keeper", when(col("comp") === col("doc_id"), 1L).otherwise(0L))
@@ -703,18 +722,8 @@ object Similarity {
   }
 
   private val semanticSql =
-    s"""WITH RECURSIVE $baseCtes, $dupCandCtes, ddots AS (
-      |  SELECT cd.a, cd.b, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
-      |  FROM dcand cd
-      |  JOIN flat q ON q.vec_id = cd.a
-      |  JOIN flat c ON c.vec_id = cd.b AND q.i = c.i
-      |  GROUP BY 1, 2
-      |), sp AS (
-      |  SELECT d.a, d.b FROM ddots d
-      |  JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
-      |  WHERE d.dot / (SQRT(na.n2) * SQRT(nb.n2)) >= $DupThreshold
-      |), edges AS (
-      |  SELECT a, b FROM sp UNION SELECT b, a FROM sp
+    s"""WITH RECURSIVE $baseCtes, $dupCandCtes, $dupPairCtes, edges AS (
+      |  SELECT a, b FROM spairs UNION SELECT b, a FROM spairs
       |), reach(v, u) AS (
       |  SELECT vec_id, vec_id FROM iv
       |  UNION

@@ -273,7 +273,12 @@ object TextOps {
         concat(lit(" phone 555-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
       when(pmod(id, lit(4)) === 1,
         concat(lit(" ip 10.0."), pmod(id, lit(256)).cast("string"), lit("."),
-          pmod(shiftright(id, 8), lit(256)).cast("string"))).otherwise(lit(""))))
+          pmod(shiftright(id, 8), lit(256)).cast("string"))).otherwise(lit("")),
+      // the dialect-stress plant: an email GLUED to a phone number (no
+      // separator), so the mask-boundary \b case PiiScrubSpec pins is
+      // also under the cross-engine hash oracle
+      when(pmod(id, lit(11)) === 3,
+        concat(lit(" glued x"), id.cast("string"), lit("@ex.co555-1234"))).otherwise(lit(""))))
     piiScrub(aug)
       .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
         length(col("clean")).cast("long").as("clean_chars"),
@@ -288,6 +293,7 @@ object TextOps {
       |    || CASE WHEN doc_id % 7 = 0 THEN ' cc user' || CAST(doc_id AS VARCHAR) || 'b@mail.example.org' ELSE '' END
       |    || CASE WHEN doc_id % 5 <> 0 THEN ' phone 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
       |    || CASE WHEN doc_id % 4 = 1 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 256) % 256 AS VARCHAR) ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 3 THEN ' glued x' || CAST(doc_id AS VARCHAR) || '@ex.co555-1234' ELSE '' END
       |    AS text
       |  FROM documents),
       |s1 AS (
@@ -299,13 +305,16 @@ object TextOps {
       |  SELECT doc_id, n_email,
       |    CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
       |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
-      |  FROM s1)
-      |SELECT doc_id, n_email,
-      |  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
-      |  n_ip,
-      |  CAST(length(regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS clean_chars,
-      |  md5(regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_fp
-      |FROM s2 ORDER BY doc_id""".stripMargin
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT doc_id, n_email, n_ip,
+      |    CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+      |    regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+      |  FROM s2)
+      |SELECT doc_id, n_email, n_phone, n_ip,
+      |  CAST(length(clean) AS BIGINT) AS clean_chars,
+      |  md5(clean) AS clean_fp
+      |FROM s3 ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "text_token_stats" -> QueryDef.sql(tokens, tokensSql),
