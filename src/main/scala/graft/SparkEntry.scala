@@ -22,6 +22,7 @@ object SparkEntry {
       graft.pipeline.Curation.defs ++
       graft.pipeline.Layout.defs ++
       graft.pipeline.Export.defs ++
+      graft.pipeline.Bpe.defs ++
       graft.queries.SfaQ.defs ++
       graft.queries.IndexQ.defs ++
       graft.queries.RepresentationQ.defs ++

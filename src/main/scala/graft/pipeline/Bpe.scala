@@ -1,0 +1,193 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.{QueryDef, Tables}
+
+/** BPE tokenizer induction and application (public algorithm: Sennrich
+  * et al., "Neural Machine Translation of Rare Words with Subword
+  * Units", ACL 2016) — the tokenizer-FIT step of a training-data
+  * pipeline, beyond the fixed-regex token counting in [[TextOps]].
+  *
+  * Scale shape (the standard two-phase trainer every production
+  * tokenizer uses):
+  *  - the fit runs on the corpus WORD-TYPE dictionary, not the token
+  *    stream: one distributed groupBy(word) over the corpus, whose
+  *    output is vocabulary-sized (Heaps-law sublinear in corpus size),
+  *    then a driver-local merge loop over that model-sized dictionary.
+  *    The collect is bounded by a TakeOrdered top-[[MaxTypes]] cap
+  *    (frequency-desc, word asc) with the dropped-type count LOGGED —
+  *    rare types beyond the cap cannot influence early merges, and a
+  *    silent cap is never acceptable;
+  *  - application broadcasts the merge-rank table (≤ [[Merges]]
+  *    entries) and counts subword tokens per document in a map-only
+  *    pass with a per-executor word memo — no shuffle beyond the scan.
+  *
+  * Both queries are rows-only (an iterative argmax fit is not
+  * SQL-expressible — same class as s9/mteaser): BpeSpec is the gate,
+  * pinning the paper's own worked example, determinism, the
+  * monotone-max-count property, and Spark ≡ driver-local-reference
+  * equality on the fixture corpus.
+  */
+object Bpe {
+
+  /** Merge rounds to fit (stops early when no pair reaches [[MinFreq]]). */
+  val Merges = 50
+
+  /** A pair below this frequency never merges (the standard floor that
+    * keeps one-off typos out of the merge table).
+    */
+  val MinFreq = 2L
+
+  /** Word-type rows collected to the driver for the fit; beyond this the
+    * tail is dropped (logged). Types are model-sized by nature, so the
+    * cap is a guard rail, not a sampling strategy.
+    */
+  val MaxTypes = 200000
+
+  /** End-of-word marker symbol (the paper's `</w>`). */
+  val EndMark = "</w>"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---- fit (driver-local over the model-sized type dictionary) --------
+
+  /** Merge `(l, r) -> l+r` at every non-overlapping occurrence,
+    * left-to-right — the one application rule fit and apply share.
+    */
+  private def mergePair(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.size) {
+      if (j < syms.size - 1 && syms(j) == l && syms(j + 1) == r) { b += (l + r); j += 2 }
+      else { b += syms(j); j += 1 }
+    }
+    b.result()
+  }
+
+  /** Fit up to `k` merges on a (word, freq) type dictionary. Pair
+    * counts are adjacent-occurrence counts weighted by type frequency
+    * (overlaps counted, the reference formulation); ties break on
+    * (left, right) lexicographically so the fit is a pure function of
+    * the dictionary. Returns (rank, left, right, pair_count).
+    */
+  private[pipeline] def fitMerges(types: Seq[(String, Long)], k: Int): Seq[(Long, String, String, Long)] = {
+    var reprs: Vector[(Vector[String], Long)] =
+      types.toVector.map { case (w, f) => (w.map(_.toString).toVector :+ EndMark, f) }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 0L
+    var exhausted = false
+    while (rank < k && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      reprs.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.size - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      val best = counts.filter(_._2 >= MinFreq)
+      if (best.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = best.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, c))
+        reprs = reprs.map { case (syms, f) => (mergePair(syms, l, r), f) }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Subword-token count of one word under a fitted merge-rank table:
+    * repeatedly merge the LOWEST-rank adjacent pair present (all its
+    * occurrences, left-to-right) until none applies — the standard
+    * greedy BPE segmenter.
+    */
+  private[pipeline] def applyBpe(w: String, rank: Map[(String, String), Int]): Int = {
+    var syms = w.map(_.toString).toVector :+ EndMark
+    var done = false
+    while (!done && syms.size >= 2) {
+      var bi = Int.MaxValue
+      var bl = ""
+      var br = ""
+      var i = 0
+      while (i < syms.size - 1) {
+        val ri = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (ri < bi) { bi = ri; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (bi == Int.MaxValue) done = true
+      else syms = mergePair(syms, bl, br)
+    }
+    syms.size
+  }
+
+  /** The distributed type dictionary → driver fit, shared by both
+    * queries. TakeOrdered cap (freq desc, word asc) + logged drops.
+    */
+  private[pipeline] def fitOn(d: DataFrame): Seq[(Long, String, String, Long)] = {
+    val dict = d
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val n = dict.count()
+    if (n > MaxTypes)
+      System.err.println(s"[bpe] type dictionary $n rows > cap $MaxTypes — dropping ${n - MaxTypes} tail types")
+    val types = dict.orderBy(desc("f"), col("w")).limit(MaxTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    fitMerges(types, Merges)
+  }
+
+  private[pipeline] def mergesOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    fitOn(d).toDF("rank", "left", "right", "pair_count")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+      .orderBy("rank")
+  }
+
+  private def merges(s: SparkSession, dir: String): DataFrame =
+    mergesOf(docs(s, dir))
+
+  // ---- apply ------------------------------------------------------------
+
+  private[pipeline] def bpeTokensOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    val rankMap: Map[(String, String), Int] =
+      fitOn(d).map { case (rank, l, r, _) => (l, r) -> rank.toInt }.toMap
+    val bc = s.sparkContext.broadcast(rankMap)
+    // per-executor memo (serialized empty with the closure, filled on
+    // each executor): the corpus re-uses a vocabulary-sized word set,
+    // so each executor segments each distinct word once
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val nTok = udf { (ws: Seq[String]) =>
+      var sum = 0L
+      ws.foreach { w =>
+        var c = memo.get(w)
+        if (c == null) { c = Integer.valueOf(applyBpe(w, bc.value)); memo.put(w, c) }
+        sum += c.toLong
+      }
+      sum
+    }
+    d.select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        nTok(col("ws")).as("n_bpe_tokens"))
+      .withColumn("tokens_per_word",
+        graft.util.Rnd.jround(col("n_bpe_tokens") / greatest(col("n_words"), lit(1L)).cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    bpeTokensOf(docs(s, dir))
+
+  val defs: Map[String, QueryDef] = Map(
+    "vocab_bpe_merges" -> QueryDef.rowsOnly(merges,
+      "BPE tokenizer induction: merge table fitted on the word-type " +
+        "dictionary (Sennrich 2016); gate = BpeSpec"),
+    "text_bpe_tokens" -> QueryDef.rowsOnly(bpeTokens,
+      "per-doc subword token counts under the fitted BPE merges; " +
+        "gate = BpeSpec (Spark ≡ driver-local reference)"))
+}

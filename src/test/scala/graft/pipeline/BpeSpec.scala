@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates for the rows-only BPE queries: the fit on the paper's own
+  * worked example, determinism, the monotone-max-count property, and
+  * Spark ≡ driver-local reference for the applied token counts.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  // Sennrich et al. 2016, §3.2 example dictionary:
+  //   low:5  lower:2  newest:6  widest:3
+  private val paperTypes = Seq[(String, Long)](
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("fit reproduces the paper's example merge sequence") {
+    val ms = Bpe.fitMerges(paperTypes, 5)
+    // (e,s) 9 from newest+widest; (es,t) 9; (est,</w>) 9; then the
+    // 7-weight 'lo' pair from low+lower: (l,o) 7; (lo,w) 7
+    assert(ms.take(5).map { case (_, l, r, c) => (l, r, c) } == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    assert(ms.map(_._1) == ms.indices.map(_.toLong))
+  }
+
+  test("fit is deterministic and max pair count is monotone non-increasing") {
+    val a = Bpe.fitMerges(paperTypes, 50)
+    val b = Bpe.fitMerges(paperTypes, 50)
+    assert(a == b)
+    val counts = a.map(_._4)
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"merge counts must not increase: $counts")
+    // exhaustion: every pair left is below MinFreq, so the table is
+    // shorter than the requested 50 rounds on this tiny dictionary
+    assert(a.size < 50)
+  }
+
+  test("apply segments by lowest rank first and counts the end marker") {
+    val rank = Bpe.fitMerges(paperTypes, 50)
+      .map { case (i, l, r, _) => (l, r) -> i.toInt }.toMap
+    // 'lowest' was never a type: 'low' merges via (l,o)+(lo,w), 'est'
+    // via (e,s)+(es,t); 'est</w>' requires the (est,</w>) merge which
+    // applies here too => [low, est</w>] = 2 symbols
+    assert(Bpe.applyBpe("lowest", rank) == 2)
+    // unseen characters stay singletons: 'xyz' -> x y z </w>
+    assert(Bpe.applyBpe("xyz", rank) == 4)
+    // 'low' is a frequent type: the full fit merges it to ONE symbol
+    // (low</w>), unlike the novel 'lowest' whose (low, est</w>) pair
+    // never occurred in training
+    assert(Bpe.applyBpe("low", rank) == 1)
+  }
+
+  test("query output equals a driver-local reference over a corpus") {
+    val d = mkDocs(Seq(
+      1L -> "low low low low low lower lower",
+      2L -> "newest newest newest newest newest newest",
+      3L -> "widest widest widest lowest",
+      4L -> ""))
+    val got = Bpe.bpeTokensOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // reference: fit on the same corpus types, apply per word locally
+    val types = d.collect().flatMap(_.getString(1).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val rank = Bpe.fitMerges(types, Bpe.Merges)
+      .map { case (i, l, r, _) => (l, r) -> i.toInt }.toMap
+    val expect = d.collect().map { row =>
+      val ws = row.getString(1).split(" ").filter(_.nonEmpty)
+      (row.getLong(0), ws.length.toLong, ws.map(w => Bpe.applyBpe(w, rank).toLong).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    val m = got.map(t => t._1 -> t).toMap
+    assert(m(4L) == ((4L, 0L, 0L)), "empty doc: zero words, zero tokens")
+    // heavily repeated types compress to at most 2 symbols per word
+    assert(m(2L)._3 <= 2 * m(2L)._2)
+  }
+}
