@@ -48,6 +48,13 @@ class PiiScrubSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 1L, "odd <IP> addr")))
   }
 
+  test("scrub is map-only: the physical plan introduces no exchange") {
+    import spark.implicits._
+    val plan = TextOps.piiScrub(Seq((1L, "t")).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a shuffle-free plan:\n$plan")
+  }
+
   test("scrubbing is idempotent and masks carry no residual PII shape") {
     val once = scrub(Seq(1L -> "u@e.co then 555-1234 at 10.0.0.1"))(1L)
     assert(once == ((1L, 1L, 1L, "<EMAIL> then <PHONE> at <IP>")))
