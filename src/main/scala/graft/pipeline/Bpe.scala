@@ -16,9 +16,10 @@ import graft.util.{QueryDef, Tables}
   *    output is vocabulary-sized (Heaps-law sublinear in corpus size),
   *    then a driver-local merge loop over that model-sized dictionary.
   *    The collect is bounded by a TakeOrdered top-[[MaxTypes]] cap
-  *    (frequency-desc, word asc) with the dropped-type count LOGGED —
-  *    rare types beyond the cap cannot influence early merges, and a
-  *    silent cap is never acceptable;
+  *    (frequency-desc, word asc), and an over-cap dictionary is LOGGED
+  *    — rare types beyond the cap cannot influence early merges, and a
+  *    silent cap is never acceptable. Both queries share one cached
+  *    dictionary per session, so the corpus is scanned once;
   *  - application broadcasts the merge-rank table (≤ [[Merges]]
   *    entries) and counts subword tokens per document in a map-only
   *    pass with a per-executor word memo — no shuffle beyond the scan.
@@ -124,45 +125,66 @@ object Bpe {
     syms.size
   }
 
-  /** The distributed type dictionary → driver fit, shared by both
-    * queries. TakeOrdered cap (freq desc, word asc) + logged drops.
+  /** The distributed word-type dictionary — the ONLY corpus-scale stage
+    * of either BPE query. The registered queries share one cached copy
+    * per session+dir ([[dict]]), so running both fits scans the corpus
+    * once.
     */
-  private[pipeline] def fitOn(d: DataFrame): Seq[(Long, String, String, Long)] = {
-    val dict = d
-      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+  private[pipeline] def dictOf(d: DataFrame): DataFrame =
+    d.select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-    val n = dict.count()
-    if (n > MaxTypes)
-      System.err.println(s"[bpe] type dictionary $n rows > cap $MaxTypes — dropping ${n - MaxTypes} tail types")
-    val types = dict.orderBy(desc("f"), col("w")).limit(MaxTypes)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  private def dict(s: SparkSession, dir: String): DataFrame =
+    graft.util.Pipelines.cachedDF(s, s"bpe.dict:$dir")(dictOf(docs(s, dir)))
+
+  /** Driver fit from a type dictionary: ONE TakeOrdered collect
+    * (freq desc, word asc) of at most [[MaxTypes]]+1 rows — the +1 row
+    * detects (and logs) an over-cap dictionary without a separate
+    * count job.
+    */
+  private[pipeline] def fitOn(dictDf: DataFrame): Seq[(Long, String, String, Long)] = {
+    val rows = dictDf.orderBy(desc("f"), col("w")).limit(MaxTypes + 1).collect()
+    if (rows.length > MaxTypes)
+      System.err.println(s"[bpe] type dictionary exceeds cap $MaxTypes — dropping the tail beyond the top $MaxTypes types")
+    val types = rows.take(MaxTypes).map(r => (r.getString(0), r.getLong(1))).toSeq
     fitMerges(types, Merges)
   }
 
-  private[pipeline] def mergesOf(d: DataFrame): DataFrame = {
-    val s = d.sparkSession
+  private def mergesFrom(dictDf: DataFrame): DataFrame = {
+    val s = dictDf.sparkSession
     import s.implicits._
-    fitOn(d).toDF("rank", "left", "right", "pair_count")
+    fitOn(dictDf).toDF("rank", "left", "right", "pair_count")
       .select(col("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
       .orderBy("rank")
   }
 
+  private[pipeline] def mergesOf(d: DataFrame): DataFrame =
+    mergesFrom(dictOf(d))
+
   private def merges(s: SparkSession, dir: String): DataFrame =
-    mergesOf(docs(s, dir))
+    mergesFrom(dict(s, dir))
 
   // ---- apply ------------------------------------------------------------
 
-  private[pipeline] def bpeTokensOf(d: DataFrame): DataFrame = {
+  /** Executor-wide (JVM-static) segmentation memos, keyed by the merge
+    * table's broadcast id so concurrent fits never mix: a
+    * closure-captured map would deserialize EMPTY into every task and
+    * memoize only within a partition. Entries live for the JVM —
+    * bounded by fits-per-session, each vocabulary-sized.
+    */
+  private val segMemos =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.ConcurrentHashMap[String, Integer]]()
+
+  private def bpeTokensFrom(d: DataFrame, dictDf: DataFrame): DataFrame = {
     val s = d.sparkSession
     val rankMap: Map[(String, String), Int] =
-      fitOn(d).map { case (rank, l, r, _) => (l, r) -> rank.toInt }.toMap
+      fitOn(dictDf).map { case (rank, l, r, _) => (l, r) -> rank.toInt }.toMap
     val bc = s.sparkContext.broadcast(rankMap)
-    // per-executor memo (serialized empty with the closure, filled on
-    // each executor): the corpus re-uses a vocabulary-sized word set,
-    // so each executor segments each distinct word once
-    val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val bcId = bc.id
     val nTok = udf { (ws: Seq[String]) =>
+      val memo = segMemos.computeIfAbsent(bcId,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Integer]())
       var sum = 0L
       ws.foreach { w =>
         var c = memo.get(w)
@@ -180,8 +202,11 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  private[pipeline] def bpeTokensOf(d: DataFrame): DataFrame =
+    bpeTokensFrom(d, dictOf(d))
+
   private def bpeTokens(s: SparkSession, dir: String): DataFrame =
-    bpeTokensOf(docs(s, dir))
+    bpeTokensFrom(docs(s, dir), dict(s, dir))
 
   val defs: Map[String, QueryDef] = Map(
     "vocab_bpe_merges" -> QueryDef.rowsOnly(merges,
