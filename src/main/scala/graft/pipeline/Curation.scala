@@ -256,17 +256,23 @@ object Curation {
         md5(array_join(col("kept"), " ")).as("clean_fp"))
       .orderBy("doc_id")
 
-  private val spanRemovalSql =
-    s"""WITH $gramsCte,
-      |$dupCovCtes,
-      |tok AS (
+  /** Shared DuckDB fragment: surviving tokens rejoined per doc
+    * (requires `$gramsCte` + `$dupCovCtes` in scope).
+    */
+  private val spanCleanCtes =
+    s"""tok AS (
       |  SELECT ws.doc_id, t.i, ws.ws[t.i] AS w
       |  FROM ws, UNNEST(generate_series(1, len(ws.ws))) AS t(i)),
       |kept AS (
       |  SELECT tok.doc_id, COUNT(*) AS n_kept,
       |    string_agg(tok.w, ' ' ORDER BY tok.i) AS clean
       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.p
-      |  WHERE cov.p IS NULL GROUP BY tok.doc_id)
+      |  WHERE cov.p IS NULL GROUP BY tok.doc_id)""".stripMargin
+
+  private val spanRemovalSql =
+    s"""WITH $gramsCte,
+      |$dupCovCtes,
+      |$spanCleanCtes
       |SELECT ws.doc_id,
       |  CAST(len(ws.ws) AS BIGINT) AS n_tokens,
       |  CAST(len(ws.ws) - COALESCE(k.n_kept, 0) AS BIGINT) AS removed,
@@ -328,7 +334,12 @@ object Curation {
   private def funnel(s: SparkSession, dir: String): DataFrame =
     funnelOf(docs(s, dir), grams(s, dir))
 
-  private[pipeline] def funnelOf(d: DataFrame, g: DataFrame): DataFrame = {
+  /** The four funnel-stage survivor sets (doc_id frames), factored so
+    * the funnel report and the export manifest share ONE definition of
+    * each stage.
+    */
+  private[pipeline] def funnelStages(d: DataFrame, g: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s1 = d.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val evalG = g.filter(col("doc_id") % EvalMod === 0).select("gh").distinct()
@@ -350,6 +361,11 @@ object Curation {
     val s4 = s3d.join(broadcast(rates), "lang")
       .filter(Export.md5Int(col("text")) % 1000000L < col("rate_ppm"))
       .select("doc_id")
+    (s1, s2, s3, s4)
+  }
+
+  private[pipeline] def funnelOf(d: DataFrame, g: DataFrame): DataFrame = {
+    val (s1, s2, s3, s4) = funnelStages(d, g)
     def stage(i: Long, name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(i).as("stage"), lit(name).as("name"), col("n_docs"))
@@ -360,9 +376,11 @@ object Curation {
       .orderBy("stage")
   }
 
-  private val funnelSql =
-    s"""WITH $gramsCte,
-      |s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+  /** Shared DuckDB fragment: the four funnel stages (requires
+    * `$gramsCte` in scope).
+    */
+  private val funnelStagesCtes =
+    s"""s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % $EvalMod = 0),
       |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gh) WHERE g.doc_id % $EvalMod <> 0),
       |s2 AS (SELECT doc_id FROM s1 WHERE doc_id % $EvalMod <> 0
@@ -380,7 +398,11 @@ object Curation {
       |r AS (SELECT c.lang, CAST(FLOOR(1e6 * t.target / c.n) AS BIGINT) AS rate_ppm
       |      FROM c, (SELECT MIN(n) AS target FROM c) t),
       |s4 AS (SELECT s3d.doc_id FROM s3d JOIN r USING (lang)
-      |       WHERE ${Export.md5IntSql("s3d.text")} % 1000000 < r.rate_ppm)
+      |       WHERE ${Export.md5IntSql("s3d.text")} % 1000000 < r.rate_ppm)""".stripMargin
+
+  private val funnelSql =
+    s"""WITH $gramsCte,
+      |$funnelStagesCtes
       |SELECT * FROM (
       |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name, COUNT(*) AS n_docs FROM documents
       |  UNION ALL SELECT 1, 'dedup_keeper', COUNT(*) FROM s1
@@ -389,7 +411,46 @@ object Curation {
       |  UNION ALL SELECT 4, 'sampled', COUNT(*) FROM s4)
       |ORDER BY stage""".stripMargin
 
+  /** The composed deliverable — the manifest of the corpus a data team
+    * actually ships: the funnel's FINAL survivors (stage 4: dedup
+    * keepers, decontaminated, quality-passing, stratified-sampled) with
+    * their duplicated-span-REMOVED cleaned text fingerprints. One
+    * query proving the curation stages and the span rewrite compose:
+    * every piece is the same shared definition the individual queries
+    * run ([[funnelStages]], [[dupStarts]]/[[spanRemovalOf]]), and the
+    * oracle composes the same shared SQL fragments, so a divergence in
+    * ANY stage breaks this hash too. Plan shape: the stage semi-joins
+    * plus the span rewrite's map-side excision — no new wide stage
+    * beyond the ones the components already pay.
+    */
+  private def curationExport(s: SparkSession, dir: String): DataFrame =
+    curationExportOf(docs(s, dir), grams(s, dir))
+
+  private[pipeline] def curationExportOf(d: DataFrame, g: DataFrame): DataFrame = {
+    val (_, _, _, s4) = funnelStages(d, g)
+    spanRemovalOf(d, g).join(s4, "doc_id")
+      .join(d.select("doc_id", "lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source", "n_tokens", "removed", "clean_fp")
+      .orderBy("doc_id")
+  }
+
+  private val curationExportSql =
+    s"""WITH $gramsCte,
+      |$funnelStagesCtes,
+      |$dupCovCtes,
+      |$spanCleanCtes
+      |SELECT ws.doc_id, d.lang, d.source,
+      |  CAST(len(ws.ws) AS BIGINT) AS n_tokens,
+      |  CAST(len(ws.ws) - COALESCE(k.n_kept, 0) AS BIGINT) AS removed,
+      |  md5(COALESCE(k.clean, '')) AS clean_fp
+      |FROM s4 JOIN ws USING (doc_id) JOIN documents d USING (doc_id)
+      |LEFT JOIN kept k USING (doc_id)
+      |ORDER BY ws.doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "curation_export" -> QueryDef.sql(curationExport, curationExportSql,
+      "the shipped-corpus manifest: funnel stage-4 survivors with " +
+        "span-removed cleaned-text fingerprints (composition gate)"),
     "decon_ngram_overlap" -> QueryDef.sql(decon, deconSql,
       "benchmark decontamination: 8-gram overlap of training docs vs the eval split"),
     "dup_span_coverage" -> QueryDef.sql(dupSpans, dupSpansSql,

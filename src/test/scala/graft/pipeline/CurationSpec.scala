@@ -90,6 +90,35 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == 2L, "sampling keeps the single-stratum survivors")
   }
 
+  test("export manifest = final funnel survivors × span-removal rows") {
+    def good(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    // same planted funnel corpus: 1 and 5 survive to stage 3, and the
+    // single-stratum rate keeps both through sampling (stage 4); doc 2
+    // is an exact copy of 1 so their shared grams also make doc 1's
+    // text one big duplicated span — the export must carry the CLEANED
+    // fingerprint, not the raw one
+    val d = mkDocs(Seq(
+      (0L, s"e0 $gram8 e1", "en", "s"),
+      (1L, good("a"), "en", "s"),
+      (2L, good("a"), "en", "s"),
+      (3L, s"t0 t1 $gram8 t2 " + good("b"), "en", "s"),
+      (4L, "x1 x2 x1 x2", "en", "s"),
+      (5L, good("c"), "en", "s")))
+    val g = Curation.gramsOf(d)
+    val got = Curation.curationExportOf(d, g).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(got.map(_._1).toSeq == Seq(1L, 5L), "exactly the stage-4 survivors, ordered")
+    val removal = Curation.spanRemovalOf(d, g).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    got.foreach { case (id, lang, source, n, rem, fp) =>
+      assert((lang, source) == (("en", "s")))
+      assert(removal(id) == ((n, rem, fp)), s"doc $id must carry the span-removal row")
+    }
+    // doc 1 (≡ doc 2) is fully duplicated: its whole text is excised
+    val r1 = got.find(_._1 == 1L).get
+    assert(r1._5 == r1._4 && r1._5 == 20L, "the duplicate-pair doc exports fully excised")
+  }
+
   test("stratified sampling keeps the whole smallest stratum and respects rates") {
     val rnd = new scala.util.Random(7)
     def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(50)}").mkString(" ")
