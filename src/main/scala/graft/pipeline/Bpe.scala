@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.{QueryDef, Tables}
+import graft.util.{Pipelines, QueryDef, Tables}
 
 /** BPE tokenizer induction and application (public algorithm: Sennrich
   * et al., "Neural Machine Translation of Rare Words with Subword
@@ -135,7 +135,7 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("f"))
 
   private def dict(s: SparkSession, dir: String): DataFrame =
-    graft.util.Pipelines.cachedDF(s, s"bpe.dict:$dir")(dictOf(docs(s, dir)))
+    Pipelines.cachedDF(s, s"bpe.dict:$dir")(dictOf(docs(s, dir)))
 
   /** Driver fit from a type dictionary: ONE TakeOrdered collect
     * (freq desc, word asc) of at most [[MaxTypes]]+1 rows — the +1 row
@@ -150,40 +150,57 @@ object Bpe {
     fitMerges(types, Merges)
   }
 
-  private def mergesFrom(dictDf: DataFrame): DataFrame = {
-    val s = dictDf.sparkSession
+  /** The fitted tokenizer, built once per session+dir: the merge table,
+    * ONE broadcast of the rank map (re-broadcasting per query call
+    * would orphan each previous executor memo), and the memo key — a
+    * per-fit UUID, NOT the broadcast id, which restarts at 0 with every
+    * new SparkContext and would let a context-cycling JVM serve counts
+    * memoized under a different fit's merge table.
+    */
+  private[pipeline] case class Model(
+      merges: Seq[(Long, String, String, Long)],
+      ranks: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]],
+      memoKey: String)
+
+  private[pipeline] def modelOf(dictDf: DataFrame): Model = {
+    val ms = fitOn(dictDf)
+    val rank = ms.map { case (i, l, r, _) => (l, r) -> i.toInt }.toMap
+    Model(ms, dictDf.sparkSession.sparkContext.broadcast(rank),
+      java.util.UUID.randomUUID().toString)
+  }
+
+  private def model(s: SparkSession, dir: String): Model =
+    Pipelines.cachedObj(s, s"bpe.model:$dir")(modelOf(dict(s, dir)))
+
+  private def mergesFrom(s: SparkSession, m: Model): DataFrame = {
     import s.implicits._
-    fitOn(dictDf).toDF("rank", "left", "right", "pair_count")
+    m.merges.toDF("rank", "left", "right", "pair_count")
       .select(col("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
       .orderBy("rank")
   }
 
-  private[pipeline] def mergesOf(d: DataFrame): DataFrame =
-    mergesFrom(dictOf(d))
-
   private def merges(s: SparkSession, dir: String): DataFrame =
-    mergesFrom(dict(s, dir))
+    mergesFrom(s, model(s, dir))
 
   // ---- apply ------------------------------------------------------------
 
-  /** Executor-wide (JVM-static) segmentation memos, keyed by the merge
-    * table's broadcast id so concurrent fits never mix: a
-    * closure-captured map would deserialize EMPTY into every task and
-    * memoize only within a partition. Entries live for the JVM —
-    * bounded by fits-per-session, each vocabulary-sized.
+  /** Executor-wide (JVM-static) segmentation memos, keyed by the fit's
+    * UUID so distinct fits never mix: a closure-captured map would
+    * deserialize EMPTY into every task and memoize only within a
+    * partition. Entries live for the JVM, bounded by distinct fits —
+    * and the session-cached [[Model]] holds ONE broadcast + memo key
+    * per (session, dir), so re-running the query reuses its memo
+    * instead of orphaning it.
     */
   private val segMemos =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.ConcurrentHashMap[String, Integer]]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[String, Integer]]()
 
-  private def bpeTokensFrom(d: DataFrame, dictDf: DataFrame): DataFrame = {
-    val s = d.sparkSession
-    val rankMap: Map[(String, String), Int] =
-      fitOn(dictDf).map { case (rank, l, r, _) => (l, r) -> rank.toInt }.toMap
-    val bc = s.sparkContext.broadcast(rankMap)
-    val bcId = bc.id
+  private def bpeTokensFrom(d: DataFrame, m: Model): DataFrame = {
+    val bc = m.ranks
+    val memoKey = m.memoKey
     val nTok = udf { (ws: Seq[String]) =>
-      val memo = segMemos.computeIfAbsent(bcId,
+      val memo = segMemos.computeIfAbsent(memoKey,
         _ => new java.util.concurrent.ConcurrentHashMap[String, Integer]())
       var sum = 0L
       ws.foreach { w =>
@@ -203,10 +220,10 @@ object Bpe {
   }
 
   private[pipeline] def bpeTokensOf(d: DataFrame): DataFrame =
-    bpeTokensFrom(d, dictOf(d))
+    bpeTokensFrom(d, modelOf(dictOf(d)))
 
   private def bpeTokens(s: SparkSession, dir: String): DataFrame =
-    bpeTokensFrom(docs(s, dir), dict(s, dir))
+    bpeTokensFrom(docs(s, dir), model(s, dir))
 
   val defs: Map[String, QueryDef] = Map(
     "vocab_bpe_merges" -> QueryDef.rowsOnly(merges,
