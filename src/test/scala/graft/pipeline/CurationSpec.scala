@@ -119,6 +119,42 @@ class CurationSpec extends SparkSpec {
     assert(r1._5 == r1._4 && r1._5 == 20L, "the duplicate-pair doc exports fully excised")
   }
 
+  test("span removal ≡ coverage and planted spans excise at 100k docs", graft.Slow) {
+    // 100k seeded word-soup docs; every doc_id % 10 == 7 carries the
+    // same planted 8-gram boilerplate block at a varying offset — a
+    // 10%-of-corpus cross-document duplicated span, the shape a real
+    // boilerplate passage has. Gate: removal ≡ coverage doc-for-doc at
+    // scale, planted docs lose ≥ the 8 planted positions, clean docs
+    // lose nothing (their random 8-grams are unique w.p. ~1).
+    import spark.implicits._
+    val n = 100000
+    val boiler = (1 to 8).map(i => s"boil$i").mkString(" ")
+    val d = spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("base", expr(
+        // seeded per-doc word soup over a 50k-word vocabulary: unique
+        // grams across docs except the planted block
+        "array_join(transform(sequence(0, 19), i -> concat('w', pmod(hash(doc_id * 37 + i), 50000))), ' ')"))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 7,
+          concat_ws(" ", substring_index(col("base"), " ", 10), lit(boiler),
+            expr("substring(base, length(substring_index(base, ' ', 10)) + 2)")))
+          .otherwise(col("base")))
+      .select(col("doc_id"), col("text"))
+    val g = Curation.gramsOf(d)
+    val rem = Curation.spanRemovalOf(d, g)
+      .select("doc_id", "removed").as[(Long, Long)].collect().toMap
+    val cov = Curation.dupSpansOf(d, g)
+      .select("doc_id", "covered").as[(Long, Long)].collect().toMap
+    assert(rem.size == n && cov.size == n)
+    assert(rem.forall { case (id, r) => cov(id) == r }, "removed ≡ covered at 100k docs")
+    val (planted, clean) = rem.partition(_._1 % 10 == 7)
+    assert(planted.forall(_._2 >= 8L), "every planted doc excises at least its boilerplate block")
+    // random 20-word docs over a 50k vocab: expected accidental dup
+    // grams ≈ 0; allow a vanishing tail rather than exact zero
+    val dirty = clean.count(_._2 > 0L)
+    assert(dirty <= n / 1000, s"$dirty clean docs lost tokens (expected ~0)")
+  }
+
   test("stratified sampling keeps the whole smallest stratum and respects rates") {
     val rnd = new scala.util.Random(7)
     def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(50)}").mkString(" ")
