@@ -192,18 +192,24 @@ object Curation {
       |  SELECT DISTINCT g.doc_id, p.p
       |  FROM g JOIN dup USING (gh), UNNEST(generate_series(g.i, g.i + ${GramN - 1})) AS p(p))""".stripMargin
 
+  /** |union of [i, i+$GramN−1]| over a SORTED `starts` array = Σ min(
+    * $GramN, gap to previous start): the interval-union fold that
+    * replaces an explode of $GramN positions per gram + distinct (8×
+    * less shuffle volume, one wide stage fewer). Requires the input
+    * column to be named `starts`, sorted ascending, duplicate-free.
+    * Gated against the naive position-union definition by the DuckDB
+    * oracle (one corpus) AND CurationPropsSpec (randomized start sets).
+    */
+  private[pipeline] val coveredExpr = expr(
+    s"""aggregate(starts,
+       |  named_struct('prev', CAST(-$GramN AS INT), 'cov', CAST(0 AS BIGINT)),
+       |  (acc, x) -> named_struct('prev', x,
+       |                           'cov', acc.cov + least(x - acc.prev, $GramN)),
+       |  acc -> acc.cov)""".stripMargin)
+
   private[pipeline] def dupSpansOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
-    // |union of [i, i+7]| over a doc's dup-gram starts = Σ min(8, gap to
-    // previous sorted start): an interval union over the bounded starts
-    // array, NOT an explode of 8 positions per gram + distinct — 8× less
-    // shuffle volume and one wide stage fewer.
     val covered = dupStarts(gramsDf)
-      .select(col("doc_id"), expr(
-        s"""aggregate(starts,
-           |  named_struct('prev', CAST(-$GramN AS INT), 'cov', CAST(0 AS BIGINT)),
-           |  (acc, x) -> named_struct('prev', x,
-           |                           'cov', acc.cov + least(x - acc.prev, $GramN)),
-           |  acc -> acc.cov)""".stripMargin).as("covered"))
+      .select(col("doc_id"), coveredExpr.as("covered"))
     d.select(col("doc_id"),
         size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
