@@ -226,6 +226,87 @@ object TextOps {
       |  FLOOR(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup2_frac
       |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- LM quality scoring ------------------------------------------------
+
+  /** Corpus-fitted bigram language-model scoring (the CCNet/Gopher
+    * "perplexity under a reference LM" quality signal, here with the LM
+    * fitted on the corpus's own doc_id%10≠0 split like `text_langid`):
+    * every document scores the add-one-smoothed transition probability
+    * of each of its token bigrams, P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V).
+    *
+    * Determinism across engines: each bigram's log-probability is
+    * floored to INTEGER micro-nats before the per-doc sum, so the only
+    * order-varying step (the sum) runs on exact integers — the same
+    * integer-cents rule every aggregate in the registry follows. The
+    * count tables are vocabulary-sized (never broadcast by hint; the
+    * planner may), and the plan is one explode + two key joins + one
+    * groupBy — the shuffle keys are words, bounded by vocabulary, not
+    * corpus.
+    */
+  private def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreOf(docs(s, dir))
+
+  private[pipeline] def lmScoreOf(d: DataFrame): DataFrame = {
+    val toks = withTokens(d).select(col("doc_id"), col("toks"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bigrams.filter(col("doc_id") % 10 =!= 0)
+    val uni = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vocab = toks.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(col("toks")).as("w")).agg(countDistinct("w").as("v"))
+    val scored = bigrams
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .select(col("doc_id"),
+        floor(log((coalesce(col("c2"), lit(0L)) + 1L) /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6)
+          .cast("long").as("nats"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nats")).as("sum_micro_nats"))
+    d.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_micro_nats"), lit(0L)).as("sum_micro_nats"))
+      .withColumn("avg_nats", graft.util.Rnd.jround(
+        col("sum_micro_nats") / (lit(1e6) * greatest(col("n_bigrams"), lit(1L)).cast("double")), 6))
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+      |  WHERE len(toks) >= 2),
+      |tr AS (SELECT * FROM bg WHERE doc_id % 10 <> 0),
+      |uni AS (SELECT w1, COUNT(*) AS c1 FROM tr GROUP BY 1),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM tr GROUP BY 1, 2),
+      |vv AS (
+      |  SELECT COUNT(DISTINCT w.w) AS v
+      |  FROM t, UNNEST(t.toks) AS w(w) WHERE t.doc_id % 10 <> 0),
+      |sc AS (
+      |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(CAST(FLOOR(LN((COALESCE(bi.c2, 0) + 1) /
+      |      CAST(COALESCE(uni.c1, 0) + vv.v AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro_nats
+      |  FROM bg
+      |  LEFT JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+      |  LEFT JOIN uni ON bg.w1 = uni.w1
+      |  CROSS JOIN vv
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(s.sum_micro_nats, 0) AS sum_micro_nats,
+      |  FLOOR(COALESCE(s.sum_micro_nats, 0) /
+      |    (1e6 * CAST(GREATEST(COALESCE(s.n_bigrams, 0), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_nats
+      |FROM documents d LEFT JOIN sc s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- PII redaction ----------------------------------------------------
   // The Java-regex and RE2 (DuckDB) dialects agree on everything used
   // here: ASCII classes, {m,n} bounds, \d, \b.
@@ -322,6 +403,9 @@ object TextOps {
       "PII redaction: email/IPv4/phone masking with per-doc counts over " +
         "a deterministic doc_id-derived contact augmentation"),
     "text_quality" -> QueryDef.sql(quality, qualitySql),
+    "text_lm_score" -> QueryDef.sql(lmScore, lmScoreSql,
+      "bigram-LM quality scoring: add-one-smoothed transition log-probs " +
+        "(integer micro-nats) under the corpus-fitted doc_id%10≠0 model"),
     "text_langid" -> QueryDef.sql(langid, langidSql),
     "text_fingerprint" -> QueryDef.sql(fingerprint, fingerprintSql),
     "text_repetition" -> QueryDef.sql(repetition, repetitionSql,
