@@ -226,6 +226,60 @@ object TextOps {
       |  FLOOR(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup2_frac
       |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- overlapping chunking ----------------------------------------------
+
+  /** Chunk size / overlap (tokens) for retrieval-style document
+    * chunking; stride = size − overlap.
+    */
+  val ChunkTokens = 64
+  val ChunkOverlap = 16
+  private val Stride = ChunkTokens - ChunkOverlap
+
+  /** Overlapping fixed-size token chunking (the retrieval/RAG and
+    * long-doc-training prep step): each document yields chunks of
+    * [[ChunkTokens]] tokens starting every [[Stride]] tokens, so
+    * consecutive chunks share [[ChunkOverlap]] tokens; the last chunk
+    * may be shorter, and a start is only emitted while it adds tokens
+    * beyond the previous chunk's coverage (start ≤ n − overlap − 1).
+    * Token-empty documents yield no chunks. A narrow map-side explode —
+    * the output is ~n/stride rows per doc with no shuffle before the
+    * ordering; md5 of the rejoined chunk text puts every chunk byte
+    * under the hash oracle.
+    */
+  private def chunks(s: SparkSession, dir: String): DataFrame =
+    chunksOf(docs(s, dir))
+
+  private[pipeline] def chunksOf(d: DataFrame): DataFrame =
+    withTokens(d)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, greatest(size(toks) - ${ChunkOverlap + 1}, 0), $Stride)")).as("start"))
+      .select(col("doc_id"), (col("start") / Stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        slice(col("toks"), col("start") + 1, lit(ChunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunksSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, toks, s.s AS start
+      |  FROM t, UNNEST(generate_series(0, GREATEST(len(toks) - ${ChunkOverlap + 1}, 0), $Stride)) AS s(s)
+      |  WHERE len(toks) > 0),
+      |ch AS (
+      |  SELECT doc_id, CAST(start / $Stride AS BIGINT) AS chunk_id,
+      |    CAST(start AS BIGINT) AS start,
+      |    toks[start + 1 : start + $ChunkTokens] AS chunk
+      |  FROM st)
+      |SELECT doc_id, chunk_id, start,
+      |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---- LM quality scoring ------------------------------------------------
 
   /** Corpus-fitted bigram language-model scoring (the CCNet/Gopher
@@ -403,6 +457,9 @@ object TextOps {
       "PII redaction: email/IPv4/phone masking with per-doc counts over " +
         "a deterministic doc_id-derived contact augmentation"),
     "text_quality" -> QueryDef.sql(quality, qualitySql),
+    "text_chunks" -> QueryDef.sql(chunks, chunksSql,
+      s"overlapping $ChunkTokens-token chunking (stride $Stride) with " +
+        "per-chunk fingerprints — the retrieval/long-doc prep step"),
     "text_lm_score" -> QueryDef.sql(lmScore, lmScoreSql,
       "bigram-LM quality scoring: add-one-smoothed transition log-probs " +
         "(integer micro-nats) under the corpus-fitted doc_id%10≠0 model"),
