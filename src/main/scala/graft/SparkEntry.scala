@@ -18,6 +18,8 @@ object SparkEntry {
       graft.pipeline.Dedup.defs ++
       graft.pipeline.TextOps.defs ++
       graft.pipeline.Similarity.defs ++
+      graft.pipeline.Cluster.defs ++
+      graft.pipeline.Mix.defs ++
       graft.pipeline.Multimodal.defs ++
       graft.pipeline.Curation.defs ++
       graft.pipeline.Layout.defs ++

@@ -27,12 +27,12 @@ object Similarity {
     * per row; [[graft.sfa.expr.LongDotExpr]] is one fused loop inside
     * whole-stage codegen.
     */
-  private def dot(a: Column, b: Column): Column = {
+  private[pipeline] def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(graft.sfa.expr.LongDotExpr(Bridge.expression(a), Bridge.expression(b)))
   }
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[pipeline] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .withColumn("iv", expr("transform(embedding, v -> cast(round(cast(v as double) * 10000) as bigint))"))
       .withColumn("nrm2", dot(col("iv"), col("iv")))
@@ -179,7 +179,7 @@ object Similarity {
   // ---- shared oracle fragments ----------------------------------------
 
   /** iv / flat / nrm: integer-scaled vectors, positional unnest, norms. */
-  private val baseCtes =
+  private[pipeline] val baseCtes =
     """iv AS (
       |  SELECT vec_id,
       |    list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS iv
@@ -279,7 +279,7 @@ object Similarity {
     * members in the Lloyd step drop out (both engines GROUP them away
     * identically). Returns (cell, cv ARRAY<BIGINT>, cn2).
     */
-  private def ivfCentroids(base: DataFrame, cells: Int): DataFrame = {
+  private[pipeline] def ivfCentroids(base: DataFrame, cells: Int): DataFrame = {
     val seeds = base.orderBy("id").limit(cells)
       .select(col("id").as("cell"), col("iv").as("sv"))
       .withColumn("sn2", dot(col("sv"), col("sv")))
@@ -435,6 +435,266 @@ object Similarity {
     s"""WITH $baseCtes, $ivfCtes, ${rerankCtes("icand", "i")}
       |SELECT q_id, rk, c_id, cos FROM iranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  // ---- scalar-quantized (int8) ANN ------------------------------------
+
+  /** Candidates the quantized scan keeps per query before exact re-rank. */
+  private val SqCand = 10
+
+  /** Int8 scalar-quantized ANN (asymmetric distance): each corpus
+    * dimension is affinely quantized to an 8-bit code against the
+    * corpus's per-dimension [min, max] — the classic SQ8 compression
+    * layout (public: FAISS's ScalarQuantizer) that shrinks a float32
+    * corpus 4× so the first-pass scan reads codes, not vectors. Scoring
+    * is asymmetric: the raw query (×255) against the integer
+    * reconstruction mn·255 + code·(mx−mn) — exact BIGINT arithmetic
+    * end-to-end, so the ranking is engine-portable. The quantized scan
+    * keeps $SqCand candidates per query; the exact integer re-rank
+    * picks the final top-3. At 100 TB the [min,max] table is 64 rows
+    * (model-sized broadcast), the code scan is the 4-8×-lighter
+    * sequential pass, and the re-rank touches $SqCand rows per query.
+    * Recall vs the exact scan is a measured number (`sim_ann_recall`,
+    * method 'sq'), not a claim.
+    */
+  private def sqAnn(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sim.sq:$dir") { sqAnn0(s, dir) }
+
+  private def sqAnn0(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
+    // per-dimension corpus [min, max]: 64 rows — model-sized, collected
+    // like the IVF centroids and inlined as array literals
+    val mm = c.select(posexplode(col("civ")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    val mnA = typedlit(mm.map(_.getLong(1)).toSeq)
+    val mxA = typedlit(mm.map(_.getLong(2)).toSeq)
+    // reconstructed-at-×255 corpus values: code = ((x−mn)·255) div (mx−mn)
+    // — non-negative numerator over a positive span, so trunc ≡ floor in
+    // both engines; rv = mn·255 + code·(mx−mn), an exact BIGINT
+    def rvOf(v: Column): Column = transform(v, (x, i) => {
+      val idx = (i + lit(1)).cast("int")
+      val mn = element_at(mnA, idx)
+      val span = element_at(mxA, idx) - mn
+      when(span === 0, mn * 255)
+        .otherwise(mn * 255 + call_function("div", (x - mn) * 255, span) * span)
+    })
+    val corp = c.withColumn("rv", rvOf(col("civ")))
+      .withColumn("rn2", dot(col("rv"), col("rv")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        transform(col("iv"), x => x * lit(255L)).as("q255"),
+        col("iv").as("qiv"), col("nrm2").as("qn"))
+    val byQ = Window.partitionBy("q_id").orderBy(desc("ascore"), col("c_id"))
+    val cand = corp.crossJoin(broadcast(q.select("q_id", "q255")))
+      .withColumn("adot", dot(col("q255"), col("rv")))
+      .withColumn("ascore", col("adot") / sqrt(col("rn2")))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= SqCand)
+      .select("q_id", "c_id")
+    val scored = cand.join(broadcast(q.select("q_id", "qiv", "qn")), "q_id")
+      .join(c, "c_id")
+      .withColumn("dot", dot(col("qiv"), col("civ")))
+      .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "c_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** SQ8 CTEs: per-dim corpus [min,max] → integer reconstruction →
+    * asymmetric quantized scores → top-$SqCand candidates `sqcand`.
+    */
+  private val sqCtes =
+    s"""sqmm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM flat WHERE vec_id >= 10 GROUP BY 1
+      |), sqr AS (
+      |  SELECT f.vec_id, f.i,
+      |    CASE WHEN m.mx = m.mn THEN m.mn * 255
+      |         ELSE m.mn * 255 + ((f.x - m.mn) * 255) // (m.mx - m.mn) * (m.mx - m.mn) END AS r
+      |  FROM flat f JOIN sqmm m ON m.i = f.i
+      |  WHERE f.vec_id >= 10
+      |), sqn AS (SELECT vec_id, CAST(SUM(r * r) AS BIGINT) AS rn2 FROM sqr GROUP BY 1
+      |), sqd AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, CAST(SUM(q.x * 255 * c.r) AS BIGINT) AS adot
+      |  FROM flat q JOIN sqr c ON c.i = q.i
+      |  WHERE q.vec_id < 10
+      |  GROUP BY 1, 2
+      |), sqrk AS (
+      |  SELECT d.q_id, d.c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY d.q_id ORDER BY d.adot / SQRT(n.rn2) DESC, d.c_id) AS rn
+      |  FROM sqd d JOIN sqn n ON n.vec_id = d.c_id
+      |), sqcand AS (SELECT q_id, c_id FROM sqrk WHERE rn <= $SqCand)""".stripMargin
+
+  private val sqSql =
+    s"""WITH $baseCtes, $sqCtes, ${rerankCtes("sqcand", "s")}
+      |SELECT q_id, rk, c_id, cos FROM sranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  // ---- product-quantized (PQ-ADC) ANN ---------------------------------
+
+  /** PQ geometry: $PqM subspaces of 64/$PqM dims, $PqKs entries per
+    * codebook → a vector compresses to $PqM 4-bit codes (4 bytes — 16×
+    * smaller than float32, the standard PQ-ADC layout; public: Jégou et
+    * al. 2011, FAISS IndexPQ).
+    */
+  private val PqM = 8
+  private val PqKs = 16
+  private val PqSub = 8 // dims per subspace
+
+  /** Fixed-point scale for codebook means: mean = (sum·$PqScale) div cnt
+    * — truncating integer division, which Spark's `div` and DuckDB's
+    * `//` apply identically (both toward zero, including negatives), so
+    * the codebooks are bit-equal across engines.
+    */
+  private val PqScale = 1024L
+
+  /** Candidates the PQ scan keeps per query before exact re-rank —
+    * wider than SQ8's because 4-bit codes rank more coarsely (the
+    * classic PQ recipe re-ranks a generous shortlist; the re-rank cost
+    * is still |shortlist| rows per query).
+    */
+  private val PqCand = 25
+
+  /** Product-quantized ANN: each corpus vector is coded per-subspace by
+    * its nearest codebook entry (exact integer L2 on ×$PqScale values —
+    * argmin ties break on the entry id, fully deterministic), codebooks
+    * are seeded from the $PqKs smallest corpus ids and refined by one
+    * Lloyd step in fixed-point arithmetic. Scoring is asymmetric (ADC):
+    * the raw query against the vector RECONSTRUCTED from its codebook
+    * entries; top-$PqCand candidates per query, exact integer re-rank to
+    * top-3. At 100 TB the codebooks are $PqM·$PqKs rows (model-sized
+    * broadcast), the corpus lives as 4-byte codes, and the first-pass
+    * scan reads reconstructions of those codes — the16×-compressed
+    * sequential pass. Recall vs the exact scan is measured
+    * (`sim_ann_recall`, method 'pq').
+    */
+  private def pqAnn(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sim.pq:$dir") { pqAnn0(s, dir) }
+
+  private def pqAnn0(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
+    // (c_id, m, sv): the corpus split into per-subspace slices
+    def subbed(src: DataFrame, idCol: String, vecCol: String): DataFrame =
+      src.select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, ${PqM - 1}), m -> slice($vecCol, m * $PqSub + 1, $PqSub))"))
+        .as(Seq("m", "sv")))
+    val csub = Pipelines.cachedDF(s, s"sim.pq.csub:$dir") { subbed(c, "c_id", "civ") }
+    // seed codebooks: the $PqKs smallest corpus ids, sliced; entries are
+    // ×$PqScale so seed and refined codebooks share one scale
+    val seedRank = Window.orderBy("c_id") // 16 rows — single-partition window is fine
+    val cb0 = subbed(
+      c.orderBy("c_id").limit(PqKs)
+        .withColumn("en", row_number().over(seedRank).cast("long") - 1),
+      "en", "civ")
+      .select(col("en"), col("m"),
+        transform(col("sv"), x => x * lit(PqScale)).as("cv8"))
+    // argmin assignment on exact integer L2: d² = |sv·S − cv8|²
+    def assignTo(cb: DataFrame): DataFrame = {
+      val d2 = {
+        val diff = zip_with(col("sv"), col("cv8"), (a, b) => a * lit(PqScale) - b)
+        dot(diff, diff)
+      }
+      val byKey = Window.partitionBy("c_id", "m").orderBy(col("d2"), col("en"))
+      csub.join(broadcast(cb), "m")
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(byKey))
+        .filter(col("rn") === 1)
+        .select("c_id", "m", "en")
+    }
+    // one Lloyd step: fixed-point mean per (m, entry, j)
+    val cb1 = assignTo(cb0).join(csub, Seq("c_id", "m"))
+      .select(col("m"), col("en"), posexplode(col("sv")).as(Seq("j", "x")))
+      .groupBy("m", "en", "j")
+      .agg(call_function("div", sum("x") * PqScale, count(lit(1))).as("cx"))
+      .groupBy("m", "en")
+      .agg(expr("transform(sort_array(collect_list(struct(j, cx))), p -> p.cx)").as("cv8"))
+    // final codes + reconstructed vectors (rv at ×$PqScale, 64 dims)
+    val rv = assignTo(cb1).join(cb1, Seq("m", "en"))
+      .select(col("c_id"), col("m"), posexplode(col("cv8")).as(Seq("j", "rx")))
+      .withColumn("i", col("m") * PqSub + col("j"))
+      .groupBy("c_id")
+      .agg(expr("transform(sort_array(collect_list(struct(i, rx))), p -> p.rx)").as("rv"))
+      .withColumn("rn2", dot(col("rv"), col("rv")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
+    val byQ = Window.partitionBy("q_id").orderBy(desc("ascore"), col("c_id"))
+    val cand = rv.crossJoin(broadcast(q.select("q_id", "qiv")))
+      .withColumn("adot", dot(col("qiv"), col("rv")))
+      .withColumn("ascore", col("adot") / sqrt(col("rn2")))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= PqCand)
+      .select("q_id", "c_id")
+    val scored = cand.join(broadcast(q), "q_id")
+      .join(c, "c_id")
+      .withColumn("dot", dot(col("qiv"), col("civ")))
+      .withColumn("cos", graft.util.Rnd.jround(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "c_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** PQ oracle CTEs: per-subspace flat view → seed codebooks → integer-L2
+    * argmin → fixed-point Lloyd means → final codes → reconstructions →
+    * ADC top-$SqCand `pcand`. Subspace of dim i (1-based): m = (i−1) //
+    * $PqSub, j = (i−1) % $PqSub.
+    */
+  private val pqCtes =
+    s"""pflat AS (
+      |  SELECT vec_id, (i - 1) // $PqSub AS m, (i - 1) % $PqSub AS j, x
+      |  FROM flat WHERE vec_id >= 10
+      |), pseed AS (
+      |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS en
+      |  FROM (SELECT DISTINCT vec_id FROM pflat ORDER BY vec_id LIMIT $PqKs)
+      |), pcb0 AS (
+      |  SELECT s.en, f.m, f.j, f.x * $PqScale AS cx
+      |  FROM pseed s JOIN pflat f ON f.vec_id = s.vec_id
+      |), pd0 AS (
+      |  SELECT f.vec_id, f.m, c.en,
+      |    SUM((f.x * $PqScale - c.cx) * (f.x * $PqScale - c.cx)) AS d2
+      |  FROM pflat f JOIN pcb0 c ON c.m = f.m AND c.j = f.j
+      |  GROUP BY 1, 2, 3
+      |), pa0 AS (
+      |  SELECT vec_id, m, en,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, en) AS rn
+      |  FROM pd0
+      |), pcb1 AS (
+      |  SELECT a.m, a.en, f.j, (SUM(f.x) * $PqScale) // COUNT(*) AS cx
+      |  FROM pa0 a JOIN pflat f ON f.vec_id = a.vec_id AND f.m = a.m
+      |  WHERE a.rn = 1
+      |  GROUP BY 1, 2, 3
+      |), pd1 AS (
+      |  SELECT f.vec_id, f.m, c.en,
+      |    SUM((f.x * $PqScale - c.cx) * (f.x * $PqScale - c.cx)) AS d2
+      |  FROM pflat f JOIN pcb1 c ON c.m = f.m AND c.j = f.j
+      |  GROUP BY 1, 2, 3
+      |), pa1 AS (
+      |  SELECT vec_id, m, en,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, en) AS rn
+      |  FROM pd1
+      |), prec AS (
+      |  SELECT a.vec_id, a.m * $PqSub + c.j AS i0, c.cx
+      |  FROM pa1 a JOIN pcb1 c ON c.m = a.m AND c.en = a.en
+      |  WHERE a.rn = 1
+      |), prn AS (SELECT vec_id, CAST(SUM(cx * cx) AS BIGINT) AS rn2 FROM prec GROUP BY 1
+      |), padc AS (
+      |  SELECT q.vec_id AS q_id, r.vec_id AS c_id, CAST(SUM(q.x * r.cx) AS BIGINT) AS adot
+      |  FROM flat q JOIN prec r ON r.i0 = q.i - 1
+      |  WHERE q.vec_id < 10
+      |  GROUP BY 1, 2
+      |), padcr AS (
+      |  SELECT d.q_id, d.c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY d.q_id ORDER BY d.adot / SQRT(n.rn2) DESC, d.c_id) AS rn
+      |  FROM padc d JOIN prn n ON n.vec_id = d.c_id
+      |), pcand AS (SELECT q_id, c_id FROM padcr WHERE rn <= $PqCand)""".stripMargin
+
+  private val pqSql =
+    s"""WITH $baseCtes, $pqCtes, ${rerankCtes("pcand", "p")}
+      |SELECT q_id, rk, c_id, cos FROM pranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   // ---- ANN recall vs the brute-force oracle ---------------------------
 
   /** Per-query recall@3 of both ANN paths against the brute-force top-3 —
@@ -467,6 +727,8 @@ object Similarity {
     }
     recallOf("ivf", ivfAnn(s, dir))
       .unionByName(recallOf("lsh", lshAnn(s, dir)))
+      .unionByName(recallOf("pq", pqAnn(s, dir)))
+      .unionByName(recallOf("sq", sqAnn(s, dir)))
       .orderBy("method", "q_id")
   }
 
@@ -476,25 +738,32 @@ object Similarity {
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id FROM iv q, iv c
         |  WHERE q.vec_id < 10 AND c.vec_id >= 10
         |)""".stripMargin
+    def hitsCte(p: String): String =
+      s"""${p}hits AS (
+        |  SELECT b.q_id, COUNT(*) AS hits
+        |  FROM branked b JOIN ${p}ranked a ON a.q_id = b.q_id AND a.c_id = b.c_id AND a.rk <= 3
+        |  WHERE b.rk <= 3 GROUP BY 1)""".stripMargin
+    def leg(method: String, p: String): String =
+      s"""  SELECT '$method' AS method, q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |    FLOOR(COALESCE(h.hits, 0) / 3.0 * 1e6 + 0.5) / 1e6 AS recall
+        |  FROM qs q LEFT JOIN ${p}hits h ON h.q_id = q.q_id""".stripMargin
     s"""WITH $baseCtes, $lshCandCtes, ${rerankCtes("cand", "l")}, $ivfCtes,
-      |${rerankCtes("icand", "i")}, $bruteCand, ${rerankCtes("ballcand", "b")},
+      |${rerankCtes("icand", "i")}, $sqCtes, ${rerankCtes("sqcand", "s")},
+      |$pqCtes, ${rerankCtes("pcand", "p")},
+      |$bruteCand, ${rerankCtes("ballcand", "b")},
       |qs AS (SELECT vec_id AS q_id FROM iv WHERE vec_id < 10),
-      |lhits AS (
-      |  SELECT b.q_id, COUNT(*) AS hits
-      |  FROM branked b JOIN lranked a ON a.q_id = b.q_id AND a.c_id = b.c_id AND a.rk <= 3
-      |  WHERE b.rk <= 3 GROUP BY 1),
-      |ihits AS (
-      |  SELECT b.q_id, COUNT(*) AS hits
-      |  FROM branked b JOIN iranked a ON a.q_id = b.q_id AND a.c_id = b.c_id AND a.rk <= 3
-      |  WHERE b.rk <= 3 GROUP BY 1)
+      |${hitsCte("l")},
+      |${hitsCte("i")},
+      |${hitsCte("s")},
+      |${hitsCte("p")}
       |SELECT method, q_id, hits, recall FROM (
-      |  SELECT 'ivf' AS method, q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-      |    FLOOR(COALESCE(h.hits, 0) / 3.0 * 1e6 + 0.5) / 1e6 AS recall
-      |  FROM qs q LEFT JOIN ihits h ON h.q_id = q.q_id
+      |${leg("ivf", "i")}
       |  UNION ALL
-      |  SELECT 'lsh' AS method, q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-      |    FLOOR(COALESCE(h.hits, 0) / 3.0 * 1e6 + 0.5) / 1e6 AS recall
-      |  FROM qs q LEFT JOIN lhits h ON h.q_id = q.q_id) u
+      |${leg("lsh", "l")}
+      |  UNION ALL
+      |${leg("pq", "p")}
+      |  UNION ALL
+      |${leg("sq", "s")}) u
       |ORDER BY method, q_id""".stripMargin
   }
 
@@ -741,8 +1010,14 @@ object Similarity {
     "layout_ivf_ann" -> QueryDef.sql(ivfLayoutAnn, ivfSql,
       "ANN over the persisted cell-partitioned embedding layout: probed " +
         "cells only, via parquet partition pruning (≡ sim_ivf_ann)"),
+    "sim_sq_ann" -> QueryDef.sql(sqAnn, sqSql,
+      "int8 scalar-quantized (SQ8) ANN: per-dim [min,max] codes, " +
+        s"asymmetric integer scoring, top-$SqCand candidates + exact re-rank"),
+    "sim_pq_ann" -> QueryDef.sql(pqAnn, pqSql,
+      s"product-quantized (PQ-ADC) ANN: $PqM×$PqKs fixed-point codebooks, " +
+        s"integer-L2 codes, asymmetric reconstruction scan + exact re-rank"),
     "sim_ann_recall" -> QueryDef.sql(annRecall, recallSql,
-      "recall@3 of the LSH and IVF ANN paths vs the brute-force top-3"),
+      "recall@3 of the LSH, IVF, PQ and SQ8 ANN paths vs the brute-force top-3"),
     "dedup_embed_cosine" -> QueryDef.sql(embedCosine, embedCosineSql,
       s"embedding-cosine near-dup pairs via multi-probe IVF-cell blocking " +
         s"($DupProbes of $DupCells cells)"),
