@@ -31,7 +31,7 @@ object Mix {
   private def mixDomains(s: SparkSession, dir: String): DataFrame =
     mixOf(Tables.load(s, dir, "documents").select("doc_id", "source"))
 
-  private[pipeline] def mixOf(d: DataFrame): DataFrame = {
+  private[graft] def mixOf(d: DataFrame): DataFrame = {
     val n = d.groupBy("source").agg(count(lit(1)).as("ns"))
     val tot = n.agg(sum("ns").as("nd"), count(lit(1)).as("st"))
     val den = col("st") * col("ns")
