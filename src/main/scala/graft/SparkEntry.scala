@@ -25,6 +25,7 @@ object SparkEntry {
       graft.pipeline.Layout.defs ++
       graft.pipeline.Export.defs ++
       graft.pipeline.Bpe.defs ++
+      graft.queries.EventJoins.defs ++
       graft.queries.SfaQ.defs ++
       graft.queries.IndexQ.defs ++
       graft.queries.RepresentationQ.defs ++

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{QueryDef, Tables}
+
+/** Temporal joins over the events stream — the two join shapes Spark's
+  * built-in operators don't provide directly and a naive formulation
+  * turns into a per-key range cross join:
+  *
+  *  - **as-of join** (`evt_asof_join`): each click matched to the same
+  *    user's latest error at-or-before it. Implemented as the
+  *    union-and-carry-forward composition: tag both sides, ONE shuffle
+  *    on user_id, one sort by (ts, side), and a running `last(…,
+  *    ignoreNulls)` window carries the most recent error onto every
+  *    click — O(n log n) per key, no range explosion, the plan a
+  *    dedicated as-of operator would produce. The oracle is DuckDB's
+  *    NATIVE `ASOF LEFT JOIN` — an entirely independent implementation
+  *    of the semantics.
+  *  - **bounded range join** (`evt_range_join`): every (click, error)
+  *    pair of the same user with the error inside the 6-hour window
+  *    before the click. Interval bucketing: both sides key on
+  *    (user_id, ts-bucket of the window width), clicks probe their own
+  *    and the previous bucket, one equi-join shuffle + a residual
+  *    filter — bounded 2× fan-out instead of a range cross join.
+  *
+  * Timestamps: the parquet column is TIMESTAMP(MICROS); Spark reads it
+  * as TIMESTAMP_NTZ and the UTC session pins its epoch, so
+  * `unix_micros(cast(ts))` ≡ DuckDB's `epoch_us(ts)` exactly and gaps
+  * are exact integer microseconds.
+  *
+  * Ties are pinned: errors sharing (user_id, ts) resolve to the largest
+  * event_id — the Spark side orders the carry-forward by (ts, prio,
+  * err_id), the oracle dedups to MAX(event_id) before its ASOF (whose
+  * pick among equal keys is otherwise arbitrary) — and a click at
+  * exactly the error's ts matches it (at-or-before) in both engines.
+  */
+object EventJoins {
+
+  /** Range-join window width: 6 hours in microseconds — sized so the
+    * fixture's ~11 h inter-event spacing still yields a few hundred
+    * pairs; the bucketing cost shape is width-independent.
+    */
+  private val WindowUs = 21600000000L
+
+  /** Events with `tsus` = exact epoch microseconds (UTC session). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
+      .drop("ts")
+
+  private[queries] def asofOf(ev: DataFrame): DataFrame = {
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("tsus"), lit(0).as("prio"),
+        col("event_id").as("err_id"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsus"), lit(1).as("prio"),
+        lit(null).cast("long").as("err_id"), col("event_id"))
+    // sort order IS the tie rule: errors before clicks at equal ts
+    // (at-or-before matches), errors at equal ts ascending by id so the
+    // carry-forward keeps the largest — no pre-dedup shuffle needed;
+    // the whole join is ONE hash exchange on user_id (spec-asserted)
+    val w = Window.partitionBy("user_id").orderBy(col("tsus"), col("prio"), col("err_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    errs.unionByName(clicks)
+      .withColumn("m_err", last("err_id", ignoreNulls = true).over(w))
+      .withColumn("m_ts", last(when(col("prio") === 0, col("tsus")), ignoreNulls = true).over(w))
+      .filter(col("prio") === 1)
+      .select(col("event_id"), col("user_id"), col("m_err").as("err_id"),
+        (col("tsus") - col("m_ts")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  private def asofJoin(s: SparkSession, dir: String): DataFrame =
+    asofOf(events(s, dir))
+
+  private val asofSql =
+    """WITH errs AS (
+      |  SELECT user_id, ts, MAX(event_id) AS err_id
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+      |), clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      |)
+      |SELECT c.event_id, c.user_id, e.err_id,
+      |  CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS gap_us
+      |FROM clicks c ASOF LEFT JOIN errs e
+      |  ON c.user_id = e.user_id AND c.ts >= e.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  private[queries] def rangeOf(ev: DataFrame): DataFrame = {
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("tsus").as("ets"), col("event_id").as("err_id"))
+      .withColumn("bkt", call_function("div", col("ets"), lit(WindowUs)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsus").as("cts"), col("event_id"))
+      .withColumn("bkt", explode(array(
+        call_function("div", col("cts"), lit(WindowUs)),
+        call_function("div", col("cts"), lit(WindowUs)) - 1)))
+    clicks.join(errs, Seq("user_id", "bkt"))
+      .withColumn("gap_us", col("cts") - col("ets"))
+      .filter(col("gap_us") >= 0 && col("gap_us") < WindowUs)
+      .select("event_id", "err_id", "gap_us")
+      .orderBy("event_id", "err_id")
+  }
+
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame =
+    rangeOf(events(s, dir))
+
+  private val rangeSql =
+    s"""SELECT c.event_id, e.event_id AS err_id,
+      |  CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      | AND epoch_us(c.ts) - epoch_us(e.ts) >= 0
+      | AND epoch_us(c.ts) - epoch_us(e.ts) < $WindowUs
+      |ORDER BY 1, 2""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "evt_asof_join" -> QueryDef.sql(asofJoin, asofSql,
+      "as-of join (click → latest same-user error at-or-before) via " +
+        "union + carry-forward window; oracle = DuckDB's native ASOF JOIN"),
+    "evt_range_join" -> QueryDef.sql(rangeJoin, rangeSql,
+      "bounded time-range join (errors within 6 h before each click) " +
+        "via interval bucketing — one equi-join shuffle, 2x probe fan-out"))
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Planted-corpus gates for the temporal joins: at-or-before tie
+  * semantics, the duplicate-ts error tie rule, the no-match null path,
+  * and range-window boundary inclusion/exclusion — the edges the sf0.01
+  * hash oracle exercises only by accident.
+  */
+class EventJoinsSpec extends SparkSpec {
+
+  private def planted = {
+    import spark.implicits._
+    Seq(
+      // user 1: click before any error → null match
+      (10L, 100L, 1L, "click", 0.0),
+      (11L, 200L, 1L, "error", 0.0),
+      // click exactly AT an error's ts → matches it (at-or-before)
+      (12L, 200L, 1L, "click", 0.0),
+      // two errors at the same ts → the larger event_id wins the as-of
+      (13L, 300L, 1L, "error", 0.0),
+      (14L, 300L, 1L, "error", 0.0),
+      (15L, 400L, 1L, "click", 0.0),
+      // user 2: error then a click 6 hours + 1 µs later → as-of still
+      // matches (unbounded), range join does NOT (window excluded)
+      (20L, 0L, 2L, "error", 0.0),
+      (21L, 21600000001L, 2L, "click", 0.0),
+      // user 2: click exactly at the window edge - 1 µs → range-included
+      (22L, 21599999999L, 2L, "click", 0.0),
+      // other event types never join
+      (30L, 50L, 1L, "view", 0.0)
+    ).toDF("event_id", "tsus", "user_id", "event_type", "value")
+  }
+
+  test("as-of join: null before first error, same-ts match, duplicate-ts tie to max id") {
+    val got = EventJoins.asofOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val expect = Array(
+      (10L, 1L, -1L, -1L), // no error yet
+      (12L, 1L, 11L, 0L), // at-or-before includes the same-ts error
+      (15L, 1L, 14L, 100L), // duplicate-ts errors → max event_id
+      (21L, 2L, 20L, 21600000001L), // as-of is unbounded
+      (22L, 2L, 20L, 21599999999L))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("as-of join is one hash exchange on user_id (no pre-dedup shuffle)") {
+    val plan = EventJoins.asofOf(planted).queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"as-of join should shuffle exactly once, saw $n:\n$plan")
+  }
+
+  test("range join: window is [0, 6h), boundary excluded, pairs complete") {
+    val got = EventJoins.rangeOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = Array(
+      (12L, 11L, 0L),
+      (15L, 11L, 200L),
+      (15L, 13L, 100L),
+      (15L, 14L, 100L), // range join keeps BOTH duplicate-ts errors
+      (22L, 20L, 21599999999L)) // inside; click 21 at exactly 6 h +1 µs is out
+    assert(got.toSeq == expect.toSeq)
+  }
+}
