@@ -117,7 +117,58 @@ object EventJoins {
       | AND epoch_us(c.ts) - epoch_us(e.ts) < $WindowUs
       |ORDER BY 1, 2""".stripMargin
 
+  /** Sessionization inactivity gap: 12 h in microseconds (sized to the
+    * fixture's ~11 h mean inter-event spacing → ~3 events/session).
+    */
+  private[queries] val SessionGapUs = 43200000000L
+
+  /** Gap-based sessionization: a session breaks where the same user's
+    * inter-event gap exceeds $SessionGapUs. The classic two-window
+    * composition — lag() marks session starts, a running sum numbers
+    * them — then one aggregation rolls sessions up. All three steps
+    * cluster on user_id, so the whole query is ONE hash exchange
+    * (the aggregation keys (user_id, sess) are a superset of the window
+    * partitioning, which Spark's ClusteredDistribution accepts without
+    * re-shuffling; spec-asserted).
+    */
+  private[queries] def sessionizeOf(ev: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("tsus"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type").isNotNull)
+      .withColumn("gap", col("tsus") - lag("tsus", 1).over(order))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum("brk").over(run))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        (max("tsus") - min("tsus")).as("duration_us"),
+        min("event_id").as("first_event"))
+      .orderBy("user_id", "sess")
+  }
+
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeOf(events(s, dir))
+
+  private val sessionizeSql =
+    s"""WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsus,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), marked AS (
+      |  SELECT user_id, event_id, tsus,
+      |    CAST(SUM(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tsus, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+      |  FROM o)
+      |SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(tsus) - MIN(tsus) AS BIGINT) AS duration_us,
+      |  MIN(event_id) AS first_event
+      |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "evt_sessionize" -> QueryDef.sql(sessionize, sessionizeSql,
+      "gap-based sessionization (12 h inactivity break): lag-marked " +
+        "session starts + running-sum numbering + rollup, one shuffle"),
     "evt_asof_join" -> QueryDef.sql(asofJoin, asofSql,
       "as-of join (click → latest same-user error at-or-before) via " +
         "union + carry-forward window; oracle = DuckDB's native ASOF JOIN"),

@@ -46,8 +46,36 @@ class EventJoinsSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("sessionization: gap breaks, per-session rollup, one hash exchange") {
+    import spark.implicits._
+    // gaps of SessionGapUs exactly do NOT break (strict >); +1 does
+    val g = 43200000000L
+    val ev = Seq(
+      (0L, 0L, 1L, "click", 0.0),
+      (1L, g, 1L, "click", 0.0), // gap == g → same session
+      (2L, 2 * g + 1L, 1L, "view", 0.0), // gap g+1 → new session
+      (3L, 0L, 2L, "error", 0.0)
+    ).toDF("event_id", "tsus", "user_id", "event_type", "value")
+    val out = EventJoins.sessionizeOf(ev)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, g, 0L),
+      (1L, 2L, 1L, 0L, 2L),
+      (2L, 1L, 1L, 0L, 3L)))
+    val plan = finalPlan(out)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"sessionize should shuffle exactly once, saw $n:\n$plan")
+  }
+
+  // AQE's toString appends the initial plan — count exchanges in the
+  // final section only
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
   test("as-of join is one hash exchange on user_id (no pre-dedup shuffle)") {
-    val plan = EventJoins.asofOf(planted).queryExecution.executedPlan.toString
+    val plan = finalPlan(EventJoins.asofOf(planted))
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(n == 1, s"as-of join should shuffle exactly once, saw $n:\n$plan")
   }
