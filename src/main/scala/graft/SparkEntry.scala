@@ -19,6 +19,7 @@ object SparkEntry {
       graft.pipeline.TextOps.defs ++
       graft.pipeline.Similarity.defs ++
       graft.pipeline.Cluster.defs ++
+      graft.pipeline.Sketches.defs ++
       graft.pipeline.Mix.defs ++
       graft.pipeline.Multimodal.defs ++
       graft.pipeline.Curation.defs ++

@@ -165,7 +165,61 @@ object EventJoins {
       |  MIN(event_id) AS first_event
       |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Funnel step deadline: each next step must land within 24 h of the
+    * previous one (unbounded, the dense fixture converts ~everyone).
+    */
+  private val FunnelWindowUs = 86400000000L
+
+  /** Ordered conversion funnel view → click → purchase: step n's
+    * timestamp is the user's earliest qualifying event within
+    * $FunnelWindowUs of step n−1. Three aggregations, all keyed on
+    * user_id — after the first shuffle the cluster-by-user_id
+    * partitioning satisfies every later join and aggregation, so the
+    * funnel depth adds no exchanges, only passes.
+    */
+  private[queries] def funnelOf(ev: DataFrame): DataFrame = {
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsus").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("tsus") >= col("t1") && col("tsus") < col("t1") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("tsus").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("tsus") >= col("t2") && col("tsus") < col("t2") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("tsus").as("t3"))
+    def step(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("step"), col("users"))
+    step("1_view", t1).unionByName(step("2_click", t2)).unionByName(step("3_purchase", t3))
+      .orderBy("step")
+  }
+
+  private def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(events(s, dir))
+
+  private val funnelSql =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsus FROM events),
+      |t1 AS (SELECT user_id, MIN(tsus) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.tsus) AS t2
+      |  FROM ev e JOIN t1 ON t1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.tsus >= t1.t1 AND e.tsus < t1.t1 + $FunnelWindowUs
+      |  GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.tsus) AS t3
+      |  FROM ev e JOIN t2 ON t2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tsus >= t2.t2 AND e.tsus < t2.t2 + $FunnelWindowUs
+      |  GROUP BY 1)
+      |SELECT step, users FROM (
+      |  SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM t1
+      |  UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM t2
+      |  UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3) u
+      |ORDER BY step""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "evt_funnel" -> QueryDef.sql(funnel, funnelSql,
+      "ordered conversion funnel view→click→purchase, each step within " +
+        "24 h of the previous; per-step user counts, one shuffle total"),
     "evt_sessionize" -> QueryDef.sql(sessionize, sessionizeSql,
       "gap-based sessionization (12 h inactivity break): lag-marked " +
         "session starts + running-sum numbering + rollup, one shuffle"),
