@@ -20,6 +20,7 @@ object SparkEntry {
       graft.pipeline.Similarity.defs ++
       graft.pipeline.Cluster.defs ++
       graft.pipeline.Sketches.defs ++
+      graft.pipeline.GraphOps.defs ++
       graft.pipeline.Mix.defs ++
       graft.pipeline.Multimodal.defs ++
       graft.pipeline.Curation.defs ++

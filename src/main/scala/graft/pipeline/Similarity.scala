@@ -808,7 +808,7 @@ object Similarity {
     }
 
   /** Candidate pairs sharing ≥1 probed cell (a < b). Cached + logged. */
-  private def dupCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def dupCandidates(s: SparkSession, dir: String): DataFrame = {
     val cand = Pipelines.cachedDF(s, s"sim.dupcand:$dir") {
       val memb = dupMembership(s, dir)
       val l = memb.select(col("cell"), col("id").as("a"))
@@ -847,7 +847,7 @@ object Similarity {
   /** All-vector multi-probe IVF CTEs (seeds → assign → integer centroid
     * sums → top-$DupProbes membership → candidate pairs `dcand`).
     */
-  private val dupCandCtes =
+  private[pipeline] val dupCandCtes =
     s"""dseeds AS (SELECT vec_id AS cell FROM iv ORDER BY vec_id LIMIT $DupCells
       |), da0 AS (
       |  SELECT f.vec_id AS id, s.cell, SUM(f.x * sf.x) AS dot
