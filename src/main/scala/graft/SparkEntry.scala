@@ -28,6 +28,7 @@ object SparkEntry {
       graft.pipeline.Export.defs ++
       graft.pipeline.Bpe.defs ++
       graft.queries.EventJoins.defs ++
+      graft.queries.Profile.defs ++
       graft.queries.SfaQ.defs ++
       graft.queries.IndexQ.defs ++
       graft.queries.RepresentationQ.defs ++
