@@ -152,7 +152,53 @@ object Cluster {
       |FROM picked WHERE pick <= $Quota
       |ORDER BY vec_id""".stripMargin
 
+  /** Per-cluster curation profile: each k-means cluster joined back to
+    * its documents (vec_id ≡ doc_id in the corpus) — member count,
+    * exact total characters, and the dominant language (ties → smaller
+    * lang, the engine-wide rule). The inspection step between
+    * clustering and a sampling/filtering decision; one fact⋈fact join
+    * on the id plus a two-level aggregation.
+    */
+  private def clusterProfile(s: SparkSession, dir: String): DataFrame = {
+    val m = kmeansAssign(s, dir)
+    val d = graft.util.Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("lang"), col("n_chars"))
+    val joined = m.join(d, "id")
+    val byLang = joined.groupBy("cell", "lang")
+      .agg(count(lit(1)).as("ln"), sum("n_chars").as("lchars"))
+    val w = Window.partitionBy("cell").orderBy(desc("ln"), col("lang"))
+    byLang
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cell")
+      .agg(sum("ln").as("n_docs"), sum("lchars").as("total_chars"),
+        min(when(col("rn") === 1, col("lang"))).as("top_lang"),
+        min(when(col("rn") === 1, col("ln"))).as("top_lang_docs"))
+      .select(col("cell").as("cluster"), col("n_docs"), col("total_chars"),
+        col("top_lang"), col("top_lang_docs"))
+      .orderBy("cluster")
+  }
+
+  private val profileSql =
+    s"""WITH ${Similarity.baseCtes}, $kmeansCtes,
+      |bylang AS (
+      |  SELECT m.cell, d.lang, CAST(COUNT(*) AS BIGINT) AS ln,
+      |    CAST(SUM(d.n_chars) AS BIGINT) AS lchars
+      |  FROM k2m m JOIN documents d ON d.doc_id = m.id
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT cell, lang, ln, lchars,
+      |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ln DESC, lang) AS rn
+      |  FROM bylang)
+      |SELECT cell AS cluster, CAST(SUM(ln) AS BIGINT) AS n_docs,
+      |  CAST(SUM(lchars) AS BIGINT) AS total_chars,
+      |  MIN(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+      |  MIN(CASE WHEN rn = 1 THEN ln END) AS top_lang_docs
+      |FROM ranked GROUP BY cell ORDER BY cluster""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "cluster_profile" -> QueryDef.sql(clusterProfile, profileSql,
+      "per-cluster curation profile: member count, exact char mass, " +
+        "dominant language — kmeans clusters joined back to documents"),
     "embed_kmeans" -> QueryDef.sql(kmeans, kmeansSql,
       s"deterministic $K-means over embeddings (integer-sum centroids, " +
         "2 Lloyd iterations): vector → cluster + cluster size"),

@@ -564,7 +564,7 @@ object Similarity {
     * entries; top-$PqCand candidates per query, exact integer re-rank to
     * top-3. At 100 TB the codebooks are $PqM·$PqKs rows (model-sized
     * broadcast), the corpus lives as 4-byte codes, and the first-pass
-    * scan reads reconstructions of those codes — the16×-compressed
+    * scan reads reconstructions of those codes — the 16×-compressed
     * sequential pass. Recall vs the exact scan is measured
     * (`sim_ann_recall`, method 'pq').
     */
@@ -639,7 +639,7 @@ object Similarity {
 
   /** PQ oracle CTEs: per-subspace flat view → seed codebooks → integer-L2
     * argmin → fixed-point Lloyd means → final codes → reconstructions →
-    * ADC top-$SqCand `pcand`. Subspace of dim i (1-based): m = (i−1) //
+    * ADC top-$PqCand `pcand`. Subspace of dim i (1-based): m = (i−1) //
     * $PqSub, j = (i−1) % $PqSub.
     */
   private val pqCtes =
@@ -697,7 +697,7 @@ object Similarity {
 
   // ---- ANN recall vs the brute-force oracle ---------------------------
 
-  /** Per-query recall@3 of both ANN paths against the brute-force top-3 —
+  /** Per-query recall@3 of every ANN path against the brute-force top-3 —
     * the measurable quality gate for every approximate path: an ANN
     * variant is only "done" when its recall against the exact scan is a
     * queryable number, not a claim.

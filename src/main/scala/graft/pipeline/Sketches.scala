@@ -26,7 +26,16 @@ import graft.util.{QueryDef, Tables}
 object Sketches {
 
   /** Sketch size: estimate stderr ≈ 1/√k ≈ 6%. */
-  private val K = 256
+  private[graft] val K = 256
+
+  /** The KMV estimate from a merged state of `size` distinct minimum
+    * hashes whose largest is `kth` — the executor-local twin of the
+    * column expression (same doubles, same floor), shared with
+    * [[graft.streaming.StreamingSketch]].
+    */
+  private[graft] def estimateLocal(size: Int, kth: Long): Long =
+    if (size < K) size.toLong
+    else math.floor((K - 1).toDouble * 1152921504606846976.0 / kth).toLong
 
   private[pipeline] def kmvOf(d: DataFrame): DataFrame = {
     // the corpus 8-gram convention (Curation.gramsOf), with lang carried:
