@@ -58,8 +58,58 @@ object Mix {
       |FROM documents d JOIN n USING (source) CROSS JOIN tot t
       |ORDER BY doc_id""".stripMargin
 
+  /** Token-mass-weighted variant: real pretraining mixtures target
+    * TOKEN budgets, not document counts — here every domain contributes
+    * T/S expected tokens (T = corpus token total over S domains), so a
+    * domain of few long documents is thinned where the document-count
+    * rule would upsample it. Same integer-rate + md5-Bernoulli
+    * arithmetic over per-domain token sums (the corpus whitespace
+    * tokenization convention); a domain with zero tokens emits zero
+    * copies. The hash key is "mixtok:"-prefixed so the two resamples
+    * draw independent Bernoullis.
+    */
+  private def mixTokens(s: SparkSession, dir: String): DataFrame =
+    mixTokensOf(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), Export.tokCount(col("text")).as("toks")))
+
+  private[graft] def mixTokensOf(d: DataFrame): DataFrame = {
+    val n = d.groupBy("source").agg(sum("toks").as("ts_"))
+    val tot = n.agg(sum("ts_").as("tt"), count(lit(1)).as("st"))
+    val den = col("st") * col("ts_")
+    d.join(broadcast(n), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("h", Export.md5Long(concat(lit("mixtok:"), col("doc_id"))))
+      .withColumn("copies",
+        when(col("ts_") === 0L, 0L).otherwise(
+          call_function("div", col("tt"), den) +
+            when(col("h") % den < col("tt") % den, 1L).otherwise(0L)))
+      .select(col("doc_id"), col("source"), col("toks"), col("copies"))
+      .orderBy("doc_id")
+  }
+
+  private val mixTokensSql =
+    """WITH dt AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS toks
+      |  FROM documents
+      |), n AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS ts_ FROM dt GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(ts_) AS BIGINT) AS tt,
+      |               (SELECT CAST(COUNT(*) AS BIGINT) FROM n) AS st
+      |        FROM n)
+      |SELECT d.doc_id, d.source, d.toks,
+      |  CAST(CASE WHEN n.ts_ = 0 THEN 0
+      |    ELSE t.tt // (t.st * n.ts_)
+      |      + CASE WHEN ('0x' || substr(md5('mixtok:' || d.doc_id), 1, 15))::BIGINT % (t.st * n.ts_)
+      |                  < t.tt % (t.st * n.ts_)
+      |             THEN 1 ELSE 0 END END AS BIGINT) AS copies
+      |FROM dt d JOIN n USING (source) CROSS JOIN tot t
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "mix_domains" -> QueryDef.sql(mixDomains, mixSql,
       "domain-mixture resampling to a balanced source mixture: exact " +
-        "integer rate + md5-Bernoulli remainder → per-doc copy counts"))
+        "integer rate + md5-Bernoulli remainder → per-doc copy counts"),
+    "mix_tokens" -> QueryDef.sql(mixTokens, mixTokensSql,
+      "token-mass-weighted mixture resampling: every domain contributes " +
+        "T/S expected tokens; same integer-rate arithmetic over token sums"))
 }

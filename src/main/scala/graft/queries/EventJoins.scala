@@ -50,7 +50,7 @@ object EventJoins {
       .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
       .drop("ts")
 
-  private[queries] def asofOf(ev: DataFrame): DataFrame = {
+  private[graft] def asofOf(ev: DataFrame): DataFrame = {
     val errs = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("tsus"), lit(0).as("prio"),
         col("event_id").as("err_id"), lit(null).cast("long").as("event_id"))

@@ -31,6 +31,25 @@ class MixSpec extends SparkSpec {
     assert(webTotal > 25L && webTotal < 75L, s"web copy total $webTotal far off the 50 target")
   }
 
+  test("token-weighted mixture: exact rates on token mass, zero-token domain drops") {
+    import spark.implicits._
+    // T = 1500 tokens over S = 3 domains → 500-token target each:
+    // "long" (1 doc × 1000) thins to p = 0.5; "short" (100 × 5)
+    // replicates exactly once; "empty" emits zero copies
+    val d = (Seq((0L, "long", 1000L)) ++
+      (1 to 100).map(i => (i.toLong, "short", 5L)) ++
+      Seq((101L, "empty", 0L), (102L, "empty", 0L)))
+      .toDF("doc_id", "source", "toks")
+    val out = Mix.mixTokensOf(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    out.filter(_._2 == "short").foreach { case (id, _, c) => assert(c == 1L, s"doc $id") }
+    out.filter(_._2 == "empty").foreach { case (id, _, c) => assert(c == 0L, s"doc $id") }
+    val long = out.filter(_._2 == "long")
+    assert(long.length == 1)
+    val expect = if (Export.md5LongLocal("mixtok:0") % 3000L < 1500L) 1L else 0L
+    assert(long.head._3 == expect)
+  }
+
   test("sf0.001 resample is deterministic and keeps every document exactly once in the output") {
     val q = graft.SparkEntry.queries("mix_domains")(spark, "/root/testdata/sf0.001")
     val a = q.collect().toSeq
