@@ -87,8 +87,71 @@ object Layout {
       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---- time-partitioned layout + pruned range scans --------------------
+
+  /** Layout dirs already (re)built by THIS JVM (the [[Similarity]]
+    * ivfLayout rule: fresh JVM rebuilds, in-session re-runs reuse).
+    */
+  private val builtTimeParts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Events written ONCE as parquet PARTITIONED BY day — the canonical
+    * 100 TB fact layout: time-range predicates become partition pruning
+    * at the scan (PartitionFilters, asserted by LayoutSpec), so a
+    * 7-day query over a 10-year corpus reads 7 directories, not the
+    * table. Day = epoch_us div 86.4e9, a pure integer of the corpus
+    * timestamp convention.
+    */
+  private[pipeline] def timePartitionedEvents(s: SparkSession, dir: String): DataFrame = {
+    val loc = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_timepart/${suffix(dir)}").getAbsolutePath
+    if (builtTimeParts.add(loc)) {
+      Tables.load(s, dir, "events")
+        .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("day", call_function("div", col("tsus"), lit(86400000000L)))
+        .drop("ts")
+        .write.mode("overwrite").partitionBy("day").parquet(loc)
+    }
+    s.read.parquet(loc).withColumn("day", col("day").cast("long"))
+  }
+
+  /** First-week rollup over the partitioned layout: the day-range
+    * filter reaches the scan as PartitionFilters (LayoutSpec pins the
+    * pruned plan), and only those directories are read. The window is
+    * [min_day, min_day + 7), with min_day computed from the same
+    * layout (a partition-listing-sized aggregation at scale).
+    */
+  private def timePrunedQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = timePartitionedEvents(s, dir)
+    val d0 = ev.agg(min("day")).head.getLong(0)
+    prunedRollup(ev, d0)
+  }
+
+  /** The rollup body, exposed with an explicit `d0` for the plan spec. */
+  private[pipeline] def prunedRollup(ev: DataFrame, d0: Long): DataFrame =
+    ev.filter(col("day") >= d0 && col("day") < d0 + 7)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("day", "event_type")
+
+  private val timePrunedSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), d0 AS (SELECT MIN(day) AS d0 FROM ev)
+      |SELECT e.day, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+      |FROM ev e CROSS JOIN d0
+      |WHERE e.day >= d0.d0 AND e.day < d0.d0 + 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "layout_bucketed_join" -> QueryDef.sql(bucketedJoinQ, bucketedJoinSql,
       "fact-to-fact join over a bucketed layout: the join-key shuffle is paid once " +
-        "at write time, then every join is co-located (no Exchange — LayoutSpec)"))
+        "at write time, then every join is co-located (no Exchange — LayoutSpec)"),
+    "layout_time_prune" -> QueryDef.sql(timePrunedQ, timePrunedSql,
+      "first-week rollup over the day-partitioned event layout: the " +
+        "time predicate prunes at the scan (PartitionFilters — LayoutSpec)"))
 }

@@ -36,6 +36,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("time-partitioned layout: the day range prunes at the scan and matches the plain rollup") {
+    import org.apache.spark.sql.functions._
+    val ev = Layout.timePartitionedEvents(spark, dir)
+    val d0 = ev.agg(min("day")).head.getLong(0)
+    val pruned = Layout.prunedRollup(ev, d0)
+    // the pre-adaptive physical plan exposes the scan node directly
+    // (AQE wraps it in query stages in executedPlan)
+    val scan = pruned.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty, s"no partition filters on the scan:\n$scan")
+    assert(scan.partitionFilters.mkString.contains("day"),
+      s"day predicate must reach the scan as a partition filter: ${scan.partitionFilters}")
+
+    // and the result equals the same rollup computed without the layout
+    val plain = graft.util.Tables.load(spark, dir, "events")
+      .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("day", call_function("div", col("tsus"), lit(86400000000L)))
+    val expect = Layout.prunedRollup(plain, d0).collect().toSeq
+    assert(pruned.collect().toSeq == expect)
+  }
+
   test("bucketed-join rollup equals the plain-layout rollup") {
     import org.apache.spark.sql.functions._
     val viaBuckets = graft.SparkEntry.queries("layout_bucketed_join")(spark, dir).collect()
