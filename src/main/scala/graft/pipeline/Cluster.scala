@@ -33,34 +33,15 @@ object Cluster {
   /** Per-cluster quota for the balanced sample. */
   private val Quota = 8
 
-  import Similarity.{dot, emb, ivfCentroids}
+  import Similarity.{assignCells, centroidSums, emb, ivfCentroids}
 
-  /** Argmax-cosine assignment of `base` (id, iv) to `cent` (cell, cv,
-    * cn2): ties → smaller cell, identical to the oracle's ROW_NUMBER.
+  /** Two Lloyd iterations over `base` (id, iv) → (id, cell), built from
+    * the ONE assignment/centroid-sum implementation ([[Similarity]]).
     */
-  private def assign(base: DataFrame, cent: DataFrame): DataFrame = {
-    val byId = Window.partitionBy("id").orderBy(desc("score"), col("cell"))
-    base.crossJoin(broadcast(cent))
-      .withColumn("score", dot(col("iv"), col("cv")) / sqrt(col("cn2")))
-      .withColumn("rn", row_number().over(byId))
-      .filter(col("rn") === 1)
-      .select("id", "cell")
-  }
-
-  /** Element-wise integer centroid sums of `m`'s (id, cell) groups. */
-  private def centSums(m: DataFrame, base: DataFrame): DataFrame =
-    m.join(base, "id")
-      .select(col("cell"), posexplode(col("iv")).as(Seq("i", "x")))
-      .groupBy("cell", "i").agg(sum("x").as("cx"))
-      .groupBy("cell")
-      .agg(expr("transform(sort_array(collect_list(struct(i, cx))), p -> p.cx)").as("cv"))
-      .withColumn("cn2", dot(col("cv"), col("cv")))
-
-  /** Two Lloyd iterations over `base` (id, iv) → (id, cell). */
   private[pipeline] def kmeansOf(base: DataFrame, k: Int): DataFrame = {
     val cent1 = ivfCentroids(base, k) // seeds → assign → sums = iteration 1
-    val cent2 = centSums(assign(base, cent1), base) // iteration 2
-    assign(base, cent2)
+    val cent2 = centroidSums(assignCells(base, cent1), base) // iteration 2
+    assignCells(base, cent2)
   }
 
   /** Final (vec_id → cluster) assignment after two Lloyd iterations,

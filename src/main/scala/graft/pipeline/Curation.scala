@@ -35,7 +35,7 @@ object Curation {
     * (long enough that collisions imply copying, short enough to
     * survive small edits).
     */
-  private val GramN = 8
+  private[graft] val GramN = 8
 
   /** (doc_id, i, gh): every word 8-gram's 60-bit [[Export.md5Long]]
     * hash with its 0-based start position; NOT distinct (span coverage

@@ -105,12 +105,17 @@ object Layout {
   private[pipeline] def timePartitionedEvents(s: SparkSession, dir: String): DataFrame = {
     val loc = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_timepart/${suffix(dir)}").getAbsolutePath
-    if (builtTimeParts.add(loc)) {
-      Tables.load(s, dir, "events")
-        .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
-        .withColumn("day", call_function("div", col("tsus"), lit(86400000000L)))
-        .drop("ts")
-        .write.mode("overwrite").partitionBy("day").parquet(loc)
+    // mark built only AFTER the write returns: a failed first write must
+    // not leave later calls reading a partial directory
+    if (!builtTimeParts.contains(loc)) builtTimeParts.synchronized {
+      if (!builtTimeParts.contains(loc)) {
+        Tables.load(s, dir, "events")
+          .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("day", call_function("div", col("tsus"), lit(86400000000L)))
+          .drop("ts")
+          .write.mode("overwrite").partitionBy("day").parquet(loc)
+        builtTimeParts.add(loc)
+      }
     }
     s.read.parquet(loc).withColumn("day", col("day").cast("long"))
   }
@@ -123,7 +128,10 @@ object Layout {
     */
   private def timePrunedQ(s: SparkSession, dir: String): DataFrame = {
     val ev = timePartitionedEvents(s, dir)
-    val d0 = ev.agg(min("day")).head.getLong(0)
+    val r = ev.agg(min("day")).head
+    // empty table: min(day) is NULL; any never-matching window keeps the
+    // result empty, like the oracle's NULL-propagating WHERE
+    val d0 = if (r.isNullAt(0)) Long.MaxValue - 7 else r.getLong(0)
     prunedRollup(ev, d0)
   }
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{QueryDef, Tables}
 
@@ -10,17 +10,21 @@ import graft.util.{QueryDef, Tables}
   * here is deterministic per-document replication counts rather than an
   * RNG draw, so the resample is reproducible and engine-portable).
   *
-  * Target mixture: uniform over the `source` domains present (balancing
-  * is the canonical default; any weight vector slots into the same
-  * arithmetic). For domain s with n_s of N documents over S domains the
-  * ideal per-document rate is N / (S·n_s) — kept EXACT as an integer
-  * part plus a remainder Bernoulli decided by the corpus md5 hash
-  * convention: copies = N div (S·n_s) + [md5("mix:" ‖ doc_id) mod
-  * (S·n_s) < N mod (S·n_s)]. Over any domain the expected copy total is
-  * N/S, so the output mixture is balanced while every decision is a
-  * pure function of (doc_id, corpus counts).
+  * ONE arithmetic serves both variants: for total weight W over S
+  * domains with per-domain weight w_s, a domain's per-document rate is
+  * W / (S·w_s) — kept EXACT as an integer part plus a remainder
+  * Bernoulli decided by the corpus md5 hash convention:
+  * copies = W div (S·w_s) + [md5(prefix ‖ doc_id) mod (S·w_s) <
+  * W mod (S·w_s)]. Over any domain the expected weighted copy mass is
+  * W/S — a balanced mixture — while every decision is a pure function
+  * of (doc_id, corpus sums). `mix_domains` weights each document 1
+  * (balanced document counts); `mix_tokens` weights by token count
+  * (real pretraining mixtures target TOKEN budgets — a domain of few
+  * long documents thins where the count rule would upsample it), with
+  * zero-token domains emitting zero copies and an independent hash
+  * prefix so the two resamples draw independent Bernoullis.
   *
-  * Scale shape: the counts table is one row per domain (model-sized,
+  * Scale shape: the weights table is one row per domain (model-sized,
   * broadcast); everything else is a map-side projection — no
   * fact-proportional shuffle, no collect. Oversampled domains emit
   * copies > 1 (an epochs column, not duplicated bytes); undersampled
@@ -28,82 +32,66 @@ import graft.util.{QueryDef, Tables}
   */
 object Mix {
 
+  /** The shared resample: `d` must carry (doc_id, source); `weight` is
+    * the per-document mixture weight expression.
+    */
+  private def resample(d: DataFrame, weight: Column, prefix: String): DataFrame = {
+    val n = d.groupBy("source").agg(sum(weight).as("ws_"))
+    val tot = n.agg(sum("ws_").as("wt"), count(lit(1)).as("st"))
+    val den = col("st") * col("ws_")
+    d.join(broadcast(n), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("h", Export.md5Long(concat(lit(prefix), col("doc_id"))))
+      .withColumn("copies",
+        when(col("ws_") === 0L, 0L).otherwise(
+          call_function("div", col("wt"), den) +
+            when(col("h") % den < col("wt") % den, 1L).otherwise(0L)))
+  }
+
+  /** The shared oracle template over a `dt` CTE carrying (doc_id,
+    * source, w) — the same sums, integer rate, and md5-Bernoulli as
+    * [[resample]], with `extraCols` appended to the projection.
+    */
+  private def resampleSql(dt: String, prefix: String, extraCols: String): String =
+    s"""WITH dt AS ($dt),
+      |n AS (SELECT source, CAST(SUM(w) AS BIGINT) AS ws_ FROM dt GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(ws_) AS BIGINT) AS wt,
+      |               (SELECT CAST(COUNT(*) AS BIGINT) FROM n) AS st
+      |        FROM n)
+      |SELECT d.doc_id, d.source$extraCols,
+      |  CAST(CASE WHEN n.ws_ = 0 THEN 0
+      |    ELSE t.wt // (t.st * n.ws_)
+      |      + CASE WHEN ('0x' || substr(md5('$prefix' || d.doc_id), 1, 15))::BIGINT % (t.st * n.ws_)
+      |                  < t.wt % (t.st * n.ws_)
+      |             THEN 1 ELSE 0 END END AS BIGINT) AS copies
+      |FROM dt d JOIN n USING (source) CROSS JOIN tot t
+      |ORDER BY doc_id""".stripMargin
+
   private def mixDomains(s: SparkSession, dir: String): DataFrame =
     mixOf(Tables.load(s, dir, "documents").select("doc_id", "source"))
 
-  private[graft] def mixOf(d: DataFrame): DataFrame = {
-    val n = d.groupBy("source").agg(count(lit(1)).as("ns"))
-    val tot = n.agg(sum("ns").as("nd"), count(lit(1)).as("st"))
-    val den = col("st") * col("ns")
-    d.join(broadcast(n), "source")
-      .crossJoin(broadcast(tot))
-      .withColumn("h", Export.md5Long(concat(lit("mix:"), col("doc_id"))))
-      .withColumn("copies",
-        call_function("div", col("nd"), den) +
-          when(col("h") % den < col("nd") % den, 1L).otherwise(0L))
+  private[graft] def mixOf(d: DataFrame): DataFrame =
+    resample(d, lit(1L), "mix:")
       .select(col("doc_id"), col("source"), col("copies"))
       .orderBy("doc_id")
-  }
 
-  private val mixSql =
-    """WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM documents GROUP BY 1),
-      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
-      |               (SELECT CAST(COUNT(*) AS BIGINT) FROM n) AS st
-      |        FROM documents)
-      |SELECT d.doc_id, d.source,
-      |  CAST(t.nd // (t.st * n.ns)
-      |    + CASE WHEN ('0x' || substr(md5('mix:' || d.doc_id), 1, 15))::BIGINT % (t.st * n.ns)
-      |                < t.nd % (t.st * n.ns)
-      |           THEN 1 ELSE 0 END AS BIGINT) AS copies
-      |FROM documents d JOIN n USING (source) CROSS JOIN tot t
-      |ORDER BY doc_id""".stripMargin
+  private val mixSql = resampleSql(
+    "SELECT doc_id, source, 1 AS w FROM documents", "mix:", "")
 
-  /** Token-mass-weighted variant: real pretraining mixtures target
-    * TOKEN budgets, not document counts — here every domain contributes
-    * T/S expected tokens (T = corpus token total over S domains), so a
-    * domain of few long documents is thinned where the document-count
-    * rule would upsample it. Same integer-rate + md5-Bernoulli
-    * arithmetic over per-domain token sums (the corpus whitespace
-    * tokenization convention); a domain with zero tokens emits zero
-    * copies. The hash key is "mixtok:"-prefixed so the two resamples
-    * draw independent Bernoullis.
-    */
   private def mixTokens(s: SparkSession, dir: String): DataFrame =
     mixTokensOf(Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), Export.tokCount(col("text")).as("toks")))
 
-  private[graft] def mixTokensOf(d: DataFrame): DataFrame = {
-    val n = d.groupBy("source").agg(sum("toks").as("ts_"))
-    val tot = n.agg(sum("ts_").as("tt"), count(lit(1)).as("st"))
-    val den = col("st") * col("ts_")
-    d.join(broadcast(n), "source")
-      .crossJoin(broadcast(tot))
-      .withColumn("h", Export.md5Long(concat(lit("mixtok:"), col("doc_id"))))
-      .withColumn("copies",
-        when(col("ts_") === 0L, 0L).otherwise(
-          call_function("div", col("tt"), den) +
-            when(col("h") % den < col("tt") % den, 1L).otherwise(0L)))
+  private[graft] def mixTokensOf(d: DataFrame): DataFrame =
+    resample(d, col("toks"), "mixtok:")
       .select(col("doc_id"), col("source"), col("toks"), col("copies"))
       .orderBy("doc_id")
-  }
 
-  private val mixTokensSql =
-    """WITH dt AS (
-      |  SELECT doc_id, source,
-      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS toks
-      |  FROM documents
-      |), n AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS ts_ FROM dt GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(ts_) AS BIGINT) AS tt,
-      |               (SELECT CAST(COUNT(*) AS BIGINT) FROM n) AS st
-      |        FROM n)
-      |SELECT d.doc_id, d.source, d.toks,
-      |  CAST(CASE WHEN n.ts_ = 0 THEN 0
-      |    ELSE t.tt // (t.st * n.ts_)
-      |      + CASE WHEN ('0x' || substr(md5('mixtok:' || d.doc_id), 1, 15))::BIGINT % (t.st * n.ts_)
-      |                  < t.tt % (t.st * n.ts_)
-      |             THEN 1 ELSE 0 END END AS BIGINT) AS copies
-      |FROM dt d JOIN n USING (source) CROSS JOIN tot t
-      |ORDER BY doc_id""".stripMargin
+  private val mixTokensSql = resampleSql(
+    """SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS w
+      |  FROM documents""".stripMargin,
+    "mixtok:", ", d.w AS toks")
 
   val defs: Map[String, QueryDef] = Map(
     "mix_domains" -> QueryDef.sql(mixDomains, mixSql,

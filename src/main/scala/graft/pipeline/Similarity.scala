@@ -279,22 +279,33 @@ object Similarity {
     * members in the Lloyd step drop out (both engines GROUP them away
     * identically). Returns (cell, cv ARRAY<BIGINT>, cn2).
     */
-  private[pipeline] def ivfCentroids(base: DataFrame, cells: Int): DataFrame = {
-    val seeds = base.orderBy("id").limit(cells)
-      .select(col("id").as("cell"), col("iv").as("sv"))
-      .withColumn("sn2", dot(col("sv"), col("sv")))
+  /** Argmax-cosine assignment of `base` (id, iv) to `cent` (cell, cv,
+    * cn2): ties → smaller cell — THE assignment tie rule every consumer
+    * (IVF, k-means, the oracles) shares, defined once.
+    */
+  private[pipeline] def assignCells(base: DataFrame, cent: DataFrame): DataFrame = {
     val byId = Window.partitionBy("id").orderBy(desc("score"), col("cell"))
-    val m0 = base.crossJoin(broadcast(seeds))
-      .withColumn("score", dot(col("iv"), col("sv")) / sqrt(col("sn2")))
+    base.crossJoin(broadcast(cent))
+      .withColumn("score", dot(col("iv"), col("cv")) / sqrt(col("cn2")))
       .withColumn("rn", row_number().over(byId))
       .filter(col("rn") === 1)
       .select("id", "cell")
-    m0.join(base, "id")
+  }
+
+  /** Element-wise integer centroid sums of assignment `m`'s groups. */
+  private[pipeline] def centroidSums(m: DataFrame, base: DataFrame): DataFrame =
+    m.join(base, "id")
       .select(col("cell"), posexplode(col("iv")).as(Seq("i", "x")))
       .groupBy("cell", "i").agg(sum("x").as("cx"))
       .groupBy("cell")
       .agg(expr("transform(sort_array(collect_list(struct(i, cx))), p -> p.cx)").as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
+
+  private[pipeline] def ivfCentroids(base: DataFrame, cells: Int): DataFrame = {
+    val seeds = base.orderBy("id").limit(cells)
+      .select(col("id").as("cell"), col("iv").as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    centroidSums(assignCells(base, seeds), base)
   }
 
   private def ivfAnn0(s: SparkSession, dir: String): DataFrame = {
@@ -353,15 +364,20 @@ object Similarity {
     // Session-scoped build-once: a fresh JVM always rebuilds (an on-disk
     // _SUCCESS check would serve a stale layout if the source table
     // changed between runs); within a session every re-run reuses it.
-    if (builtLayouts.add(loc)) {
-      val byCell = Window.partitionBy("c_id").orderBy(desc("score"), col("cell"))
-      val m1 = c.crossJoin(broadcast(cent))
-        .withColumn("score", dot(col("civ"), col("cv")) / sqrt(col("cn2")))
-        .withColumn("rn", row_number().over(byCell))
-        .filter(col("rn") === 1)
-        .select("c_id", "cell")
-      m1.join(c, "c_id")
-        .write.mode("overwrite").partitionBy("cell").parquet(loc)
+    // mark built only AFTER the write returns (a failed first write must
+    // not leave later calls reading a partial directory)
+    if (!builtLayouts.contains(loc)) builtLayouts.synchronized {
+      if (!builtLayouts.contains(loc)) {
+        val byCell = Window.partitionBy("c_id").orderBy(desc("score"), col("cell"))
+        val m1 = c.crossJoin(broadcast(cent))
+          .withColumn("score", dot(col("civ"), col("cv")) / sqrt(col("cn2")))
+          .withColumn("rn", row_number().over(byCell))
+          .filter(col("rn") === 1)
+          .select("c_id", "cell")
+        m1.join(c, "c_id")
+          .write.mode("overwrite").partitionBy("cell").parquet(loc)
+        builtLayouts.add(loc)
+      }
     }
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))

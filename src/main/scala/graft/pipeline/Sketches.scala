@@ -41,12 +41,13 @@ object Sketches {
     // the corpus 8-gram convention (Curation.gramsOf), with lang carried:
     // grams are the high-cardinality unit here (the per-lang token
     // vocabulary is fixture-small, which would leave KMV vacuous)
+    val gn = Curation.GramN
     val toks = d
       .select(col("lang"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .withColumn("n", size(col("ws")))
-      .filter(col("n") >= 8)
+      .filter(col("n") >= gn)
       .select(col("lang"), explode(
-        expr("transform(sequence(0, n - 8), i -> array_join(slice(ws, i + 1, 8), ' '))")).as("g"))
+        expr(s"transform(sequence(0, n - $gn), i -> array_join(slice(ws, i + 1, $gn), ' '))")).as("g"))
       .select(col("lang"), Export.md5Long(col("g")).as("h"))
       .distinct()
     val byLang = Window.partitionBy("lang").orderBy("h")
@@ -77,10 +78,10 @@ object Sketches {
   private val kmvSql =
     s"""WITH toks AS (
       |  SELECT DISTINCT lang,
-      |    ('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15))::BIGINT AS h
+      |    ('0x' || substr(md5(array_to_string(ws[i:i+${Curation.GramN - 1}], ' ')), 1, 15))::BIGINT AS h
       |  FROM (SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents) w,
-      |       UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
-      |  WHERE len(ws) >= 8
+      |       UNNEST(generate_series(1, len(ws) - ${Curation.GramN - 1})) AS t(i)
+      |  WHERE len(ws) >= ${Curation.GramN}
       |), ranked AS (
       |  SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM toks
       |), kth AS (SELECT lang, h AS hk FROM ranked WHERE rn = $K

@@ -134,8 +134,7 @@ object EventJoins {
   private[queries] def sessionizeOf(ev: DataFrame): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy(col("tsus"), col("event_id"))
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.filter(col("event_type").isNotNull)
-      .withColumn("gap", col("tsus") - lag("tsus", 1).over(order))
+    ev.withColumn("gap", col("tsus") - lag("tsus", 1).over(order))
       .withColumn("brk", when(col("gap").isNull || col("gap") > SessionGapUs, 1L).otherwise(0L))
       .withColumn("sess", sum("brk").over(run))
       .groupBy("user_id", "sess")

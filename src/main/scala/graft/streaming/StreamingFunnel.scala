@@ -11,8 +11,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * user converts at most once, exactly the batch semantics where each
   * step is the user's earliest qualifying event). For the in-order
   * streams the batch twin defines truth on, first-seen ≡ earliest;
-  * events inside a micro-batch are sorted by (ts, event id) before
-  * folding. State is three scalars per user.
+  * events inside a micro-batch are sorted by (ts, funnel step, event
+  * id) — the step key makes a same-timestamp view fold before the
+  * click it qualifies (and click before purchase), exactly the batch
+  * `tsus >= t1` inclusivity. State is three scalars per user.
   */
 object StreamingFunnel {
 
@@ -31,7 +33,10 @@ object StreamingFunnel {
         (user: Long, evs: Iterator[Event], state: GroupState[Progress]) => {
           var p = state.getOption.getOrElse(Progress(None_, None_, done = false))
           val out = scala.collection.mutable.ListBuffer.empty[Conversion]
-          evs.toSeq.sortBy(e => (e.tsus, e.event_id)).foreach { e =>
+          def step(t: String): Int = t match {
+            case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
+          }
+          evs.toSeq.sortBy(e => (e.tsus, step(e.event_type), e.event_id)).foreach { e =>
             if (!p.done) e.event_type match {
               case "view" if p.t1 == None_ =>
                 p = p.copy(t1 = e.tsus)
