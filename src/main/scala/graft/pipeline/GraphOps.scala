@@ -131,6 +131,24 @@ object GraphOps {
     perVertex.unionByName(total).orderBy("vec_id")
   }
 
+  /** Connected components of the kNN graph — the structure question a
+    * curation pipeline asks of its similarity graph (how fragmented is
+    * the embedding space at this neighborhood size?). Reuses the ONE
+    * distributed CC implementation ([[Dedup.ccLabels]], alternating
+    * large-star/small-star, O(log n) keyed-shuffle rounds); the oracle
+    * recomputes the closure by recursive CTE over the identical kNN
+    * edge CTEs.
+    */
+  private def components(s: SparkSession, dir: String): DataFrame =
+    scoped(s, dir) {
+      val nodes = emb(s, dir).select(col("vec_id").as("doc_id"))
+      val edges = symEdges(s, dir).filter(col("u") < col("v"))
+        .select(col("u").as("a"), col("v").as("b"))
+      Dedup.ccLabels(nodes, edges)
+        .select(col("doc_id").as("vec_id"), col("comp"))
+        .orderBy("vec_id")
+    }
+
   // ---- oracle fragments -------------------------------------------------
 
   /** Shared CTEs: blocked candidates → exact scores → directed top-K kNN
@@ -202,7 +220,19 @@ object GraphOps {
       |UNION ALL SELECT -1, CAST(COUNT(*) AS BIGINT) FROM tris
       |ORDER BY vec_id""".stripMargin)
 
+  private val ccSql =
+    s"""WITH RECURSIVE ${Similarity.baseCtes}, ${Similarity.dupCandCtes}, $knnCtes,
+      |edges AS (SELECT a, b FROM und UNION SELECT b, a FROM und
+      |), reach(v, u) AS (
+      |  SELECT vec_id, vec_id FROM iv
+      |  UNION
+      |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+      |SELECT v AS vec_id, MIN(u) AS comp FROM reach GROUP BY v ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "graph_components" -> QueryDef.sql(components, ccSql,
+      "connected components of the kNN graph via the shared " +
+        "large-star/small-star contraction; oracle = recursive-CTE closure"),
     "graph_knn" -> QueryDef.sql(knn, knnSql,
       s"kNN graph (top-$KnnK cosine neighbors among IVF-blocked candidates)"),
     "graph_pagerank" -> QueryDef.sql(pagerank, prSql,

@@ -35,6 +35,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(mass > 150000000000L, s"mass $mass below the teleport floor")
   }
 
+  test("components: labels are consistent across every edge and rooted at minima") {
+    val comp = graft.SparkEntry.queries("graph_components")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 500)
+    comp.foreach { case (v, c) => assert(c <= v, s"root $c above member $v") }
+    // every kNN edge joins vertices of one component
+    val edges = graft.SparkEntry.queries("graph_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (u, v) =>
+      assert(comp(u) == comp(v), s"edge ($u,$v) crosses components")
+    }
+    // roots label themselves
+    comp.values.toSet.foreach { (c: Long) => assert(comp(c) == c, s"root $c not fixed") }
+  }
+
   test("triangles: the global count is the per-vertex sum over 3") {
     val t = graft.SparkEntry.queries("graph_triangles")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
