@@ -100,6 +100,11 @@ object Bench {
       name -> best.getOrElse(name, t1)
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Both estimators go in the JSON: `value` is the min-based total (the
+    // uncontended estimate), `total_first_pass` the raw cold-ish first
+    // pass. Reporting both means the warm-cache min can never silently
+    // flatter a regression — a plan regression moves BOTH numbers.
+    val totalFirst = firstPass.collect { case (_, _, v) if v >= 0 => v }.sum
     // Job-count report (stderr): the scheduling-robustness gate is that
     // no single query needs a large number of scheduled jobs.
     jobCounts.toSeq.sortBy(-_._2).take(15).foreach { case (n, c) =>
@@ -110,7 +115,7 @@ object Bench {
     def line(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs$om,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_first_pass":$totalFirst%.3f,"n_queries":${results.size},"queries":$qs$om,"errors":$errJson,"sf":"$sfDir"}"""
     }
     // The driver greps its stdout tail (last ~2000 chars) for the JSON
     // line; sbt's closing "[success] ..." line eats ~80 of those. Keep

@@ -424,9 +424,26 @@ object Dedup {
     * @return (doc_id, comp)
     */
   private[pipeline] def ccLabels(vertices: DataFrame, edges0: DataFrame): DataFrame = {
+    // Fixed-point detector: the star rounds keep edge sets DISTINCT, so
+    // set equality is checked by an order-independent signature —
+    // (count, sum of 64-bit edge hashes, xor of edge hashes) — one
+    // map-side-combined aggregate per round instead of the two O(E)
+    // exceptAll shuffles a literal set-diff would cost. A collision
+    // would need two distinct edge sets agreeing on all three, ~2^-128.
+    // (hash sum is decimal(38,0): ANSI mode throws on long-sum overflow,
+    // and a sum of 64-bit hashes overflows a long almost immediately)
+    def edgeSig(df: DataFrame): (Long, BigDecimal, Long) = {
+      val h = xxhash64(col("u"), col("v"))
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(h.cast("decimal(38,0)")), lit(BigDecimal(0))),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)), r.getLong(2))
+    }
     var e = edges0.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint(true)
+    var prevSig = edgeSig(e)
     var iters = 0
     var converged = false
     while (!converged && iters < 50) {
@@ -451,7 +468,9 @@ object Dedup {
           .select(col("m").as("u"), col("x").as("v")))
         .distinct().localCheckpoint(true)
       // fixed point: the round was an identity transform of the edge set
-      converged = e2.exceptAll(e).unionAll(e.exceptAll(e2)).isEmpty
+      val sig2 = edgeSig(e2)
+      converged = sig2 == prevSig
+      prevSig = sig2
       e = e2
       iters += 1
     }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** Executed-plan gates for the relational surface: the join strategies we
+  * claim (broadcast for fixed-size dims, shuffle for fact⋈fact, semi/anti
+  * without payload materialization) must be what Spark actually runs, and
+  * the rollup/grouping-sets queries must plan as ONE Expand + aggregate —
+  * not a re-scan per subtotal level.
+  */
+class RelationalPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // force AQE to finalize the real physical plan
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def run(name: String): DataFrame =
+    Relational.defs(name).impl(spark, dir)
+
+  test("q2: fixed-size nation dim joins as BroadcastHashJoin") {
+    assert(plan(run("q2_join_revenue")).contains("BroadcastHashJoin"))
+  }
+
+  test("q3 outer join survives without broadcasting the fact side when broadcast is off") {
+    // force the planner's hand: with auto-broadcast disabled and no hint,
+    // customer⋈orders must fall back to a shuffle join — proving nothing
+    // in the query depends on a fact-sized broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(run("q3_outer_counts"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q4/q5: semi and anti joins plan as LeftSemi/LeftAnti (no dedup shuffle)") {
+    val semi = plan(run("q4_semi_join"))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = plan(run("q5_anti_join"))
+    assert(anti.contains("LeftAnti"), anti)
+    // neither needs a post-join Aggregate for dedup — the join type IS the dedup
+    assert(!semi.contains("HashAggregate"), semi)
+  }
+
+  test("q6/q7: rollup and grouping sets are one Expand + aggregate, not per-level re-scans") {
+    val rollup = plan(run("q6_rollup"))
+    assert(countOf(rollup, "Expand") == 1, rollup)
+    // one base scan feeds the Expand: no Union of per-level aggregates
+    assert(!rollup.contains("Union"), rollup)
+    val gs = plan(run("q7_grouping_sets"))
+    assert(countOf(gs, "Expand") == 1, gs)
+    assert(!gs.contains("Union"), gs)
+  }
+
+  test("q8/q9: windowed aggregates are a single Window over one sort per window spec") {
+    val p = plan(run("q8_window_running"))
+    // both the running sum and the lag share one (orderkey, unique-key)
+    // window spec → exactly one fused Window operator over one
+    // hash-partitioning shuffle; the only other exchange is the final
+    // ORDER BY's range partitioning
+    assert(countOf(p, "Window [") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+}
