@@ -14,12 +14,13 @@ import graft.util.{Pipelines, QueryDef, Tables}
   *  - the fit runs on the corpus WORD-TYPE dictionary, not the token
   *    stream: one distributed groupBy(word) over the corpus, whose
   *    output is vocabulary-sized (Heaps-law sublinear in corpus size),
-  *    then a driver-local merge loop over that model-sized dictionary.
-  *    The collect is bounded by a TakeOrdered top-[[MaxTypes]] cap
-  *    (frequency-desc, word asc), and an over-cap dictionary is LOGGED
-  *    — rare types beyond the cap cannot influence early merges, and a
-  *    silent cap is never acceptable. Both queries share one cached
-  *    dictionary per session, so the corpus is scanned once;
+  *    then a merge loop over that model-sized dictionary. At or under
+  *    [[MaxTypes]] types the loop is driver-local (one TakeOrdered
+  *    collect); over the cap it switches — logged — to the distributed
+  *    per-round trainer ([[fitMergesDistributed]]: one adjacent-pair
+  *    aggregate + argmax per merge), which is exact at any vocabulary
+  *    size. Both queries share one cached dictionary per session, so
+  *    the corpus is scanned once;
   *  - application broadcasts the merge-rank table (≤ [[Merges]]
   *    entries) and counts subword tokens per document in a map-only
   *    pass with a per-executor word memo — no shuffle beyond the scan.
@@ -137,17 +138,75 @@ object Bpe {
   private def dict(s: SparkSession, dir: String): DataFrame =
     Pipelines.cachedDF(s, s"bpe.dict:$dir")(dictOf(docs(s, dir)))
 
-  /** Driver fit from a type dictionary: ONE TakeOrdered collect
-    * (freq desc, word asc) of at most [[MaxTypes]]+1 rows — the +1 row
-    * detects (and logs) an over-cap dictionary without a separate
-    * count job.
+  /** Distributed trainer — the scale path when the type dictionary
+    * exceeds [[MaxTypes]]: the SAME merge rule as [[fitMerges]], but
+    * every round's pair count is ONE distributed aggregate over the
+    * symbolized dictionary (adjacent-pair explode → groupBy(l,r) with
+    * map-side partial sums) and only the single winning pair is
+    * collected per round. The dictionary never leaves the cluster, so
+    * the fit is exact at ANY vocabulary size — no dropped tail. Round
+    * state is localCheckpoint-ed eagerly (the merge applies a
+    * projection per round; 50 un-truncated rounds would build a
+    * 50-deep plan) and the previous round's blocks are released.
+    *
+    * Equivalence with the driver loop (BpeSpec gates both fixture-sized
+    * and over-cap synthetic dictionaries): counts are exact integer
+    * sums either way, and the (count desc, left asc, right asc)
+    * tie-break is a TakeOrdered limit(1) — Spark's UTF8 binary string
+    * order matches the driver's lexicographic order for the BMP text
+    * this pipeline tokenizes.
+    */
+  private[pipeline] def fitMergesDistributed(dictDf: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
+    val symUdf = udf { (w: String) => w.map(_.toString) :+ EndMark }
+    val mergeUdf = udf { (syms: Seq[String], l: String, r: String) =>
+      mergePair(syms.toVector, l, r)
+    }
+    var reprs = dictDf.select(symUdf(col("w")).as("syms"), col("f"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 0L
+    var exhausted = false
+    while (rank < k && !exhausted) {
+      val best = reprs
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("c"))
+        .filter(col("c") >= MinFreq)
+        .orderBy(desc("c"), col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((rank, l, r, c))
+        val next = reprs
+          .withColumn("syms", mergeUdf(col("syms"), lit(l), lit(r)))
+          .localCheckpoint(true)
+        reprs.unpersist(false)
+        reprs = next
+        rank += 1
+      }
+    }
+    reprs.unpersist(false)
+    out.result()
+  }
+
+  /** Fit dispatch: ONE TakeOrdered collect (freq desc, word asc) of at
+    * most [[MaxTypes]]+1 rows — the +1 row detects an over-cap
+    * dictionary without a separate count job. At or under the cap the
+    * model-sized driver loop runs (cheapest by far); over it the fit
+    * switches to [[fitMergesDistributed]], which is exact at any size —
+    * nothing is ever dropped.
     */
   private[pipeline] def fitOn(dictDf: DataFrame): Seq[(Long, String, String, Long)] = {
     val rows = dictDf.orderBy(desc("f"), col("w")).limit(MaxTypes + 1).collect()
-    if (rows.length > MaxTypes)
-      System.err.println(s"[bpe] type dictionary exceeds cap $MaxTypes — dropping the tail beyond the top $MaxTypes types")
-    val types = rows.take(MaxTypes).map(r => (r.getString(0), r.getLong(1))).toSeq
-    fitMerges(types, Merges)
+    if (rows.length > MaxTypes) {
+      System.err.println(
+        s"[bpe] type dictionary exceeds cap $MaxTypes — switching to the distributed per-round trainer")
+      fitMergesDistributed(dictDf, Merges)
+    } else
+      fitMerges(rows.map(r => (r.getString(0), r.getLong(1))).toSeq, Merges)
   }
 
   /** The fitted tokenizer, built once per session+dir: the merge table,

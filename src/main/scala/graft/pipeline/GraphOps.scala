@@ -84,10 +84,15 @@ object GraphOps {
       res
     }
 
-  private def pagerank(s: SparkSession, dir: String): DataFrame =
-    scoped(s, dir)(pagerankBody(s, dir))
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    // the round-barrier decision is the caller's (it owns the small-fit
+    // gate): checkpoint each round at real scale, one deep plan inside
+    // the small-fit scope — NOT a session-conf read at plan-build time
+    val barrier = emb(s, dir).count() > Pipelines.SmallFitThreshold
+    scoped(s, dir)(pagerankBody(s, dir, barrier))
+  }
 
-  private def pagerankBody(s: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def pagerankBody(s: SparkSession, dir: String, barrier: Boolean): DataFrame = {
     val nodes = emb(s, dir).select(col("vec_id").as("u"))
     val edges = symEdges(s, dir)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -106,9 +111,9 @@ object GraphOps {
         .select("u", "pr")
       // materialize each round (lineage truncation, the dedup_components
       // rule) — without it AQE re-plans a 3-round join tree layer by
-      // layer; inside the small-fit scope (AQE off) one deep plan in a
-      // single job is the cheaper shape, so skip the round barrier
-      if (i < PrIters && s.conf.get("spark.sql.adaptive.enabled") == "true")
+      // layer; inside the small-fit scope one deep plan in a single job
+      // is the cheaper shape, so the caller passes barrier = false there
+      if (i < PrIters && barrier)
         rank = rank.localCheckpoint()
     }
     rank.select(col("u").as("vec_id"), col("pr")).orderBy("vec_id")

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.{QueryDef, Tables}
+import graft.util.{QueryDef, Tables, Warehouse}
 
 /** Physical-layout operators: bucketed table layout for co-located
   * (shuffle-free) joins — the storage-side half of the scale toolkit
@@ -27,16 +27,14 @@ object Layout {
 
   private val Buckets = 16
 
-  private def tmpLoc(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_buckets/$name").getAbsolutePath
-
-  /** Write `df` as a bucketed+sorted catalog table (idempotent). */
+  /** Write `df` as a bucketed+sorted catalog table (idempotent); path
+    * under the configured warehouse ([[Warehouse.dir]]).
+    */
   private def writeBucketed(s: SparkSession, df: DataFrame, name: String,
       key: String): Unit = {
     df.write.format("parquet")
       .bucketBy(Buckets, key).sortBy(key)
-      .option("path", tmpLoc(name))
+      .option("path", Warehouse.dir(s, s"buckets/$name"))
       .mode("overwrite")
       .saveAsTable(name)
   }
@@ -103,8 +101,7 @@ object Layout {
     * timestamp convention.
     */
   private[pipeline] def timePartitionedEvents(s: SparkSession, dir: String): DataFrame = {
-    val loc = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_timepart/${suffix(dir)}").getAbsolutePath
+    val loc = Warehouse.dir(s, s"timepart/${suffix(dir)}")
     // mark built only AFTER the write returns: a failed first write must
     // not leave later calls reading a partial directory
     if (!builtTimeParts.contains(loc)) builtTimeParts.synchronized {

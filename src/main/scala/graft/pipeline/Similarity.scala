@@ -358,9 +358,9 @@ object Similarity {
     val c = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
     val cent = ivfCentroids(c.select(col("c_id").as("id"), col("civ").as("iv")), IvfCells)
-    val loc = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivf/" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString).getAbsolutePath
+    val loc = graft.util.Warehouse.dir(s,
+      "ivf/" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString)
     // Session-scoped build-once: a fresh JVM always rebuilds (an on-disk
     // _SUCCESS check would serve a stale layout if the source table
     // changed between runs); within a session every re-run reuses it.

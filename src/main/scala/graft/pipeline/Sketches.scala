@@ -42,12 +42,13 @@ object Sketches {
     // grams are the high-cardinality unit here (the per-lang token
     // vocabulary is fixture-small, which would leave KMV vacuous)
     val gn = Curation.GramN
-    val toks = d
+    val grams = d
       .select(col("lang"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .withColumn("n", size(col("ws")))
       .filter(col("n") >= gn)
       .select(col("lang"), explode(
         expr(s"transform(sequence(0, n - $gn), i -> array_join(slice(ws, i + 1, $gn), ' '))")).as("g"))
+    val toks = grams
       .select(col("lang"), Export.md5Long(col("g")).as("h"))
       .distinct()
     val byLang = Window.partitionBy("lang").orderBy("h")
@@ -59,7 +60,13 @@ object Sketches {
       .groupBy("lang").agg(count(lit(1)).as("kn"), max("h").as("hk"))
       .filter(col("kn") === K)
       .select("lang", "hk")
-    val exact = toks.groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+    // exact baseline over the RAW gram strings (not the 60-bit hashes
+    // the sketch ranks): at trillions of grams the hash space itself
+    // collides, and a baseline that silently conflated colliding grams
+    // would no longer be exact. This leg shuffles gram text — it is BY
+    // DESIGN the expensive measurement the sketch exists to replace.
+    val exact = grams.select("lang", "g").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
     // fewer than K distinct values ⇒ the sketch holds them all and IS
     // the exact count (the standard small-set rule)
     exact.join(kth, Seq("lang"), "left")
@@ -76,16 +83,19 @@ object Sketches {
     kmvOf(Tables.load(s, dir, "documents"))
 
   private val kmvSql =
-    s"""WITH toks AS (
-      |  SELECT DISTINCT lang,
-      |    ('0x' || substr(md5(array_to_string(ws[i:i+${Curation.GramN - 1}], ' ')), 1, 15))::BIGINT AS h
+    s"""WITH grams AS (
+      |  SELECT lang, array_to_string(ws[i:i+${Curation.GramN - 1}], ' ') AS g
       |  FROM (SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents) w,
       |       UNNEST(generate_series(1, len(ws) - ${Curation.GramN - 1})) AS t(i)
       |  WHERE len(ws) >= ${Curation.GramN}
+      |), toks AS (
+      |  SELECT DISTINCT lang, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM grams
       |), ranked AS (
       |  SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM toks
       |), kth AS (SELECT lang, h AS hk FROM ranked WHERE rn = $K
-      |), exact AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM toks GROUP BY 1
+      |), exact AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      |  FROM (SELECT DISTINCT lang, g FROM grams) GROUP BY 1
       |), est AS (
       |  SELECT e.lang, e.exact_distinct,
       |    CASE WHEN k.hk IS NULL THEN e.exact_distinct

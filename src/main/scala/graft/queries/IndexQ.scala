@@ -22,6 +22,7 @@ object IndexQ {
   private val L = 8
   private val Alpha = 8
   private val K = 3
+  private val KnnProbe = 10
 
   /** (user_id, data) fixed-length z-normed slices. */
   private[queries] def slices(s: SparkSession, dir: String): DataFrame = {
@@ -108,7 +109,7 @@ object IndexQ {
       // z-normed slices (one giant group — no pruning there), same
       // choice as j8/a8; depth adaptive from corpus cardinality
       val (df, stats) = IndexOps.knnWithStats(corpus, queries, bins, normed = false,
-        k = K, probe = 10, prefixStart = 2)
+        k = K, probe = KnnProbe, prefixStart = 2)
       val res = graft.util.Pipelines.tracked(s,
         df.withColumn("d2", jround(col("d2"), 6)).orderBy("qid", "rank"))
       (res, stats)
@@ -118,9 +119,11 @@ object IndexQ {
 
   /** Pruning telemetry as a registered query (the KnnStats numbers):
     * how much of the corpus×query space the LB pass touched after box
-    * pruning. Rows-only (the fraction depends on τ, i.e. on exact
-    * verified distances — not reasonably SQL-expressible); semantics
-    * gated by IndexOpsSpec's stats reconciliation test.
+    * pruning. Full DuckDB oracle ([[statsSql]]): the whole
+    * filter-and-refine PLAN — adaptive depth, boxes, box-LBs, the probe
+    * schedule, exact τ, survivor prefixes — is integer/interval
+    * arithmetic over the same DFT values the j5/a8 oracles already
+    * recompute, so the oracle re-derives the counts independently.
     */
   private def j6Stats(s: SparkSession, dir: String): DataFrame = {
     val stats = j6Run(s, dir)._2
@@ -336,13 +339,85 @@ object IndexQ {
       |FROM dft d JOIN pref p ON d.user_id = p.user_id
       |GROUP BY 1, 2 ORDER BY prefix, coef""".stripMargin
 
+  /** Scan-fraction oracle: re-runs the ENTIRE filter-and-refine plan in
+    * SQL — [[IndexOps.adaptiveDepth]] (the integer bulk-load rule),
+    * prefix packing (base 256, the Scala join key), per-prefix boxes
+    * from raw DFT values, box-LB with the DC-once/imag-skip/2× weighting
+    * (same as [[lbSql]]), the cumulative-count probe schedule
+    * (`cum_before < probe`), exact τ = kth-best verified distance, and
+    * the `boxLB ≤ τ` survivor set — and reports the same four counts
+    * KnnStats carries plus the rounded fraction.
+    */
+  private val statsSql = symCtes +
+    s""", cn AS (
+      |  SELECT COUNT(*) AS n FROM st WHERE user_id % 2 = 0
+      |), depth AS (
+      |  SELECT GREATEST(1, LEAST(${L - 2}, COALESCE(MAX(t.d), 1))) AS d
+      |  FROM (SELECT UNNEST(RANGE(1, ${L - 1})) AS d) t, cn
+      |  WHERE POWER($Alpha, 2*t.d - 1) * 10000 <= cn.n * cn.n
+      |), prefc AS (
+      |  SELECT s.user_id, CAST(SUM(s.s * POWER(256, dd.d - 1 - (s.coef - 2))) AS BIGINT) AS prefix
+      |  FROM sym s, depth dd
+      |  WHERE s.user_id % 2 = 0 AND s.coef >= 2 AND s.coef < 2 + dd.d
+      |  GROUP BY 1
+      |), boxes AS (
+      |  SELECT p.prefix, d.coef, MIN(d.v) AS mn, MAX(d.v) AS mx
+      |  FROM dft d JOIN prefc p ON d.user_id = p.user_id
+      |  GROUP BY 1, 2
+      |), pcnt AS (
+      |  SELECT prefix, COUNT(*) AS cnt FROM prefc GROUP BY 1
+      |), boxlb AS (
+      |  SELECT t.qid, t.prefix,
+      |    SUM(CASE WHEN t.coef = 1 THEN 0.0
+      |             WHEN t.coef = 0 THEN t.dd * t.dd
+      |             ELSE 2.0 * t.dd * t.dd END) AS lb
+      |  FROM (
+      |    SELECT q.user_id AS qid, b.prefix, b.coef,
+      |      CASE WHEN q.v < b.mn THEN b.mn - q.v
+      |           WHEN q.v > b.mx THEN q.v - b.mx ELSE 0.0 END AS dd
+      |    FROM boxes b JOIN dft q ON q.coef = b.coef
+      |    WHERE q.user_id % 2 = 1
+      |  ) t GROUP BY 1, 2
+      |), probe AS (
+      |  SELECT bl.qid, bl.prefix, pc.cnt,
+      |    COALESCE(SUM(pc.cnt) OVER (PARTITION BY bl.qid ORDER BY bl.lb, bl.prefix
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM boxlb bl JOIN pcnt pc ON bl.prefix = pc.prefix
+      |), probesel AS (
+      |  SELECT qid, prefix, cnt FROM probe WHERE cum_before < $KnnProbe
+      |), pd AS (
+      |  SELECT ps.qid, pc.user_id AS id, SUM((q.x - c.x)*(q.x - c.x)) AS d2
+      |  FROM probesel ps JOIN prefc pc ON pc.prefix = ps.prefix
+      |  JOIN sl q ON q.user_id = ps.qid
+      |  JOIN sl c ON c.user_id = pc.user_id AND c.j = q.j
+      |  GROUP BY 1, 2
+      |), tau AS (
+      |  SELECT qid, d2 AS tau FROM (
+      |    SELECT qid, d2, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS rn FROM pd
+      |  ) WHERE rn = $K
+      |), surv AS (
+      |  SELECT b.qid, b.prefix, pc.cnt
+      |  FROM boxlb b JOIN tau t ON b.qid = t.qid
+      |  JOIN pcnt pc ON pc.prefix = b.prefix
+      |  LEFT JOIN probesel ps ON ps.qid = b.qid AND ps.prefix = b.prefix
+      |  WHERE ps.prefix IS NULL AND b.lb <= t.tau
+      |)
+      |SELECT
+      |  (SELECT COUNT(*) FROM prefc) AS corpus_rows,
+      |  (SELECT COUNT(*) FROM st WHERE user_id % 2 = 1) AS query_rows,
+      |  (SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) FROM probesel) AS probe_verified,
+      |  (SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) FROM surv) AS lb_scanned,
+      |  FLOOR(CAST((SELECT COALESCE(SUM(cnt), 0) FROM surv) AS DOUBLE)
+      |    / ((SELECT COUNT(*) FROM prefc) * (SELECT COUNT(*) FROM st WHERE user_id % 2 = 1))
+      |    * 1e6 + 0.5) / 1e6 AS scan_fraction""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "j9_knn_scan" -> QueryDef.sql(j9, scanSql),
     "j6_knn_index" -> QueryDef.sql(j6, scanSql),
     "j7_range_search" -> QueryDef.sql(j7, rangeSql),
     "j8_approx_prefix" -> QueryDef.sql(j8, approxSql),
     "j5_lb_distance" -> QueryDef.sql(j5, lbSql),
-    "j6_scan_fraction" -> QueryDef.rowsOnly(j6Stats,
-      "k-NN box-pruning telemetry (KnnStats); gated by IndexOpsSpec stats reconciliation"),
+    "j6_scan_fraction" -> QueryDef.sql(j6Stats, statsSql,
+      "k-NN box-pruning telemetry with a full plan-replay oracle"),
     "a8_minmax_boxes" -> QueryDef.sql(a8, boxSql))
 }

@@ -11,6 +11,27 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 }
 
+/** Root for engine-WRITTEN physical layouts (bucketed tables, day/cell
+  * partitioned parquet): `spark.graft.warehouse.dir` when set — a real
+  * deployment points this at its warehouse/object-store prefix — else a
+  * PROCESS-UNIQUE temp directory. The process token matters: the
+  * build-once guards on these layouts are per-JVM, so the path lifetime
+  * must be per-JVM too — with a shared path, a bench JVM could
+  * overwrite a layout a test JVM is mid-way through reading. A
+  * configured warehouse is used verbatim (concurrent writers there are
+  * the deployment catalog's contract, as with any managed table).
+  */
+object Warehouse {
+  private lazy val procToken: String = ProcessHandle.current().pid().toString
+
+  def dir(s: SparkSession, sub: String): String = {
+    val base = s.conf.getOption("spark.graft.warehouse.dir").getOrElse(
+      new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_wh_$procToken")
+        .getAbsolutePath)
+    new java.io.File(base, sub).getAbsolutePath
+  }
+}
+
 /** Session-scoped reuse of shared pipeline stages (sliding SFA words,
   * fitted models). Several registered queries consume the same upstream
   * stage — words feed bags, joins, χ² selection, classifiers — and a
@@ -43,11 +64,19 @@ object Pipelines {
     * one composed plan (broadcast/subquery subtrees) are submitted
     * concurrently — against a lazily-cached stage each would recompute
     * the whole build independently.
+    *
+    * Storage policy: explicit MEMORY_AND_DISK (also `Dataset.cache()`'s
+    * default — unlike RDDs, a DataFrame cache NEVER OOMs on overflow, it
+    * spills). Several keyed stages here are fact-proportional
+    * (curation.grams, graph.sym, j1 vecs), so the materialized row count
+    * is logged: at a 100× corpus the log shows WHAT grew and the level
+    * guarantees the cache degrades to disk, not to an executor OOM.
     */
   def cachedDF(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     dfs.getOrElseUpdate((sid(s), key), {
-      val df = build.cache()
-      df.count()
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = df.count()
+      System.err.println(s"[cache] $key: $n rows (MEMORY_AND_DISK)")
       df
     })
 
@@ -68,7 +97,7 @@ object Pipelines {
     * bounded by its distinct tracked plans, not its call count.
     */
   def tracked(s: SparkSession, df: DataFrame): DataFrame = {
-    val cached = df.cache()
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val planKey = cached.queryExecution.logical.semanticHash()
     dfs.put((sid(s), s"_tracked:$planKey"), cached)
     cached
@@ -114,7 +143,14 @@ object Pipelines {
     * previous values, so scopes nest; the caller must materialize its
     * results inside the scope (our query wrappers cache eagerly).
     */
-  def smallFitScope[T](s: SparkSession, n: Long, threshold: Long = 5000)(body: => T): T =
+  /** Default [[smallFitScope]] threshold — public so a caller that must
+    * BRANCH on the same decision (e.g. checkpoint-per-round vs
+    * one-deep-plan in iterative graph bodies) tests the identical
+    * condition instead of re-reading session confs at plan-build time.
+    */
+  val SmallFitThreshold = 5000L
+
+  def smallFitScope[T](s: SparkSession, n: Long, threshold: Long = SmallFitThreshold)(body: => T): T =
     if (n > threshold) body
     else {
       FitScope.enter(s)

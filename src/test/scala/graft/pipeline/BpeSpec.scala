@@ -81,4 +81,41 @@ class BpeSpec extends SparkSpec {
     // heavily repeated types compress to at most 2 symbols per word
     assert(m(2L)._3 <= 2 * m(2L)._2)
   }
+
+  test("distributed trainer equals the driver loop merge-for-merge") {
+    import spark.implicits._
+    // the paper dictionary plus shared-prefix noise types so several
+    // rounds have competing pairs and tie-breaks to exercise
+    val types = paperTypes ++ Seq[(String, Long)](
+      ("news", 4L), ("wide", 4L), ("lows", 3L), ("widen", 2L), ("zzz", 1L))
+    val dictDf = types.toDF("w", "f")
+    val dist = Bpe.fitMergesDistributed(dictDf, 50)
+    val local = Bpe.fitMerges(types, 50)
+    assert(dist == local)
+    assert(dist.nonEmpty)
+  }
+
+  test("over-cap dictionary switches to the distributed trainer, nothing dropped",
+      graft.Slow) {
+    import spark.implicits._
+    // > MaxTypes synthetic types; every type unique so the capped driver
+    // loop would LOSE tail types — the distributed path must not. The
+    // numeral-suffix words share digit pairs, so merges exist.
+    val n = Bpe.MaxTypes + 5
+    val dictDf = spark.range(n)
+      .select(concat(lit("w"), col("id").cast("string")).as("w"), lit(1L).as("f"))
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    val dist =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true))
+        Bpe.fitOn(dictDf) // dispatch decides; must take the distributed path
+      } finally System.setErr(old)
+    assert(new String(errBuf.toByteArray).contains("distributed per-round trainer"))
+    // driver reference over the FULL dictionary (fits in test memory)
+    val types = (0L until n.toLong).map(i => (s"w$i", 1L))
+    val local = Bpe.fitMerges(types, Bpe.Merges)
+    assert(dist == local)
+    assert(dist.nonEmpty)
+  }
 }
