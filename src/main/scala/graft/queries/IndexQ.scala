@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{QueryDef, Tables}
 import graft.util.Rnd.jround
-import graft.sfa.{Fourier, IndexOps, SFA, Words}
+import graft.sfa.{Fourier, IndexOps, ModelIO, SFA, Words}
 import graft.ts.Loaders
 
 /** Exact k-NN index queries (SFATrie equivalent, SURVEY §2.5 J5/J6/J9)
@@ -100,6 +100,15 @@ object IndexQ {
 
   /** j6 + its pruning telemetry, memoized so `j6_knn_index` and
     * `j6_scan_fraction` share one filter-and-refine run.
+    *
+    * Runs over the PERSISTED S10 layout: the corpus is written once per
+    * session as prefix-partitioned parquet (`ModelIO.saveIndex`, the
+    * trie's at-rest form, same Warehouse root as the IVF/bucketed
+    * layouts) and the k-NN engine reads only probed/surviving prefixes'
+    * directories ([[IndexOps.knnOverLayout]]; IndexLayoutSpec pins the
+    * PartitionFilters plan) — the index serves corpora that never fit
+    * memory, and the hash oracle (≡ brute scan) is unchanged because
+    * doubles round-trip parquet exactly.
     */
   private def j6Run(s: SparkSession, dir: String): (DataFrame, IndexOps.KnnStats) =
     graft.util.Pipelines.cachedObj(s, s"index.j6run:$dir") {
@@ -108,8 +117,14 @@ object IndexQ {
       // prefix from symbol 2 on: 0/1 are the degenerate DC pair of
       // z-normed slices (one giant group — no pruning there), same
       // choice as j8/a8; depth adaptive from corpus cardinality
-      val (df, stats) = IndexOps.knnWithStats(corpus, queries, bins, normed = false,
-        k = K, probe = KnnProbe, prefixStart = 2)
+      val plen = IndexOps.adaptiveDepth(corpus.count(), Alpha, L - 2)
+      val path = graft.util.Warehouse.dir(s,
+        s"knnidx/${java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString}")
+      ModelIO.saveIndex(corpus, usedBits = Words.binlog(Alpha), prefixLen = plen,
+        path, prefixStart = 2, base = 256)
+      val (df, stats) = IndexOps.knnOverLayout(path, queries, bins, normed = false,
+        k = K, probe = KnnProbe, prefixLen = plen)
       val res = graft.util.Pipelines.tracked(s,
         df.withColumn("d2", jround(col("d2"), 6)).orderBy("qid", "rank"))
       (res, stats)

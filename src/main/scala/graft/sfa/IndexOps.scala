@@ -169,6 +169,64 @@ object IndexOps {
     val plen =
       if (prefixLen > 0) prefixLen
       else adaptiveDepth(corpus.count(), bins(0).length + 1, bins.length - prefixStart)
+    // pack the prefix symbols into a LONG: an ARRAY join key is not
+    // hashable, so every prefix equi-join would degrade to a broadcast
+    // nested-loop over (corpus × survivor) pairs — the hash join needs a
+    // scalar. 256 ≥ any alphabet in use (reference caps α at 8).
+    val prefixCol = expr(
+      s"aggregate(slice(word, ${prefixStart + 1}, $plen), 0L, (acc, s) -> acc * 256 + s)")
+    knnCore(
+      corpus.select(col("id"), col("data"), col("word"), col("approx"),
+        prefixCol.as("prefix")),
+      queries, bins, normed, k, probe, plen, queryBatchRows)
+  }
+
+  /** [[knnWithStats]] over a PERSISTED prefix-partitioned parquet layout
+    * (the S10 at-rest form, `ModelIO.saveIndex` with the same
+    * (prefixStart, prefixLen, base-256) packing): the member scans of
+    * both phases read ONLY the probed/surviving prefixes' directories —
+    * the driver-planned prefix lists become static PartitionFilters at
+    * the scan (IndexLayoutSpec pins the pruned plan), so the index
+    * serves corpora that never fit memory. Bit-identical to the
+    * in-memory path: doubles round-trip parquet exactly, and both paths
+    * share [[knnCore]].
+    *
+    * @param prefixLen REQUIRED explicit depth — it must equal the depth
+    *                  the layout was written with.
+    */
+  def knnOverLayout(
+      path: String,
+      queries: DataFrame,
+      bins: Array[Array[Double]],
+      normed: Boolean,
+      k: Int,
+      probe: Int,
+      prefixLen: Int,
+      queryBatchRows: Long = QueryBatchRows)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
+    require(probe >= k, s"probe budget ($probe) must be >= k ($k)")
+    require(prefixLen > 0, "layout-backed knn needs the depth the layout was written with")
+    val prepared = spark.read.parquet(path)
+      .select(col("id"), col("data"), col("word"), col("approx"),
+        col("prefix").cast("long").as("prefix"))
+    knnCore(prepared, queries, bins, normed, k, probe, prefixLen, queryBatchRows)
+  }
+
+  /** The filter-and-refine engine shared by the in-memory and persisted
+    * paths: `prepared` carries (id, data, word, approx, prefix) from
+    * either a projected corpus or a partitioned layout scan. Every
+    * member/payload access goes through a prefix-list filter, so against
+    * a layout the planner turns the driver's probe/survivor plan into
+    * partition pruning.
+    */
+  private def knnCore(
+      prepared: DataFrame,
+      queries: DataFrame,
+      bins: Array[Array[Double]],
+      normed: Boolean,
+      k: Int,
+      probe: Int,
+      plen: Int,
+      queryBatchRows: Long)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
     val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
       lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed)
     }
@@ -196,14 +254,13 @@ object IndexOps {
       }
       d
     }
-    // pack the prefix symbols into a LONG: an ARRAY join key is not
-    // hashable, so every prefix equi-join would degrade to a broadcast
-    // nested-loop over (corpus × survivor) pairs — the hash join needs a
-    // scalar. 256 ≥ any alphabet in use (reference caps α at 8).
-    val prefixCol = expr(
-      s"aggregate(slice(word, ${prefixStart + 1}, $plen), 0L, (acc, s) -> acc * 256 + s)")
-    val narrow = corpus.select(col("id"), col("word"), prefixCol.as("prefix"))
-    val payload = corpus.select(col("id"), col("data"))
+    // prefix-list member access — THE pruning point: a driver-planned
+    // prefix set becomes an `IN` filter on the prefix column, which a
+    // partitioned layout turns into PartitionFilters (directory skips)
+    // and the in-memory path folds into the scan filter
+    def members(ps: Seq[Long]): DataFrame =
+      if (ps.isEmpty) prepared.filter(lit(false))
+      else prepared.filter(col("prefix").isin(ps: _*))
 
     // phase 0: per-prefix Fourier bounding boxes + member counts — one
     // narrow distributed agg, then COLLECTED: ≤ α^prefixLen rows of 2·l
@@ -213,8 +270,8 @@ object IndexOps {
     // sets over (prefix × query) are then pure driver arithmetic — the
     // earlier all-DataFrame formulation spent ~2× the brute-scan's
     // whole wall time scheduling eight tiny jobs at sf0.1.
-    val boxRows = corpus
-      .select(prefixCol.as("prefix"), posexplode(col("approx")).as(Seq("coef", "v")))
+    val boxRows = prepared
+      .select(col("prefix"), posexplode(col("approx")).as(Seq("coef", "v")))
       .groupBy("prefix", "coef")
       .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("cnt"))
       .groupBy("prefix")
@@ -243,8 +300,11 @@ object IndexOps {
       val qNarrow = qb.select(col("qid"), col("qword"), col("qapprox"))
       val qPayload = qb.select(col("qid"), col("qdata"))
 
-      def verify(cand: DataFrame): DataFrame = cand
-        .join(payload, Seq("id"))
+      // exact verification fetches payloads ONLY from the prefixes the
+      // candidates can live in — over a layout the payload scan prunes
+      // to the same directories the member scan read
+      def verify(cand: DataFrame, ps: Seq[Long]): DataFrame = cand
+        .join(members(ps).select(col("id"), col("data")), Seq("id"))
         .join(broadcast(qPayload), Seq("qid"))
         .withColumn("d2", ed2Udf(col("data"), col("qdata")))
         .drop("data", "qdata")
@@ -270,10 +330,12 @@ object IndexOps {
       // collect is Q rows; a query whose probed prefixes held < k rows
       // gets no τ — sound because probe ≥ k forces probing to exhaust
       // the corpus before that can happen, see the None case below)
-      val probed0 = graft.util.Pipelines.tracked(spark, narrow
-        .join(broadcast(pairDF(probePairs)), Seq("prefix"))
-        .select(col("qid"), col("id")))
-      val tauMap: Map[Long, Double] = verify(probed0)
+      val probePrefixes = probePairs.map(_._2).distinct.toSeq
+      val probed0 = graft.util.Pipelines.tracked(spark,
+        members(probePrefixes).select(col("id"), col("prefix"))
+          .join(broadcast(pairDF(probePairs)), Seq("prefix"))
+          .select(col("qid"), col("id")))
+      val tauMap: Map[Long, Double] = verify(probed0, probePrefixes)
         .withColumn("drn", row_number().over(byD))
         .filter(col("drn") === k)
         .select(col("qid").cast("long"), col("d2"))
@@ -301,12 +363,15 @@ object IndexOps {
         }
       }
       val tauUdf = udf { (qid: Long) => tauMap.get(qid) }
-      val phase2 = narrow.join(broadcast(pairDF(survPairs)), Seq("prefix"))
+      val survPrefixes = survPairs.map(_._2).distinct.toSeq
+      val phase2 = members(survPrefixes)
+        .select(col("id"), col("word"), col("prefix"))
+        .join(broadcast(pairDF(survPairs)), Seq("prefix"))
         .join(broadcast(qNarrow), Seq("qid"))
         .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
         .filter(col("lb") <= tauUdf(col("qid").cast("long")))
         .select(col("qid"), col("id"))
-      val fin = verify(phase2.union(probed0))
+      val fin = verify(phase2.union(probed0), (probePrefixes ++ survPrefixes).distinct)
         .withColumn("rank", row_number().over(byD).cast("long"))
         .filter(col("rank") <= k)
         .select(col("qid"), col("rank"), col("id"), col("d2"))

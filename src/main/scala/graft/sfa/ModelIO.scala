@@ -258,15 +258,19 @@ object ModelIO {
 
   // ---- S10: k-NN index layout ----------------------------------------
 
-  /** Persist an index corpus partitioned by the word's first `prefixLen`
-    * symbols — queries whose LB prune excludes a prefix never read its
-    * files (partition pruning ≙ the trie's subtree skip).
+  /** Persist an index corpus partitioned by `prefixLen` word symbols
+    * from `prefixStart` — queries whose LB prune excludes a prefix never
+    * read its files (partition pruning ≙ the trie's subtree skip).
+    * `base` is the prefix-packing radix; 0 (default) = the tight
+    * 1<<usedBits packing, while `IndexOps.knnOverLayout` layouts pass
+    * 256 to match the k-NN engine's scalar prefix key.
     */
-  def saveIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String): Unit = {
-    val prefixMask = (1L << (usedBits * prefixLen)) - 1
+  def saveIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
+      prefixStart: Int = 0, base: Int = 0): Unit = {
+    val b = if (base > 0) base else 1 << usedBits
     corpus
       .withColumn("prefix",
-        expr(s"aggregate(slice(word, 1, $prefixLen), 0L, (acc, s) -> acc * ${1 << usedBits} + s)"))
+        expr(s"aggregate(slice(word, ${prefixStart + 1}, $prefixLen), 0L, (acc, s) -> acc * $b + s)"))
       .write.mode("overwrite").partitionBy("prefix").parquet(path)
   }
 
