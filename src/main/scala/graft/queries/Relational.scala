@@ -307,6 +307,29 @@ object Relational {
       |  FROM orders) t
       |WHERE price_c * cnt > sum_c ORDER BY o_orderkey""".stripMargin
 
+  /** Set operations: customers with BOTH a finished and an open order,
+    * minus those holding any pending one — INTERSECT and EXCEPT with
+    * their standard bag-to-set (distinct) semantics, planned by Spark
+    * as joins (LeftSemi for intersect, LeftAnti for except) rather than
+    * materialized distinct sets.
+    */
+  private def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    def custsWith(status: String): DataFrame =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey").as("c_custkey"))
+    custsWith("F").intersect(custsWith("O")).except(custsWith("P"))
+      .orderBy("c_custkey")
+  }
+
+  private val q11Sql =
+    """SELECT c_custkey FROM (
+      |  (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      |   INTERSECT
+      |   SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  EXCEPT
+      |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+      |) ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q1_agg" -> QueryDef.sql(q1Agg, q1Sql, "TPC-H Q1-style pricing summary"),
     "q2_join_revenue" -> QueryDef.sql(q2Join, q2Sql, "broadcast dim joins + fact aggregate"),
@@ -318,5 +341,6 @@ object Relational {
     "q7_grouping_sets" -> QueryDef.sql(q7GroupingSets, q7Sql, "asymmetric GROUPING SETS"),
     "q8_window_running" -> QueryDef.sql(q8WindowRunning, q8Sql, "running sum + lag per order"),
     "q9_moving_window" -> QueryDef.sql(q9MovingWindow, q9Sql, "frame-bounded moving aggregate per supplier"),
-    "q10_over_avg" -> QueryDef.sql(q10OverAvg, q10Sql, "decorrelated above-group-average filter"))
+    "q10_over_avg" -> QueryDef.sql(q10OverAvg, q10Sql, "decorrelated above-group-average filter"),
+    "q11_setops" -> QueryDef.sql(q11SetOps, q11Sql, "INTERSECT/EXCEPT with distinct set semantics"))
 }

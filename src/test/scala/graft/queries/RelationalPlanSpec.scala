@@ -41,10 +41,17 @@ class RelationalPlanSpec extends SparkSpec {
   test("q4/q5: semi and anti joins plan as LeftSemi/LeftAnti (no dedup shuffle)") {
     val semi = plan(run("q4_semi_join"))
     assert(semi.contains("LeftSemi"), semi)
+    // the status predicate reaches the parquet scan, not a post-scan Filter
+    assert(semi.contains("EqualTo(o_orderstatus,F)"), semi)
     val anti = plan(run("q5_anti_join"))
     assert(anti.contains("LeftAnti"), anti)
     // neither needs a post-join Aggregate for dedup — the join type IS the dedup
     assert(!semi.contains("HashAggregate"), semi)
+  }
+
+  test("q11: INTERSECT/EXCEPT plan as semi/anti joins, not materialized distinct sets") {
+    val p = plan(run("q11_setops"))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
 
   test("q6/q7: rollup and grouping sets are one Expand + aggregate, not per-level re-scans") {
