@@ -103,6 +103,29 @@ class BulkLoadSpec extends SparkSpec {
       assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-9)
     }
     info(s"windows=$total prefix-partitioned index at $path: knn == scan for 3 queries")
+
+    // the same index through the PERSISTED path (knnOverLayout): results
+    // must still equal the scan, the box prune must still prune, and —
+    // the scale point — the probe/survivor prefix lists must reach the
+    // layout scans as PartitionFilters (directory skips), so the k-NN
+    // never reads the pruned prefixes' files at all
+    val (lDf, lStats) = IndexOps.knnOverLayout(
+      path, queries, model.bins, model.normMean, K, Probe, prefixLen = 2)(spark)
+    val lGot = lDf.orderBy("qid", "rank").collect()
+    assert(lGot.length == 3 * K)
+    lGot.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1)
+        && g.getLong(2) == w.getLong(2))
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-9)
+    }
+    assert(lStats.scanFraction < 0.30,
+      f"layout path LB-scanned ${lStats.scanFraction * 100}%.1f%% of corpus×query (≥30%%)")
+    lDf.collect()
+    val plan = lDf.queryExecution.executedPlan.toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"/tmp/graft_bulk_plan_${nChunks}x$chunkSize.txt"), plan)
+    assert("PartitionFilters: \\[[^\\]]*prefix#\\d+".r.findFirstIn(plan).isDefined,
+      s"expected pruned layout scans in:\n${plan.take(4000)}")
   }
 
   test("bulk-loaded index (200k windows): k-NN over the layout equals the scan") {
