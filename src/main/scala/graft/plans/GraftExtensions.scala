@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.sfa.expr.{LongDotExpr, SfaWordExpr}
+import graft.sfa.expr.{BossDistExpr, Ed2Expr, LongDotExpr, SfaWordExpr}
 
 /** Session-extension entry point registering the engine's native
   * Catalyst expressions as SQL functions, so pure-SQL consumers (and
@@ -44,6 +44,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => LongDotExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "long_dot(a ARRAY<BIGINT>, b ARRAY<BIGINT>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("array_ed2"),
+      new ExpressionInfo(classOf[Ed2Expr].getName, "array_ed2"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => Ed2Expr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "array_ed2(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("boss_dist"),
+      new ExpressionInfo(classOf[BossDistExpr].getName, "boss_dist"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => BossDistExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "boss_dist(a ARRAY<BIGINT>, b ARRAY<BIGINT>)")
       }))
   }
 }

@@ -279,16 +279,13 @@ object Stats {
       words.zip(cnts).foreach { case (w, c) => bcIdx.value.get(w).foreach(i => a(i) = c) }
       a
     }
-    // single-pass pair fold (distance + overlap together); measured 2×
-    // the two-HOF zip_with formulation, and neither is codegen'd
-    val distUdf = udf { (tv: Seq[Long], rv: Seq[Long]) =>
-      var d = 0L; var ov = false; var i = 0
-      while (i < tv.length) {
-        val t = tv(i)
-        if (t > 0) { val x = t - rv(i); d += x * x; if (rv(i) > 0) ov = true }
-        i += 1
-      }
-      if (ov) d else -1L // -1 = zero overlap, not a candidate
+    // single-pass pair fold (distance + overlap together) as a native
+    // codegen expression (BossDistExpr): same ascending-index integer
+    // fold as the Scala UDF it replaced (bit-identical; -1 = zero
+    // overlap, not a candidate), fused into whole-stage codegen
+    def distUdf(tv: org.apache.spark.sql.Column, rv: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.sfa.expr.BossDistExpr(Bridge.expression(tv), Bridge.expression(rv)))
     }
     // materialize the vectors once: the broadcast (test) build and the
     // streamed train side are separate consumers of this shuffle

@@ -1,6 +1,6 @@
 package graft.sfa
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -65,14 +65,16 @@ object IndexOps {
     d
   }
 
-  /** Exact squared Euclidean distance between fixed-length slices. */
-  private val ed2Udf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var d = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
-    d
-  }
+  /** Exact squared Euclidean distance between fixed-length slices —
+    * the native codegen expression ([[graft.sfa.expr.Ed2Expr]]): same
+    * ascending-index accumulation as the Scala-UDF form it replaced
+    * (bit-identical results, all oracles unchanged), but fused into
+    * whole-stage codegen with no per-row array deserialization.
+    */
+  private def ed2Udf(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.sfa.expr.Ed2Expr(
+      org.apache.spark.sql.graft.Bridge.expression(a),
+      org.apache.spark.sql.graft.Bridge.expression(b)))
 
   /** Pruning telemetry of one [[knn]] run: how much of the corpus the LB
     * pass actually touched (the trie's subtree-skip, measured).

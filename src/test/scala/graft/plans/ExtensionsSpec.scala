@@ -91,6 +91,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaLambda.toSeq)
   }
 
+  test("array_ed2 SQL function matches the lambda form and interpreted eval") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0, 2.5, -3.0), Array(0.5, 2.5, 1.0)),
+      (2L, Array(0.0, 0.0), Array(0.0, 0.0))).toDF("id", "a", "b")
+    rows.createOrReplaceTempView("ed2_rows")
+
+    val viaSql = spark.sql(
+      "SELECT id, array_ed2(a, b) AS d FROM ed2_rows ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaLambda = spark.sql(
+      "SELECT id, aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x) AS d " +
+        "FROM ed2_rows ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaLambda.toSeq)
+    // interpreted path (nullSafeEval) agrees with codegen
+    val e = graft.sfa.expr.Ed2Expr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.5, -3.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.5, 2.5, 1.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == viaSql.head._2)
+  }
+
+  test("boss_dist SQL function matches the reference fold") {
+    import spark.implicits._
+    val rows = Seq(
+      // overlap on index 0; index 2 counts (t>0) even though r=0
+      (1L, Array(3L, 0L, 2L), Array(1L, 5L, 0L)),
+      // no shared populated coordinate -> -1
+      (2L, Array(1L, 0L), Array(0L, 7L))).toDF("id", "a", "b")
+    rows.createOrReplaceTempView("boss_rows")
+    val got = spark.sql("SELECT id, boss_dist(a, b) AS d FROM boss_rows ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 8L), (2L, -1L))) // (3-1)² + (2-0)² = 8
+  }
+
   test("sfa_word rejects a non-literal usedBits") {
     val err = intercept[Exception] {
       spark.sql("SELECT sfa_word(array(1.0D), array(array(0.0D)), CAST(rand() * 2 AS INT))").collect()
