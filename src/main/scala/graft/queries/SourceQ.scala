@@ -96,7 +96,9 @@ object SourceQ {
     * mapped to doubles in encounter order, numeric labels passed through
     * (TimeSeriesLoader.java:93-167).
     */
-  private val S3Path = s"${java.lang.System.getProperty("java.io.tmpdir")}/graft_s3.arff"
+  // process-unique: concurrent JVMs must not read a half-written fixture
+  private val S3Path =
+    s"${java.lang.System.getProperty("java.io.tmpdir")}/graft_s3_${ProcessHandle.current().pid()}.arff"
 
   private def writeS3Fixture(): Unit = {
     val content =
@@ -228,7 +230,7 @@ object SourceQ {
     val bins = SFAOps.collectBins(SFAOps.equiDepthBins(approx, 4), 8, 4)
     val model = SFAModel(16, 8, 4, normMean = false, lowerBounding = true,
       applyZNorm = true, bins = bins)
-    val path = s"${java.lang.System.getProperty("java.io.tmpdir")}/graft_s8_model"
+    val path = graft.util.Warehouse.dir(s, "s8_model")
     ModelIO.saveSFA(model, path)
     val loaded = ModelIO.loadSFA(path)
     import s.implicits._
@@ -250,10 +252,13 @@ object SourceQ {
   private def s9(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val tmpDir = java.lang.System.getProperty("java.io.tmpdir")
+    // artifact paths under the process-unique Warehouse root: the
+    // write-then-reload inside one query must never race a concurrent
+    // JVM's identical query on a shared tmpdir
+    val clfPath = graft.util.Warehouse.dir(s, "s9_clf")
     val model = graft.queries.ClassifierQ.bossGridFit(s, dir)
-    ModelIO.saveBossEnsemble(model, s"$tmpDir/graft_s9_clf")
-    val boss = ModelIO.loadBossEnsemble(s"$tmpDir/graft_s9_clf")
+    ModelIO.saveBossEnsemble(model, clfPath)
+    val boss = ModelIO.loadBossEnsemble(clfPath)
     val bossRows = boss.models
       .map(m => ("boss", m.norm, m.windowLength.toLong, m.features.toLong, m.trainCorrect))
 
@@ -268,8 +273,9 @@ object SourceQ {
         minF = 4, maxF = 4, folds = 2, normalization = Seq(true),
         minWindowLength = 8, maxWindowLength = 9, lrMaxIter = 5)).fit(train)
     }
-    ModelIO.saveWeasel(weasel, s"$tmpDir/graft_s9_weasel")
-    val w = ModelIO.loadWeasel(s"$tmpDir/graft_s9_weasel")
+    val weaselPath = graft.util.Warehouse.dir(s, "s9_weasel")
+    ModelIO.saveWeasel(weasel, weaselPath)
+    val w = ModelIO.loadWeasel(weaselPath)
     val weaselRows = Seq(
       ("weasel", w.norm, w.windows.size.toLong, w.features.toLong, w.trainCorrect))
 
@@ -289,7 +295,7 @@ object SourceQ {
       .withColumn("word",
         expr("transform(slice(data, 1, 4), x -> CAST(CASE WHEN x < 0 THEN 0 ELSE 1 END AS INT))"))
       .select(col("user_id").as("id"), col("data"), col("word"))
-    val path = s"${java.lang.System.getProperty("java.io.tmpdir")}/graft_s10_index"
+    val path = graft.util.Warehouse.dir(s, "s10_index")
     ModelIO.saveIndex(corpus, usedBits = 1, prefixLen = 2, path)
     ModelIO.loadIndex(path)
       .groupBy(col("prefix"))
