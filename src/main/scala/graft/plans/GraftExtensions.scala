@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
-import graft.sfa.expr.{BossDistExpr, Ed2Expr, LongDotExpr, SfaWordExpr}
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
+import graft.sfa.expr.{BossDistExpr, Ed2Expr, LbDistExpr, LongDotExpr, SfaWordExpr}
 
 /** Session-extension entry point registering the engine's native
   * Catalyst expressions as SQL functions, so pure-SQL consumers (and
@@ -60,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => BossDistExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "boss_dist(a ARRAY<BIGINT>, b ARRAY<BIGINT>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sfa_lb_dist"),
+      new ExpressionInfo(classOf[LbDistExpr].getName, "sfa_lb_dist"),
+      (children: Seq[Expression]) => children match {
+        case Seq(w, qw, qa, bins, Literal(normed: Boolean, BooleanType)) =>
+          LbDistExpr(w, qw, qa, bins, normed)
+        case _ => throw new IllegalArgumentException(
+          "sfa_lb_dist(word ARRAY<INT>, qword ARRAY<INT>, qapprox ARRAY<DOUBLE>, " +
+            "bins ARRAY<ARRAY<DOUBLE>>, normed BOOLEAN-literal)")
       }))
   }
 }

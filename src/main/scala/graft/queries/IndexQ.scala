@@ -275,9 +275,9 @@ object IndexQ {
     */
   private def j5(s: SparkSession, dir: String): DataFrame = {
     val (corpus, queries, bins) = prepared(s, dir)
-    val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
-      IndexOps.lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed = false)
-    }
+    def lbUdf(w: org.apache.spark.sql.Column, qw: org.apache.spark.sql.Column,
+        qa: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      IndexOps.lbCol(w, qw, qa, bins, normed = false)
     val byLb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("lb").asc, col("id").asc)
     // query set streams in broadcast-ceiling-sized slices (each qid in

@@ -65,6 +65,21 @@ object IndexOps {
     d
   }
 
+  /** [[lbDistance]] as a Column — the native codegen expression
+    * ([[graft.sfa.expr.LbDistExpr]]); the fitted bins ride in the plan
+    * as a model-sized nested-array literal instead of a closure
+    * capture. Bit-identical evaluation order to the Scala form.
+    */
+  def lbCol(word: Column, qword: Column, qapprox: Column,
+      bins: Array[Array[Double]], normed: Boolean): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    val binsLit = Bridge.expression(
+      org.apache.spark.sql.functions.typedlit(bins.map(_.toSeq).toSeq))
+    Bridge.column(graft.sfa.expr.LbDistExpr(
+      Bridge.expression(word), Bridge.expression(qword),
+      Bridge.expression(qapprox), binsLit, normed))
+  }
+
   /** Exact squared Euclidean distance between fixed-length slices —
     * the native codegen expression ([[graft.sfa.expr.Ed2Expr]]): same
     * ascending-index accumulation as the Scala-UDF form it replaced
@@ -229,9 +244,7 @@ object IndexOps {
       probe: Int,
       plen: Int,
       queryBatchRows: Long)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
-    val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
-      lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed)
-    }
+    def lbUdf(w: Column, qw: Column, qa: Column): Column = lbCol(w, qw, qa, bins, normed)
     // the same DC/symmetric-coefficient weighting lbDistance applies;
     // per coefficient the distance is to the [mn, mx] interval, which
     // contains every member's approx value — box-LB ≤ member approx
@@ -439,9 +452,7 @@ object IndexOps {
       bins: Array[Array[Double]],
       normed: Boolean,
       eps2: Double)(implicit spark: SparkSession): DataFrame = {
-    val lbUdf = udf { (w: Seq[Int], qw: Seq[Int], qa: Seq[Double]) =>
-      lbDistance(w.toArray, qw.toArray, qa.toArray, bins, normed)
-    }
+    def lbUdf(w: Column, qw: Column, qa: Column): Column = lbCol(w, qw, qa, bins, normed)
     val q = queries.select(col("qid"), col("qword"), col("qapprox"), col("qdata"))
     val nQ = q.count()
     val chunks = graft.util.Gated.numChunks(nQ, QueryBatchRows)

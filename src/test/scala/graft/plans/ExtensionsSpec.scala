@@ -128,6 +128,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 8L), (2L, -1L))) // (3-1)² + (2-0)² = 8
   }
 
+  test("sfa_lb_dist SQL function matches IndexOps.lbDistance") {
+    import spark.implicits._
+    val bins = Array(Array(-1.0, 0.0, 1.0), Array(0.5, 1.5, 2.5))
+    val rows = Seq(
+      (1L, Array(0, 3), Array(2, 1), Array(0.2, 0.9)),
+      (2L, Array(1, 1), Array(1, 1), Array(0.0, 0.0))).toDF("id", "w", "qw", "qa")
+    rows.createOrReplaceTempView("lb_rows")
+    val binsSql = "array(array(-1.0D, 0.0D, 1.0D), array(0.5D, 1.5D, 2.5D))"
+    for (normed <- Seq(true, false)) {
+      val got = spark.sql(
+        s"SELECT id, sfa_lb_dist(w, qw, qa, $binsSql, $normed) AS lb FROM lb_rows ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = rows.collect().map { r =>
+        (r.getLong(0), graft.sfa.IndexOps.lbDistance(
+          r.getSeq[Int](1).toArray, r.getSeq[Int](2).toArray,
+          r.getSeq[Double](3).toArray, bins, normed))
+      }.toSeq.sortBy(_._1)
+      assert(got == want, s"normed=$normed")
+    }
+  }
+
   test("sfa_word rejects a non-literal usedBits") {
     val err = intercept[Exception] {
       spark.sql("SELECT sfa_word(array(1.0D), array(array(0.0D)), CAST(rand() * 2 AS INT))").collect()
