@@ -16,7 +16,17 @@ import graft.sfa.expr.{BossDistExpr, Ed2Expr, LbDistExpr, LongDotExpr, SfaWordEx
   *    `usedBits` must be a literal — it is baked into the generated
   *    code);
   *  - `long_dot(a ARRAY<BIGINT>, b ARRAY<BIGINT>)` → integer dot
-  *    product ([[graft.sfa.expr.LongDotExpr]]).
+  *    product ([[graft.sfa.expr.LongDotExpr]]);
+  *  - `array_ed2(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)` → squared Euclidean
+  *    distance ([[graft.sfa.expr.Ed2Expr]], the exact-verification
+  *    kernel);
+  *  - `boss_dist(a ARRAY<BIGINT>, b ARRAY<BIGINT>)` → the BOSS
+  *    asymmetric bag distance, −1 on zero overlap
+  *    ([[graft.sfa.expr.BossDistExpr]]);
+  *  - `sfa_lb_dist(word ARRAY<INT>, qword ARRAY<INT>,
+  *    qapprox ARRAY<DOUBLE>, bins ARRAY<ARRAY<DOUBLE>>, normed BOOLEAN)`
+  *    → the SFA lower-bounding distance ([[graft.sfa.expr.LbDistExpr]];
+  *    `normed` must be a literal — it selects the generated weighting).
   *
   * Activate with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (or
