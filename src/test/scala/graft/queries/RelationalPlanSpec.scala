@@ -25,6 +25,15 @@ class RelationalPlanSpec extends SparkSpec {
     assert(plan(run("q2_join_revenue")).contains("BroadcastHashJoin"))
   }
 
+  test("q1: column pruning reaches the parquet scan") {
+    val p = plan(run("q1_agg"))
+    // the aggregate needs 5 of lineitem's 11 columns; the scan must not
+    // read the rest (ReadSchema is the projection the reader executes)
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"), p.take(2000))
+    assert(!read.contains("l_orderkey") && !read.contains("l_shipdate"), read)
+  }
+
   test("q3 outer join survives without broadcasting the fact side") {
     // force the planner's hand with a per-plan hint (NOT a session-conf
     // toggle, which would race with other suites' plan assertions under
