@@ -330,6 +330,62 @@ object Relational {
       |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
       |) ORDER BY c_custkey""".stripMargin
 
+  /** Date functions + a window over an aggregate: monthly revenue with
+    * a running cumulative total. The month strings format identically
+    * in both engines (the UTC session pins the parquet timestamps'
+    * rendering to DuckDB's naive formatting — the EventJoins rule); the
+    * unpartitioned cumulative window runs AFTER aggregation, over a
+    * calendar-bounded (model-sized) frame, so the single-partition
+    * window is not a scale hazard.
+    */
+  private def q12MonthlyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val w = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_c"),
+        count(lit(1)).as("order_cnt"))
+      .withColumn("cum_revenue_c", sum(col("revenue_c")).over(w))
+      .orderBy("month")
+  }
+
+  private val q12Sql =
+    """SELECT month, revenue_c, order_cnt,
+      |  CAST(SUM(revenue_c) OVER (ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_c
+      |FROM (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+      |    COUNT(*) AS order_cnt
+      |  FROM orders GROUP BY 1)
+      |ORDER BY month""".stripMargin
+
+  /** JSON scalar extraction over the events stream: per event type,
+    * count and sum of the `k` field inside the JSON `props` column —
+    * the semi-structured column shape every event pipeline carries.
+    * `get_json_object` is a codegen'd Catalyst expression (one shared
+    * parse per row), not a UDF.
+    */
+  private def q13JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("k_cnt"),
+        coalesce(sum(col("k")), lit(0L)).as("k_sum"),
+        coalesce(max(col("k")), lit(0L)).as("k_max"))
+      .orderBy("event_type")
+  }
+
+  private val q13Sql =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_cnt,
+      |  COALESCE(CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT), 0) AS k_sum,
+      |  COALESCE(CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT), 0) AS k_max
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q1_agg" -> QueryDef.sql(q1Agg, q1Sql, "TPC-H Q1-style pricing summary"),
     "q2_join_revenue" -> QueryDef.sql(q2Join, q2Sql, "broadcast dim joins + fact aggregate"),
@@ -342,5 +398,9 @@ object Relational {
     "q8_window_running" -> QueryDef.sql(q8WindowRunning, q8Sql, "running sum + lag per order"),
     "q9_moving_window" -> QueryDef.sql(q9MovingWindow, q9Sql, "frame-bounded moving aggregate per supplier"),
     "q10_over_avg" -> QueryDef.sql(q10OverAvg, q10Sql, "decorrelated above-group-average filter"),
-    "q11_setops" -> QueryDef.sql(q11SetOps, q11Sql, "INTERSECT/EXCEPT with distinct set semantics"))
+    "q11_setops" -> QueryDef.sql(q11SetOps, q11Sql, "INTERSECT/EXCEPT with distinct set semantics"),
+    "q12_monthly_revenue" -> QueryDef.sql(q12MonthlyRevenue, q12Sql,
+      "date functions + cumulative window over a monthly aggregate"),
+    "q13_json_extract" -> QueryDef.sql(q13JsonExtract, q13Sql,
+      "JSON scalar extraction + aggregate over the events props column"))
 }
