@@ -386,6 +386,33 @@ object Relational {
       |  COALESCE(CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT), 0) AS k_max
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Correlated scalar subquery — written as the user writes it; the
+    * proof is that Catalyst DECORRELATES it (one aggregate + one join
+    * in the executed plan, never a per-row subquery loop —
+    * RelationalPlanSpec). COALESCE pins the no-orders NULL to 0 in both
+    * engines.
+    */
+  private def q14ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView(
+      "graft_q14_customer_" + math.abs(dir.hashCode).toString)
+    Tables.load(s, dir, "orders").createOrReplaceTempView(
+      "graft_q14_orders_" + math.abs(dir.hashCode).toString)
+    val sfx = math.abs(dir.hashCode).toString
+    s.sql(
+      s"""SELECT c_custkey,
+         |  COALESCE((SELECT MAX(CAST(ROUND(o_totalprice*100) AS BIGINT))
+         |            FROM graft_q14_orders_$sfx o
+         |            WHERE o.o_custkey = c.c_custkey), 0) AS max_price_c
+         |FROM graft_q14_customer_$sfx c
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q14Sql =
+    """SELECT c_custkey,
+      |  COALESCE((SELECT MAX(CAST(ROUND(o_totalprice*100) AS BIGINT))
+      |            FROM orders o WHERE o.o_custkey = c.c_custkey), 0) AS max_price_c
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q1_agg" -> QueryDef.sql(q1Agg, q1Sql, "TPC-H Q1-style pricing summary"),
     "q2_join_revenue" -> QueryDef.sql(q2Join, q2Sql, "broadcast dim joins + fact aggregate"),
@@ -402,5 +429,7 @@ object Relational {
     "q12_monthly_revenue" -> QueryDef.sql(q12MonthlyRevenue, q12Sql,
       "date functions + cumulative window over a monthly aggregate"),
     "q13_json_extract" -> QueryDef.sql(q13JsonExtract, q13Sql,
-      "JSON scalar extraction + aggregate over the events props column"))
+      "JSON scalar extraction + aggregate over the events props column"),
+    "q14_scalar_subquery" -> QueryDef.sql(q14ScalarSubquery, q14Sql,
+      "correlated scalar subquery, decorrelated to one aggregate + join"))
 }

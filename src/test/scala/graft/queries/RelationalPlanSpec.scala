@@ -71,6 +71,14 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
 
+  test("q14: correlated scalar subquery decorrelates to one aggregate + join") {
+    val p = plan(run("q14_scalar_subquery"))
+    // decorrelated = an aggregate feeding an outer join; a per-row
+    // subquery would show a Subquery/ScalarSubquery node in the final plan
+    assert(p.contains("Join") && p.contains("HashAggregate"), p)
+    assert(!p.contains("ScalarSubquery"), p)
+  }
+
   test("q6/q7: rollup and grouping sets are one Expand + aggregate, not per-level re-scans") {
     val rollup = plan(run("q6_rollup"))
     assert(countOf(rollup, "Expand") == 1, rollup)
