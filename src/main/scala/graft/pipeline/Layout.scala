@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.{QueryDef, Tables, Warehouse}
+import graft.util.{BuildOnce, Names, QueryDef, Tables, Warehouse}
 
 /** Physical-layout operators: bucketed table layout for co-located
   * (shuffle-free) joins — the storage-side half of the scale toolkit
@@ -42,9 +42,7 @@ object Layout {
   /** Dir-scoped table suffix so sf0.001/sf0.01/sf0.1 layouts never
     * collide in the shared session catalog.
     */
-  private def suffix(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  private def suffix(dir: String): String = Names.pathKey(dir)
 
   /** The two bucketed fact tables for `dir`, written on first use this
     * session.
@@ -87,12 +85,6 @@ object Layout {
 
   // ---- time-partitioned layout + pruned range scans --------------------
 
-  /** Layout dirs already (re)built by THIS JVM (the [[Similarity]]
-    * ivfLayout rule: fresh JVM rebuilds, in-session re-runs reuse).
-    */
-  private val builtTimeParts =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Events written ONCE as parquet PARTITIONED BY day — the canonical
     * 100 TB fact layout: time-range predicates become partition pruning
     * at the scan (PartitionFilters, asserted by LayoutSpec), so a
@@ -102,17 +94,12 @@ object Layout {
     */
   private[pipeline] def timePartitionedEvents(s: SparkSession, dir: String): DataFrame = {
     val loc = Warehouse.dir(s, s"timepart/${suffix(dir)}")
-    // mark built only AFTER the write returns: a failed first write must
-    // not leave later calls reading a partial directory
-    if (!builtTimeParts.contains(loc)) builtTimeParts.synchronized {
-      if (!builtTimeParts.contains(loc)) {
-        Tables.load(s, dir, "events")
-          .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
-          .withColumn("day", call_function("div", col("tsus"), lit(86400000000L)))
-          .drop("ts")
-          .write.mode("overwrite").partitionBy("day").parquet(loc)
-        builtTimeParts.add(loc)
-      }
+    BuildOnce(loc) {
+      Tables.load(s, dir, "events")
+        .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("day", call_function("div", col("tsus"), lit(86400000000L)))
+        .drop("ts")
+        .write.mode("overwrite").partitionBy("day").parquet(loc)
     }
     s.read.parquet(loc).withColumn("day", col("day").cast("long"))
   }

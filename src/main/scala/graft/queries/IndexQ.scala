@@ -118,11 +118,15 @@ object IndexQ {
       // z-normed slices (one giant group — no pruning there), same
       // choice as j8/a8; depth adaptive from corpus cardinality
       val plen = IndexOps.adaptiveDepth(corpus.count(), Alpha, L - 2)
-      val path = graft.util.Warehouse.dir(s,
-        s"knnidx/${java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString}")
-      ModelIO.saveIndex(corpus, usedBits = Words.binlog(Alpha), prefixLen = plen,
-        path, prefixStart = 2, base = 256)
+      val path = graft.util.Warehouse.dir(s, s"knnidx/${graft.util.Names.pathKey(dir)}")
+      // per-JVM build-once (the timePartitionedEvents rule): the memo
+      // above is per-SESSION, so without the guard a second session in
+      // this JVM would overwrite the layout a first session's lazily
+      // persisted reads still reference
+      graft.util.BuildOnce(path) {
+        ModelIO.saveIndex(corpus, usedBits = Words.binlog(Alpha), prefixLen = plen,
+          path, prefixStart = 2, base = 256)
+      }
       val (df, stats) = IndexOps.knnOverLayout(path, queries, bins, normed = false,
         k = K, probe = KnnProbe, prefixLen = plen)
       val res = graft.util.Pipelines.tracked(s,

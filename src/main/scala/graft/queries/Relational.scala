@@ -163,9 +163,10 @@ object Relational {
     // ambiguous-self-join detector (the Expand duplicates the grouping
     // attributes); routing the rollup through SQL resolves purely by
     // name and plans the identical Expand + hash-aggregate. View name is
-    // dir-keyed so concurrent sessions over different fixtures can't
-    // swap each other's base.
-    val view = "graft_q6_base_" + math.abs(dir.hashCode).toString
+    // keyed by the MD5 of the fixture dir (Names.pathKey — same scheme
+    // as the Warehouse subpaths) so concurrent sessions over different
+    // fixtures can never collide and swap each other's base.
+    val view = "graft_q6_base_" + graft.util.Names.pathKey(dir)
     base.createOrReplaceTempView(view)
     s.sql(
       s"""SELECT COALESCE(n_name, '(all)') AS nation,
@@ -393,11 +394,9 @@ object Relational {
     * engines.
     */
   private def q14ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "customer").createOrReplaceTempView(
-      "graft_q14_customer_" + math.abs(dir.hashCode).toString)
-    Tables.load(s, dir, "orders").createOrReplaceTempView(
-      "graft_q14_orders_" + math.abs(dir.hashCode).toString)
-    val sfx = math.abs(dir.hashCode).toString
+    val sfx = graft.util.Names.pathKey(dir)
+    Tables.load(s, dir, "customer").createOrReplaceTempView(s"graft_q14_customer_$sfx")
+    Tables.load(s, dir, "orders").createOrReplaceTempView(s"graft_q14_orders_$sfx")
     s.sql(
       s"""SELECT c_custkey,
          |  COALESCE((SELECT MAX(CAST(ROUND(o_totalprice*100) AS BIGINT))

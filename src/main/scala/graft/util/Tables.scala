@@ -11,6 +11,36 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 }
 
+/** Collision-free identifier suffix for a fixture/layout dir: MD5-hex
+  * prefix of the full path. Used wherever a dir keys a shared-session
+  * name (temp views, catalog tables, warehouse subpaths) — unlike
+  * `String.hashCode` it cannot collide across the handful of dirs a
+  * process ever sees, and it is always a valid identifier fragment.
+  */
+object Names {
+  def pathKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+}
+
+/** Per-JVM build-once guard for idempotent layout writes: the first
+  * caller for a path runs the write; later callers (and concurrent
+  * ones, via the double-checked lock) see it already built and reuse
+  * the files. The path is marked built only AFTER the write returns —
+  * a failed first write must not leave later calls reading a partial
+  * directory. Per-JVM is the right lifetime because [[Warehouse]]'s
+  * unconfigured root is per-process: a fresh JVM rebuilds, in-session
+  * re-runs reuse, and no JVM can overwrite a layout another session in
+  * the SAME JVM is lazily reading.
+  */
+object BuildOnce {
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def apply(path: String)(build: => Unit): Unit =
+    if (!built.contains(path)) built.synchronized {
+      if (!built.contains(path)) { build; built.add(path) }
+    }
+}
+
 /** Root for engine-WRITTEN physical layouts (bucketed tables, day/cell
   * partitioned parquet): `spark.graft.warehouse.dir` when set — a real
   * deployment points this at its warehouse/object-store prefix — else a
@@ -24,10 +54,26 @@ object Tables {
 object Warehouse {
   private lazy val procToken: String = ProcessHandle.current().pid().toString
 
+  /** The unconfigured per-process fallback root, created lazily and
+    * deleted by a JVM shutdown hook — without the hook every run would
+    * leak its bucketed/ivf/knnidx layouts into java.io.tmpdir forever
+    * (the per-PID token that makes concurrent JVMs safe also means no
+    * later run ever overwrites an earlier run's directory).
+    */
+  private lazy val fallbackRoot: String = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_wh_$procToken")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(f)))
+    f.getAbsolutePath
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val fs = f.listFiles()
+    if (fs != null) fs.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   def dir(s: SparkSession, sub: String): String = {
-    val base = s.conf.getOption("spark.graft.warehouse.dir").getOrElse(
-      new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_wh_$procToken")
-        .getAbsolutePath)
+    val base = s.conf.getOption("spark.graft.warehouse.dir").getOrElse(fallbackRoot)
     new java.io.File(base, sub).getAbsolutePath
   }
 }
