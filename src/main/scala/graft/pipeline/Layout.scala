@@ -139,7 +139,66 @@ object Layout {
       |WHERE e.day >= d0.d0 AND e.day < d0.d0 + 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- dynamic partition pruning over the layout -----------------------
+
+  /** A small day-dimension materialized ONCE next to the fact layout:
+    * one row per distinct day plus a non-partition attribute (`dow` =
+    * day mod 7). Its point is that a predicate on `dow` selects a set
+    * of DAYS the planner cannot know statically — the shape that
+    * exercises dynamic partition pruning on the fact scan.
+    */
+  private[pipeline] def dayDim(s: SparkSession, dir: String): DataFrame = {
+    val loc = Warehouse.dir(s, s"daydim/${suffix(dir)}")
+    BuildOnce(loc) {
+      timePartitionedEvents(s, dir).select("day").distinct()
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+        .write.mode("overwrite").parquet(loc)
+    }
+    s.read.parquet(loc)
+  }
+
+  /** Fact ⋈ dim with a runtime-known partition filter — the everyday
+    * 100 TB query shape: the `dow = 3` predicate lives on the DIM, so
+    * the set of fact partitions to read is only known once the dim is
+    * scanned. Spark's PartitionPruning rule turns the broadcast dim
+    * into a DynamicPruningExpression on the fact's `day` partition
+    * column (reusing the join's own broadcast), so the fact scan skips
+    * every non-matching day DIRECTORY at run time — LayoutSpec pins
+    * `dynamicpruning` + SubqueryBroadcast on the executed plan. This
+    * completes the layered scale story: static pruning
+    * (layout_time_prune), runtime skew splitting (SkewJoinSpec), and
+    * now runtime partition pruning.
+    */
+  private[pipeline] def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = timePartitionedEvents(s, dir)
+    val dim = dayDim(s, dir).filter(col("dow") === 3L)
+    fact.join(dim, "day")
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("day", "event_type")
+  }
+
+  private val dppJoinSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), dim AS (
+      |  SELECT DISTINCT day FROM ev
+      |), dimf AS (
+      |  SELECT day FROM dim WHERE day % 7 = 3
+      |)
+      |SELECT e.day, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+      |FROM ev e JOIN dimf d ON e.day = d.day
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "layout_dpp_join" -> QueryDef.sql(dppJoin, dppJoinSql,
+      "fact join against a dim-side filter whose matching partitions are " +
+        "only runtime-known: dynamic partition pruning skips fact day " +
+        "directories via the reused broadcast (LayoutSpec plan gate)"),
     "layout_bucketed_join" -> QueryDef.sql(bucketedJoinQ, bucketedJoinSql,
       "fact-to-fact join over a bucketed layout: the join-key shuffle is paid once " +
         "at write time, then every join is co-located (no Exchange — LayoutSpec)"),

@@ -57,6 +57,39 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.collect().toSeq == expect)
   }
 
+  test("dpp: a runtime-known dim filter prunes fact partitions dynamically") {
+    import org.apache.spark.sql.functions._
+    val df = Layout.dppJoin(spark, dir)
+    // the fact scan must carry a DynamicPruning partition filter on day
+    // (sparkPlan = post-strategy, pre-AQE — scans visible directly)
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val factScan = scans.find(_.partitionFilters.nonEmpty)
+    assert(factScan.isDefined, s"no partition-filtered scan:\n${df.queryExecution.sparkPlan}")
+    val dpp = factScan.get.partitionFilters.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    assert(dpp, s"expected a DynamicPruning partition filter on the fact scan: " +
+      s"${factScan.get.partitionFilters}")
+
+    // executed plan: the pruning subquery REUSES the join's broadcast
+    // (SubqueryBroadcast / ReusedExchange), not a second dim scan job
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.toLowerCase.contains("dynamicpruning"), s"executed plan lost DPP:\n$ep")
+    assert(ep.contains("SubqueryBroadcast"), s"DPP should reuse the broadcast:\n$ep")
+
+    // and the result equals the same join computed without any layout
+    val ev = graft.util.Tables.load(spark, dir, "events")
+      .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("day", call_function("div", col("tsus"), lit(86400000000L)))
+    val expect = ev.filter(pmod(col("day"), lit(7L)) === 3L)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(df.collect().toSeq == expect)
+  }
+
   test("bucketed-join rollup equals the plain-layout rollup") {
     import org.apache.spark.sql.functions._
     val viaBuckets = graft.SparkEntry.queries("layout_bucketed_join")(spark, dir).collect()
