@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{Pipelines, QueryDef, Tables}
 
@@ -15,12 +15,13 @@ import graft.util.{Pipelines, QueryDef, Tables}
   *    stream: one distributed groupBy(word) over the corpus, whose
   *    output is vocabulary-sized (Heaps-law sublinear in corpus size),
   *    then a merge loop over that model-sized dictionary. At or under
-  *    [[MaxTypes]] types the loop is driver-local (one TakeOrdered
+  *    [[MaxTypes]] types the loop is driver-local (one model-sized
   *    collect); over the cap it switches — logged — to the distributed
-  *    per-round trainer ([[fitMergesDistributed]]: one adjacent-pair
-  *    aggregate + argmax per merge), which is exact at any vocabulary
-  *    size. Both queries share one cached dictionary per session, so
-  *    the corpus is scanned once;
+  *    INCREMENTAL trainer ([[fitMergesDistributed]]: one full pair
+  *    aggregate up front, then per merge only the affected words'
+  *    delta + an argmax over the maintained pair table), which is
+  *    exact at any vocabulary size. Both queries share one cached
+  *    dictionary per session, so the corpus is scanned once;
   *  - application broadcasts the merge-rank table (≤ [[Merges]]
   *    entries) and counts subword tokens per document in a map-only
   *    pass with a per-executor word memo — no shuffle beyond the scan.
@@ -55,6 +56,53 @@ object Bpe {
 
   // ---- fit (driver-local over the model-sized type dictionary) --------
 
+  /** Code-point symbolization of a word (plus [[EndMark]]): one symbol
+    * per Unicode CODE POINT, so supplementary characters stay intact
+    * instead of splitting into lone surrogates the way a per-char map
+    * would. Shared by the driver fit, the distributed fit, and apply —
+    * all three must segment identically.
+    */
+  private[pipeline] def symbolize(w: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (b += EndMark).result()
+  }
+
+  /** Code-point total order on strings — the SAME order as Spark's
+    * UTF8String binary comparison (UTF-8 byte order is code-point
+    * order), unlike Java's default UTF-16 `String` order which sorts
+    * supplementary code points below some BMP characters. The driver
+    * and distributed trainers break count ties with this one order, so
+    * the fitted model cannot depend on which side of the [[MaxTypes]]
+    * cap the dictionary lands — for ANY Unicode input, not just BMP.
+    */
+  private[pipeline] val cpOrder: Ordering[String] = (a: String, b: String) => {
+    var i = 0
+    var j = 0
+    var res = 0
+    while (res == 0 && i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      res = Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    if (res != 0) res else Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** (count desc, left asc, right asc) under [[cpOrder]] — the one
+    * tie-break both trainers share.
+    */
+  private val bestOrder: Ordering[((String, String), Long)] = {
+    implicit val cp: Ordering[String] = cpOrder
+    Ordering.by { case ((l, r), c) => (-c, l, r) }
+  }
+
   /** Merge `(l, r) -> l+r` at every non-overlapping occurrence,
     * left-to-right — the one application rule fit and apply share.
     */
@@ -71,12 +119,14 @@ object Bpe {
   /** Fit up to `k` merges on a (word, freq) type dictionary. Pair
     * counts are adjacent-occurrence counts weighted by type frequency
     * (overlaps counted, the reference formulation); ties break on
-    * (left, right) lexicographically so the fit is a pure function of
-    * the dictionary. Returns (rank, left, right, pair_count).
+    * (left, right) in CODE-POINT order ([[cpOrder]] ≡ Spark's UTF8
+    * binary order) so the fit is a pure function of the dictionary and
+    * identical to the distributed trainer's for any Unicode input.
+    * Returns (rank, left, right, pair_count).
     */
   private[pipeline] def fitMerges(types: Seq[(String, Long)], k: Int): Seq[(Long, String, String, Long)] = {
     var reprs: Vector[(Vector[String], Long)] =
-      types.toVector.map { case (w, f) => (w.map(_.toString).toVector :+ EndMark, f) }
+      types.toVector.map { case (w, f) => (symbolize(w), f) }
     val out = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 0L
     var exhausted = false
@@ -93,7 +143,7 @@ object Bpe {
       val best = counts.filter(_._2 >= MinFreq)
       if (best.isEmpty) exhausted = true
       else {
-        val ((l, r), c) = best.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = best.min(bestOrder)
         out += ((rank, l, r, c))
         reprs = reprs.map { case (syms, f) => (mergePair(syms, l, r), f) }
         rank += 1
@@ -108,7 +158,7 @@ object Bpe {
     * greedy BPE segmenter.
     */
   private[pipeline] def applyBpe(w: String, rank: Map[(String, String), Int]): Int = {
-    var syms = w.map(_.toString).toVector :+ EndMark
+    var syms = symbolize(w)
     var done = false
     while (!done && syms.size >= 2) {
       var bi = Int.MaxValue
@@ -139,74 +189,107 @@ object Bpe {
     Pipelines.cachedDF(s, s"bpe.dict:$dir")(dictOf(docs(s, dir)))
 
   /** Distributed trainer — the scale path when the type dictionary
-    * exceeds [[MaxTypes]]: the SAME merge rule as [[fitMerges]], but
-    * every round's pair count is ONE distributed aggregate over the
-    * symbolized dictionary (adjacent-pair explode → groupBy(l,r) with
-    * map-side partial sums) and only the single winning pair is
-    * collected per round. The dictionary never leaves the cluster, so
-    * the fit is exact at ANY vocabulary size — no dropped tail. Round
-    * state is localCheckpoint-ed eagerly (the merge applies a
-    * projection per round; 50 un-truncated rounds would build a
-    * 50-deep plan) and the previous round's blocks are released.
-    *
-    * Equivalence with the driver loop (BpeSpec gates both fixture-sized
-    * and over-cap synthetic dictionaries): counts are exact integer
-    * sums either way, and the (count desc, left asc, right asc)
-    * tie-break is a TakeOrdered limit(1) — Spark's UTF8 binary string
-    * order matches the driver's lexicographic order for the BMP text
-    * this pipeline tokenizes.
+    * exceeds [[MaxTypes]]: the SAME merge rule as [[fitMerges]], with
+    * INCREMENTAL pair counts (the standard scalable trainer). The full
+    * adjacent-pair aggregate runs exactly ONCE, before round 0; each
+    * round then
+    *   1. takes the winner from the maintained pair-count table
+    *      (TakeOrdered limit 1 — (count desc, left, right), Spark's
+    *      UTF8 binary order ≡ the driver's [[cpOrder]]);
+    *   2. recomputes adjacency only for the AFFECTED words (those
+    *      containing the merged pair): their old pairs enter the delta
+    *      at −f, their post-merge pairs at +f — every other word's
+    *      counts are untouched, so the per-round shuffle is
+    *      affected-words + pair-table sized, never dictionary sized;
+    *   3. folds the delta into the pair table and rewrites the
+    *      symbolization (a map-only projection — [[mergePair]] is the
+    *      identity on unaffected words).
+    * Round state (reprs, pair counts) is localCheckpoint-ed eagerly so
+    * plans stay shallow and each round is a CONSTANT number of
+    * scheduled jobs (BpeSpec asserts this); the previous round's blocks
+    * are released. The dictionary never leaves the cluster, so the fit
+    * is exact at ANY vocabulary size — no dropped tail, and BpeSpec
+    * pins merge-for-merge equality with the driver loop.
     */
   private[pipeline] def fitMergesDistributed(dictDf: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
-    val symUdf = udf { (w: String) => w.map(_.toString) :+ EndMark }
+    val symUdf = udf { (w: String) => symbolize(w) }
     val mergeUdf = udf { (syms: Seq[String], l: String, r: String) =>
       mergePair(syms.toVector, l, r)
     }
+    val hasPairUdf = udf { (syms: Seq[String], l: String, r: String) =>
+      var i = 0
+      var found = false
+      while (!found && i < syms.size - 1) {
+        if (syms(i) == l && syms(i + 1) == r) found = true
+        i += 1
+      }
+      found
+    }
+    def pairsOf(df: DataFrame, weight: Column): DataFrame =
+      df.filter(size(col("syms")) >= 2)
+        .select(weight.as("d"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("d"))
+
     var reprs = dictDf.select(symUdf(col("w")).as("syms"), col("f"))
+      .localCheckpoint(true)
+    // the one corpus-wide pair aggregate (round 0's baseline counts)
+    var pc = pairsOf(reprs, col("f"))
+      .groupBy("l", "r").agg(sum(col("d")).as("c"))
       .localCheckpoint(true)
     val out = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 0L
     var exhausted = false
     while (rank < k && !exhausted) {
-      val best = reprs
-        .filter(size(col("syms")) >= 2)
-        .select(col("f"), explode(expr(
-          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("f")).as("c"))
-        .filter(col("c") >= MinFreq)
+      val best = pc.filter(col("c") >= MinFreq)
         .orderBy(desc("c"), col("l"), col("r"))
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((rank, l, r, c))
-        val next = reprs
+        val affected = reprs.filter(hasPairUdf(col("syms"), lit(l), lit(r)))
+        val delta = pairsOf(affected, -col("f")).unionAll(
+          pairsOf(affected.select(
+            mergeUdf(col("syms"), lit(l), lit(r)).as("syms"), col("f")), col("f")))
+        val nextPc = pc.select(col("l"), col("r"), col("c").as("d"))
+          .unionAll(delta)
+          .groupBy("l", "r").agg(sum(col("d")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint(true)
+        val nextReprs = reprs
           .withColumn("syms", mergeUdf(col("syms"), lit(l), lit(r)))
           .localCheckpoint(true)
+        pc.unpersist(false)
         reprs.unpersist(false)
-        reprs = next
+        pc = nextPc
+        reprs = nextReprs
         rank += 1
       }
     }
+    pc.unpersist(false)
     reprs.unpersist(false)
     out.result()
   }
 
-  /** Fit dispatch: ONE TakeOrdered collect (freq desc, word asc) of at
-    * most [[MaxTypes]]+1 rows — the +1 row detects an over-cap
-    * dictionary without a separate count job. At or under the cap the
-    * model-sized driver loop runs (cheapest by far); over it the fit
-    * switches to [[fitMergesDistributed]], which is exact at any size —
-    * nothing is ever dropped.
+  /** Fit dispatch: the over-cap probe is a COUNT over a limit — one
+    * boolean's worth of driver traffic, never a 200k-row
+    * materialization. At or under the cap the dictionary is collected
+    * (≤ [[MaxTypes]] rows, model-sized) and the driver loop runs
+    * (cheapest by far); over it the fit switches to
+    * [[fitMergesDistributed]], which is exact at any size — nothing is
+    * ever dropped. No ordering is needed on the collect: the fit is a
+    * pure function of the dictionary MULTISET (counts are summed, ties
+    * break on the pair itself).
     */
   private[pipeline] def fitOn(dictDf: DataFrame): Seq[(Long, String, String, Long)] = {
-    val rows = dictDf.orderBy(desc("f"), col("w")).limit(MaxTypes + 1).collect()
-    if (rows.length > MaxTypes) {
+    val over = dictDf.limit(MaxTypes + 1).count() > MaxTypes
+    if (over) {
       System.err.println(
         s"[bpe] type dictionary exceeds cap $MaxTypes — switching to the distributed per-round trainer")
       fitMergesDistributed(dictDf, Merges)
     } else
-      fitMerges(rows.map(r => (r.getString(0), r.getLong(1))).toSeq, Merges)
+      fitMerges(dictDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, Merges)
   }
 
   /** The fitted tokenizer, built once per session+dir: the merge table,

@@ -15,6 +15,12 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the (async) listener bus — lets tests that count scheduler
+    * events read a final value (`private[spark]` on SparkContext).
+    */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Stable per-session UUID (`private[sql]` on the classic session) —
     * used as a cache key that can't alias after a session is GC'd.
     */

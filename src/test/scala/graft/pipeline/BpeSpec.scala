@@ -95,6 +95,51 @@ class BpeSpec extends SparkSpec {
     assert(dist.nonEmpty)
   }
 
+  test("non-BMP symbols: driver and distributed trainers share one total order") {
+    import spark.implicits._
+    // U+1D54F (𝕏) is a supplementary code point: its UTF-16 encoding
+    // starts with a surrogate (0xD835) that Java String order sorts
+    // BELOW the BMP char U+FFFD, while code-point/UTF-8 order sorts it
+    // ABOVE. Equal-count pairs differing only in these symbols force
+    // the tie-break to decide — both trainers must pick U+FFFD first.
+    val x = new String(Character.toChars(0x1D54F))
+    val f = "�"
+    val types = Seq[(String, Long)]((s"a${x}", 3L), (s"a${f}", 3L), ("aq", 2L))
+    val local = Bpe.fitMerges(types, 3)
+    val dist = Bpe.fitMergesDistributed(types.toDF("w", "f"), 3)
+    assert(dist == local)
+    // the first merge's RIGHT symbol is the full code point U+FFFD
+    // (code-point order: (a,�) < (a,𝕏)), never a lone surrogate
+    assert(local.head._3 == f, s"tie must break to U+FFFD by code-point order: $local")
+    assert(local.map(_._3).forall(s => !s.exists(ch =>
+      Character.isSurrogate(ch) && s.length == 1)), "no lone surrogates in symbols")
+  }
+
+  test("distributed trainer schedules a bounded number of jobs per merge round") {
+    import spark.implicits._
+    // dictionary with a long merge chain so many rounds run
+    val types = paperTypes ++ Seq[(String, Long)](
+      ("news", 4L), ("wide", 4L), ("lows", 3L), ("widen", 2L))
+    val dictDf = types.toDF("w", "f")
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dist = Bpe.fitMergesDistributed(dictDf, 50)
+      org.apache.spark.sql.graft.Bridge.waitListenerBus(spark.sparkContext)
+      val rounds = dist.size
+      assert(rounds >= 8, s"want a multi-round fit to measure: $rounds")
+      // constant jobs per round (argmax + delta-fold checkpoint + repr
+      // checkpoint, ≤2 jobs each under AQE) + constant setup — NOT the
+      // full-recount trainer's dictionary-wide aggregate per round
+      assert(jobs.get() <= 8L * rounds + 12,
+        s"jobs ${jobs.get()} for $rounds rounds — per-round job count must be O(1)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("over-cap dictionary switches to the distributed trainer, nothing dropped",
       graft.Slow) {
     import spark.implicits._
