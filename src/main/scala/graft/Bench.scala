@@ -96,26 +96,68 @@ object Bench {
       val t2 = runOne(name, fn)
       if (t2 >= 0) { spent += t2; best(name) = math.min(t1, t2) }
     }
+    // Layout-backed bulk k-NN at BulkLoadSpec's always-on scale (200k
+    // windows): bulk MFT transform → prefix-partitioned layout write →
+    // partition-pruned exact k-NN. The at-rest index path gets a TRACKED
+    // wall-time here; exactness at this very scale is BulkLoadSpec's
+    // gate (k-NN ≡ brute scan, pruned PartitionFilters pinned). Skipped
+    // under SPARK_GRAFT_ONLY (it is not a registered query).
+    def runBulk(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        import graft.sfa.{BulkLoad, IndexOps, ModelIO, SFA}
+        val (w, l) = (32, 8)
+        val (nChunks, chunkSize) = (4, 50000)
+        val walk = graft.ts.Loaders.randomWalk(nChunks * chunkSize + w - 1, 20260812L)
+        val model = SFA.fitWindowing(Array((walk, 0.0)), w, l, 8,
+          normMean = false, lowerBounding = true)
+        val corpus = BulkLoad.windowRecords(spark, walk, nChunks, chunkSize, w, l, model)
+        val path = graft.util.Warehouse.dir(spark, "bench_bulk_knn")
+        ModelIO.saveIndex(corpus, model.usedBits, prefixLen = 2, path)
+        val queries = BulkLoad.queryWindows(
+          spark, graft.ts.Loaders.randomWalk(4 * w, 777L), 3, w, l, model)
+        val (df, _) = IndexOps.knnOverLayout(
+          path, queries, model.bins, model.normMean, k = 5, probe = 64, prefixLen = 2)(spark)
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors += s"bulk_knn_layout_200k: ${e.getClass.getSimpleName}"
+          System.err.println(s"[bench] bulk_knn_layout_200k FAILED: ${e.getMessage}")
+          -1.0
+      }
+    }
+    val bulk: Seq[(String, Double)] =
+      if (only.isEmpty) Seq("bulk_knn_layout_200k" -> runBulk()) else Seq.empty
+
     val results = firstPass.map { case (name, _, t1) =>
       name -> best.getOrElse(name, t1)
-    }
+    } ++ bulk
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Both estimators go in the JSON: `value` is the min-based total (the
     // uncontended estimate), `total_first_pass` the raw cold-ish first
     // pass. Reporting both means the warm-cache min can never silently
     // flatter a regression — a plan regression moves BOTH numbers.
-    val totalFirst = firstPass.collect { case (_, _, v) if v >= 0 => v }.sum
+    val totalFirst = firstPass.collect { case (_, _, v) if v >= 0 => v }.sum +
+      bulk.collect { case (_, v) if v >= 0 => v }.sum
     // Job-count report (stderr): the scheduling-robustness gate is that
     // no single query needs a large number of scheduled jobs.
     jobCounts.toSeq.sortBy(-_._2).take(15).foreach { case (n, c) =>
       System.err.println(f"[bench] jobs $n%-28s $c%5d")
     }
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    // bulk runs once: its single time is both estimators
+    val firstByName = firstPass.map { case (name, _, t1) => name -> t1 }.toMap ++ bulk
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Per-query BOTH estimators: `queries` is min-of-k (the uncontended
+    // estimate), `queries_first` the raw first pass — so a per-query
+    // regression can never hide inside ambient driver contention (the
+    // min) nor inside warm-cache reuse (the first pass alone).
     def line(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val qf = rs.map { case (k, _) => "\"" + k + "\":" + fmt(firstByName(k)) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_first_pass":$totalFirst%.3f,"n_queries":${results.size},"queries":$qs$om,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_first_pass":$totalFirst%.3f,"n_queries":${results.size},"queries":$qs,"queries_first":$qf$om,"errors":$errJson,"sf":"$sfDir"}"""
     }
     // The driver greps its stdout tail (last ~2000 chars) for the JSON
     // line; sbt's closing "[success] ..." line eats ~80 of those. Keep

@@ -41,31 +41,11 @@ class BulkLoadSpec extends SparkSpec {
     val walk = Loaders.randomWalk(n + W - 1, 20260812L)
     val model = SFA.fitWindowing(Array((walk, 0.0)), W, L, Alpha,
       normMean = false, lowerBounding = true)
-    val bc = spark.sparkContext.broadcast(model)
 
     // chunked bulk transform: one row per chunk, MFT per chunk on the
     // executors, one (id, data, word, approx) record per sliding window
-    val chunks = (0 until nChunks).map { c =>
-      (c.toLong * chunkSize,
-        walk.slice(c * chunkSize, c * chunkSize + chunkSize + W - 1).toSeq)
-    }.toDF("base", "cdata")
-    val (w, l) = (W, L) // locals: the udf closure must not capture the spec
-    val winUdf = udf { (cdata: Seq[Double]) =>
-      val arr = cdata.toArray
-      val m = bc.value
-      val approx = Fourier.transformWindowing(
-        arr, w, l, m.normMean, m.lowerBounding, applyZNorm = true)
-      val (_, stds) = Fourier.rollingMeanStdDirect(arr, w)
-      approx.indices.map { t =>
-        val f = if (stds(t) > 0) 1.0 / stds(t) else 1.0
-        (t.toLong, arr.slice(t, t + w).map(_ * f).toSeq,
-          m.quantize(approx(t)).toSeq, approx(t).toSeq)
-      }
-    }
-    val corpus0 = chunks
-      .select(col("base"), explode(winUdf(col("cdata"))).as("w"))
-      .select((col("base") + col("w._1")).as("id"), col("w._2").as("data"),
-        col("w._3").as("word"), col("w._4").as("approx"))
+    // (shared with Bench's layout-backed k-NN line item)
+    val corpus0 = BulkLoad.windowRecords(spark, walk, nChunks, chunkSize, W, L, model)
 
     val path = s"/tmp/graft_bulk_index_${nChunks}x$chunkSize"
     ModelIO.saveIndex(corpus0, model.usedBits, prefixLen = 2, path)
@@ -75,16 +55,7 @@ class BulkLoadSpec extends SparkSpec {
 
     // queries: windows of an unrelated walk, same 1/σ scaling
     val qwalk = Loaders.randomWalk(4 * W, 777L)
-    val queries = (0 until 3).map { i =>
-      val raw = qwalk.slice(i * W, i * W + W)
-      val mean = raw.sum / W
-      val sq = raw.map(x => x * x).sum / W - mean * mean
-      val std = if (sq > 0) math.sqrt(sq) else 0.0
-      val f = if (std > 0) 1.0 / std else 1.0
-      val qa = Fourier.transformWindow(raw, 0, W, L, model.normMean, model.lowerBounding)
-        .map(_ * f)
-      (i.toLong, raw.map(_ * f).toSeq, model.quantize(qa).toSeq, qa.toSeq)
-    }.toDF("qid", "qdata", "qword", "qapprox")
+    val queries = BulkLoad.queryWindows(spark, qwalk, 3, W, L, model)
 
     val (gotDf, stats) = IndexOps.knnWithStats(
       corpus, queries, model.bins, model.normMean, K, Probe)(spark)
