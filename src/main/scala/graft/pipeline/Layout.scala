@@ -48,12 +48,21 @@ object Layout {
     * session.
     */
   private[pipeline] def bucketedTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (dn, en) = bucketedTableNames(s, dir)
+    (s.table(dn), s.table(en))
+  }
+
+  /** Catalog NAMES of the two bucketed fact tables (built on first
+    * use) — for callers that address the catalog directly (`ANALYZE
+    * TABLE`, statistics-driven planning — CboStatsSpec).
+    */
+  private[pipeline] def bucketedTableNames(s: SparkSession, dir: String): (String, String) = {
     val (dn, en) = (s"graft_docs_${suffix(dir)}", s"graft_embs_${suffix(dir)}")
     if (!s.catalog.tableExists(dn)) {
       writeBucketed(s, Tables.load(s, dir, "documents"), dn, "doc_id")
       writeBucketed(s, Tables.load(s, dir, "embeddings"), en, "vec_id")
     }
-    (s.table(dn), s.table(en))
+    (dn, en)
   }
 
   /** The co-located join itself, exposed for the plan assertion in
