@@ -398,8 +398,12 @@ object IndexQ {
       |    WHERE q.user_id % 2 = 1
       |  ) t GROUP BY 1, 2
       |), probe AS (
+      |  -- decision-grade rounding (mirrors IndexOps.knnCore): ranking +
+      |  -- survivor tests compare FLOOR(x*1e6+0.5)/1e6 so the counts
+      |  -- cannot flip on a summation-order ulp between engines
       |  SELECT bl.qid, bl.prefix, pc.cnt,
-      |    COALESCE(SUM(pc.cnt) OVER (PARTITION BY bl.qid ORDER BY bl.lb, bl.prefix
+      |    COALESCE(SUM(pc.cnt) OVER (PARTITION BY bl.qid
+      |      ORDER BY FLOOR(bl.lb * 1e6 + 0.5) / 1e6, bl.prefix
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       |  FROM boxlb bl JOIN pcnt pc ON bl.prefix = pc.prefix
       |), probesel AS (
@@ -419,7 +423,8 @@ object IndexQ {
       |  FROM boxlb b JOIN tau t ON b.qid = t.qid
       |  JOIN pcnt pc ON pc.prefix = b.prefix
       |  LEFT JOIN probesel ps ON ps.qid = b.qid AND ps.prefix = b.prefix
-      |  WHERE ps.prefix IS NULL AND b.lb <= t.tau
+      |  WHERE ps.prefix IS NULL
+      |    AND FLOOR(b.lb * 1e6 + 0.5) / 1e6 <= FLOOR(t.tau * 1e6 + 0.5) / 1e6
       |)
       |SELECT
       |  (SELECT COUNT(*) FROM prefc) AS corpus_rows,

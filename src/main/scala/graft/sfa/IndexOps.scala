@@ -331,11 +331,22 @@ object IndexOps {
 
       // phase 1 plan (driver): per query, box-LB every prefix, take the
       // lowest-box-LB prefixes until their cumulative member count
-      // reaches `probe`
+      // reaches `probe`.
+      // Decision-grade rounding: the RANKING key and the boxLB-vs-τ
+      // survivor test below compare 6-dp-rounded values (with the
+      // prefix tie-break), matching the oracle's replay bit-for-bit.
+      // Raw doubles differ across engines by summation ORDER (the
+      // oracle's SUM is unordered), so an exact comparison puts the
+      // probe/survivor COUNTS one ulp from flipping; rounding is
+      // monotone, so every true lb ≤ τ prefix is still scanned
+      // (exactness untouched) and both engines decide on the same
+      // grid — a divergence now needs a true value within an ulp of a
+      // 0.5e-6 grid boundary rather than any ranking tie.
+      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
       val probePairs = qRows.flatMap { case (qid, qa) =>
         val ranked = boxRows
           .map { case (p, cnt, mns, mxs) => (p, cnt, boxLb(mns, mxs, qa)) }
-          .sortBy { case (p, _, lb) => (lb, p) }
+          .sortBy { case (p, _, lb) => (r6(lb), p) }
         var cum = 0L
         ranked.takeWhile { case (_, cnt, _) =>
           val before = cum; cum += cnt; before < probe
@@ -369,7 +380,7 @@ object IndexOps {
         tauMap.get(qid) match {
           case Some(t) => boxRows.collect {
             case (p, cnt, mns, mxs)
-              if !probedSet((qid, p)) && boxLb(mns, mxs, qa) <= t => (qid, p, cnt)
+              if !probedSet((qid, p)) && r6(boxLb(mns, mxs, qa)) <= r6(t) => (qid, p, cnt)
           }
           // no τ ⇒ the probe pass already verified every member this
           // query's prefixes hold (< k candidates exist at all) — nothing
