@@ -133,11 +133,14 @@ class IndexSpec extends SparkSpec {
     }
     def ed2(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // decision-grade rounding, same as the engine (IndexOps.knnCore r7):
+    // ranking and the boxLB-vs-τ test compare 6-dp-rounded values
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     var probeVerified = 0L
     var lbScanned = 0L
     queryRows.foreach { case (_, qd, _, qa) =>
       val ranked = boxes.map { case (p, cnt, mns, mxs) => (p, cnt, boxLb(mns, mxs, qa)) }
-        .sortBy { case (p, _, lb) => (lb, p) }
+        .sortBy { case (p, _, lb) => (r6(lb), p) }
       var cum = 0L
       val probed = ranked.takeWhile { case (_, cnt, _) =>
         val before = cum; cum += cnt; before < probe
@@ -149,7 +152,7 @@ class IndexSpec extends SparkSpec {
       if (probedDists.length >= k) {
         val tau = probedDists(k - 1)
         lbScanned += ranked.collect {
-          case (p, cnt, lb) if !probedSet(p) && lb <= tau => cnt
+          case (p, cnt, lb) if !probedSet(p) && r6(lb) <= r6(tau) => cnt
         }.sum
       }
     }
