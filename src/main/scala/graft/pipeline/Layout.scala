@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{BuildOnce, Names, QueryDef, Tables, Warehouse}
 
@@ -148,6 +148,103 @@ object Layout {
       |WHERE e.day >= d0.d0 AND e.day < d0.d0 + 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- z-order (space-filling-curve) layout -----------------------------
+
+  /** Classic Morton bit-spreading, 16 → 32 bits with zero gaps — pure
+    * codegen'd bitwise column arithmetic (no UDF in the layout job).
+    */
+  private def spread16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Interleaved Morton code of two 16-bit-clamped dimensions. */
+  private[pipeline] def zValue(x: Column, y: Column): Column = {
+    def clamp(c: Column) = least(greatest(c, lit(0L)), lit(65535L))
+    spread16(clamp(x)).bitwiseOR(shiftleft(spread16(clamp(y)), 1))
+  }
+
+  /** Write `ev` (must carry `user_id` and integer `cents`) Z-ORDERED on
+    * (user_id, cents): range-partition + sort on the Morton code, then
+    * DROP it — the code exists only to co-locate 2-D-close rows, so
+    * every parquet ROW GROUP covers a tight (user_id, cents) box and a
+    * multi-dimensional range predicate prunes row groups through the
+    * pushed min/max stats. This is the lakehouse Z-ORDER mechanism
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`) expressed Spark-natively; at
+    * 100 TB it is what saves the scan when the predicate is NOT on the
+    * partition column (DPP's and the partition layout's blind spot).
+    * `blockSize` scopes the parquet row-group size down for
+    * fixture-scale skipping measurements (ZorderLayoutSpec); production
+    * keeps the default.
+    */
+  private[pipeline] def writeZordered(ev: DataFrame, loc: String,
+      blockSize: Option[Long] = None): Unit = {
+    val z = ev.withColumn("z", zValue(col("user_id"), col("cents")))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+    val w = z.write.mode("overwrite")
+    blockSize.fold(w)(b => w.option("parquet.block.size", b.toString)
+      .option("parquet.page.size", math.max(1024L, b / 4).toString))
+      .parquet(loc)
+  }
+
+  private[pipeline] def zorderedEvents(s: SparkSession, dir: String): DataFrame = {
+    val loc = Warehouse.dir(s, s"zorder/${suffix(dir)}")
+    BuildOnce(loc) {
+      writeZordered(Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select("event_id", "user_id", "event_type", "cents"), loc)
+    }
+    s.read.parquet(loc)
+  }
+
+  /** 2-D range rollup over the z-ordered layout. The box is derived
+    * from the corpus extremes (the middle [1/4, 1/2] band of each
+    * dimension — scale-independent and non-empty at any SF); both
+    * predicates reach the parquet reader as PushedFilters, and on the
+    * z-ordered files their min/max row-group stats skip most groups
+    * (ZorderLayoutSpec measures the skip against a hash-shuffled
+    * control layout of the same rows).
+    */
+  private def zorderScanQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = zorderedEvents(s, dir)
+    val r = ev.agg(min("user_id"), max("user_id"), min("cents"), max("cents")).head
+    // empty table: NULL extremes; a never-matching box keeps it empty
+    val (umn, umx, cmn, cmx) =
+      if (r.isNullAt(0)) (0L, -1L, 0L, -1L)
+      else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    zorderRollup(ev, umn + (umx - umn) / 4, umn + (umx - umn) / 2,
+      cmn + (cmx - cmn) / 4, cmn + (cmx - cmn) / 2)
+  }
+
+  /** The rollup body with explicit bounds, exposed for the plan spec. */
+  private[pipeline] def zorderRollup(ev: DataFrame, uLo: Long, uHi: Long,
+      cLo: Long, cHi: Long): DataFrame =
+    ev.filter(col("user_id").between(uLo, uHi) && col("cents").between(cLo, cHi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type")
+
+  private val zorderScanSql =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), b AS (
+      |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+      |    MIN(cents) AS cmn, MAX(cents) AS cmx FROM ev
+      |)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+      |FROM ev e, b
+      |WHERE e.user_id BETWEEN b.umn + (b.umx - b.umn) // 4
+      |                    AND b.umn + (b.umx - b.umn) // 2
+      |  AND e.cents BETWEEN b.cmn + (b.cmx - b.cmn) // 4
+      |                  AND b.cmn + (b.cmx - b.cmn) // 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- dynamic partition pruning over the layout -----------------------
 
   /** A small day-dimension materialized ONCE next to the fact layout:
@@ -204,6 +301,10 @@ object Layout {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "layout_zorder_scan" -> QueryDef.sql(zorderScanQ, zorderScanSql,
+      "2-D range rollup over the Z-ORDERED event layout: both range " +
+        "predicates prune parquet row groups via min/max stats along " +
+        "the Morton curve (ZorderLayoutSpec measures the skip)"),
     "layout_dpp_join" -> QueryDef.sql(dppJoin, dppJoinSql,
       "fact join against a dim-side filter whose matching partitions are " +
         "only runtime-known: dynamic partition pruning skips fact day " +

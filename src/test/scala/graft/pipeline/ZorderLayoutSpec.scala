@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The Z-order layout's point is DATA SKIPPING: rows close in the
+  * (user_id, cents) plane land in the same parquet row groups, so a
+  * 2-D range predicate's pushed min/max filters skip most groups. The
+  * gate measures it — the same query over the same rows in a
+  * hash-shuffled control layout reads (nearly) everything, the
+  * z-ordered layout reads a fraction — and pins result equality plus
+  * the pushed filters. Small row groups scope the mechanism down to
+  * fixture scale; the ratio, not the absolute size, is the property.
+  */
+class ZorderLayoutSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("2-D range predicate skips row groups on the z-ordered layout") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = graft.util.Tables.load(spark, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select("event_id", "user_id", "event_type", "cents")
+      val blocks = Some(16384L)
+      val zLoc = "/tmp/graft_zorder_spec/z"
+      val cLoc = "/tmp/graft_zorder_spec/shuffled"
+      Layout.writeZordered(ev, zLoc, blocks)
+      // control: identical rows, random (hash) order, same row-group size
+      val w = ev.repartitionByRange(8, hash(col("event_id")))
+        .sortWithinPartitions(hash(col("event_id")))
+      w.write.mode("overwrite")
+        .option("parquet.block.size", "16384").option("parquet.page.size", "4096")
+        .parquet(cLoc)
+
+      val r = ev.agg(min("user_id"), max("user_id"), min("cents"), max("cents")).head
+      val (umn, umx, cmn, cmx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (uLo, uHi) = (umn + (umx - umn) / 4, umn + (umx - umn) / 2)
+      val (cLo, cHi) = (cmn + (cmx - cmn) / 4, cmn + (cmx - cmn) / 2)
+
+      def scanRows(loc: String): (Long, Seq[org.apache.spark.sql.Row]) = {
+        val q = Layout.zorderRollup(spark.read.parquet(loc), uLo, uHi, cLo, cHi)
+        val rows = q.collect().toSeq
+        val scan = q.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+        assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(user_id"),
+          s"range predicates must reach the reader: ${scan.metadata("PushedFilters")}")
+        (scan.metrics("numOutputRows").value, rows)
+      }
+      val (zRead, zRows) = scanRows(zLoc)
+      val (cRead, cRows) = scanRows(cLoc)
+      assert(zRows == cRows, "same rows regardless of layout")
+      assert(zRows.nonEmpty, "the fixture box must select something")
+      info(s"rows read: z-ordered=$zRead shuffled control=$cRead")
+      assert(zRead < cRead / 2,
+        s"z-order must skip at least half the row groups the control reads: $zRead vs $cRead")
+
+      // and the registered query equals the layout-free computation
+      val got = graft.SparkEntry.queries("layout_zorder_scan")(spark, dir).collect().toSeq
+      val expect = Layout.zorderRollup(ev, uLo, uHi, cLo, cHi).collect().toSeq
+      assert(got == expect)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}
