@@ -26,11 +26,13 @@ import graft.util.{Pipelines, QueryDef, Tables}
   *    entries) and counts subword tokens per document in a map-only
   *    pass with a per-executor word memo — no shuffle beyond the scan.
   *
-  * Both queries are rows-only (an iterative argmax fit is not
-  * SQL-expressible — same class as s9/mteaser): BpeSpec is the gate,
-  * pinning the paper's own worked example, determinism, the
-  * monotone-max-count property, and Spark ≡ driver-local-reference
-  * equality on the fixture corpus.
+  * Oracles: `vocab_bpe_merges` carries a FULL DuckDB hash oracle since
+  * r7 ([[mergesSql]] — the fit replayed as chained per-round CTEs);
+  * `text_bpe_tokens` stays rows-only (the greedy per-word segmenter's
+  * inner loop is not replayable in one SQL pass). BpeSpec remains the
+  * algorithmic gate for both: the paper's own worked example,
+  * determinism, the monotone-max-count property, driver ≡ distributed
+  * trainer parity, and Spark ≡ driver-local-reference token counts.
   */
 object Bpe {
 
@@ -367,10 +369,54 @@ object Bpe {
   private def bpeTokens(s: SparkSession, dir: String): DataFrame =
     bpeTokensFrom(docs(s, dir), model(s, dir))
 
+  /** Full DuckDB replay of the merge FIT as [[Merges]] chained CTE
+    * rounds (not a recursive CTE — each round is generated explicitly,
+    * so plain aggregates and an ORDER-BY argmax are legal): the state
+    * is each type's symbolization as a chr(30)-delimited string
+    * (fixtures carry no chr(30); `string_split(w,'')` splits per code
+    * point like [[symbolize]]); per round, adjacent pairs are counted
+    * by lateral position unnest, the winner is the (count desc, l, r)
+    * LIMIT 1 under DuckDB's binary collation (≡ [[cpOrder]]), and the
+    * merge applies via `replace` on sep||l||sep||r||sep — the same
+    * left-to-right non-overlapping pass as [[mergePair]]. An exhausted
+    * round's empty `best` CTE empties all later state, mirroring the
+    * driver loop's early stop. CTEs are MATERIALIZED: without it the
+    * doubly-referenced round chain inlines exponentially.
+    */
+  private val mergesSql: String = {
+    val sep = "chr(30)"
+    val head =
+      s"""WITH types AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '' GROUP BY 1
+         |), st0 AS MATERIALIZED (
+         |  SELECT f, $sep || array_to_string(string_split(w, ''), $sep) || $sep || '$EndMark' || $sep AS s
+         |  FROM types
+         |)""".stripMargin
+    val rounds = (1 to Merges).map { i =>
+      s""", pc$i AS (
+         |  SELECT t.sy[u.i] AS l, t.sy[u.i+1] AS r, CAST(SUM(t.f) AS BIGINT) AS c
+         |  FROM (SELECT f, string_split(trim(s, $sep), $sep) AS sy FROM st${i - 1}) t,
+         |       UNNEST(range(1, len(t.sy))) AS u(i)
+         |  GROUP BY 1, 2
+         |), best$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM pc$i WHERE c >= $MinFreq ORDER BY c DESC, l, r LIMIT 1
+         |), st$i AS MATERIALIZED (
+         |  SELECT t.f, replace(t.s, $sep||b.l||$sep||b.r||$sep, $sep||b.l||b.r||$sep) AS s
+         |  FROM st${i - 1} t, best$i b
+         |)""".stripMargin
+    }.mkString
+    val outs = (1 to Merges).map { i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left", r AS "right", l||r AS merged, c AS pair_count FROM best$i"""
+    }.mkString(" UNION ALL ")
+    s"$head$rounds\nSELECT * FROM ($outs) ORDER BY rank"
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    "vocab_bpe_merges" -> QueryDef.rowsOnly(merges,
+    "vocab_bpe_merges" -> QueryDef.sql(merges, mergesSql,
       "BPE tokenizer induction: merge table fitted on the word-type " +
-        "dictionary (Sennrich 2016); gate = BpeSpec"),
+        "dictionary (Sennrich 2016); ORACLED since r7 — the fit replays " +
+        "in DuckDB as chained per-round CTEs; BpeSpec gates the trainers"),
     "text_bpe_tokens" -> QueryDef.rowsOnly(bpeTokens,
       "per-doc subword token counts under the fitted BPE merges; " +
         "gate = BpeSpec (Spark ≡ driver-local reference)"))
