@@ -26,13 +26,14 @@ import graft.util.{Pipelines, QueryDef, Tables}
   *    entries) and counts subword tokens per document in a map-only
   *    pass with a per-executor word memo — no shuffle beyond the scan.
   *
-  * Oracles: `vocab_bpe_merges` carries a FULL DuckDB hash oracle since
-  * r7 ([[mergesSql]] — the fit replayed as chained per-round CTEs);
-  * `text_bpe_tokens` stays rows-only (the greedy per-word segmenter's
-  * inner loop is not replayable in one SQL pass). BpeSpec remains the
-  * algorithmic gate for both: the paper's own worked example,
-  * determinism, the monotone-max-count property, driver ≡ distributed
-  * trainer parity, and Spark ≡ driver-local-reference token counts.
+  * Oracles: BOTH queries carry full DuckDB hash oracles since r7 — the
+  * fit replays as chained per-round CTEs ([[chainSql]]/[[mergesSql]])
+  * and the token counts read the chain's final state ([[tokensSql]];
+  * see its doc for why sequential replay equals the greedy segmenter).
+  * BpeSpec remains the algorithmic gate: the paper's own worked
+  * example, determinism, the monotone-max-count property, driver ≡
+  * distributed trainer parity, and Spark ≡ driver-local-reference
+  * token counts.
   */
 object Bpe {
 
@@ -383,41 +384,79 @@ object Bpe {
     * driver loop's early stop. CTEs are MATERIALIZED: without it the
     * doubly-referenced round chain inlines exponentially.
     */
-  private val mergesSql: String = {
-    val sep = "chr(30)"
+  private val Sep = "chr(30)"
+
+  /** The shared per-round CTE chain: after round i, `st_i` holds every
+    * type's symbolization under merges 0..i−1 and `best_i` the round's
+    * winning pair (empty once exhausted — the LEFT JOIN keeps the
+    * state flowing unchanged, so exhausted rounds are no-ops exactly
+    * like the driver loop's early stop).
+    */
+  private def chainSql: String = {
     val head =
       s"""WITH types AS MATERIALIZED (
          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '' GROUP BY 1
          |), st0 AS MATERIALIZED (
-         |  SELECT f, $sep || array_to_string(string_split(w, ''), $sep) || $sep || '$EndMark' || $sep AS s
+         |  SELECT w, f, $Sep || array_to_string(string_split(w, ''), $Sep) || $Sep || '$EndMark' || $Sep AS s
          |  FROM types
          |)""".stripMargin
     val rounds = (1 to Merges).map { i =>
       s""", pc$i AS (
          |  SELECT t.sy[u.i] AS l, t.sy[u.i+1] AS r, CAST(SUM(t.f) AS BIGINT) AS c
-         |  FROM (SELECT f, string_split(trim(s, $sep), $sep) AS sy FROM st${i - 1}) t,
+         |  FROM (SELECT f, string_split(trim(s, $Sep), $Sep) AS sy FROM st${i - 1}) t,
          |       UNNEST(range(1, len(t.sy))) AS u(i)
          |  GROUP BY 1, 2
          |), best$i AS MATERIALIZED (
          |  SELECT l, r, c FROM pc$i WHERE c >= $MinFreq ORDER BY c DESC, l, r LIMIT 1
          |), st$i AS MATERIALIZED (
-         |  SELECT t.f, replace(t.s, $sep||b.l||$sep||b.r||$sep, $sep||b.l||b.r||$sep) AS s
-         |  FROM st${i - 1} t, best$i b
+         |  SELECT t.w, t.f,
+         |    CASE WHEN b.l IS NULL THEN t.s
+         |         ELSE replace(t.s, $Sep||b.l||$Sep||b.r||$Sep, $Sep||b.l||b.r||$Sep) END AS s
+         |  FROM st${i - 1} t LEFT JOIN best$i b ON TRUE
          |)""".stripMargin
     }.mkString
+    head + rounds
+  }
+
+  private val mergesSql: String = {
     val outs = (1 to Merges).map { i =>
       s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left", r AS "right", l||r AS merged, c AS pair_count FROM best$i"""
     }.mkString(" UNION ALL ")
-    s"$head$rounds\nSELECT * FROM ($outs) ORDER BY rank"
+    s"$chainSql\nSELECT * FROM ($outs) ORDER BY rank"
   }
+
+  /** Token-count oracle: `st_Merges` IS each type's final segmentation —
+    * sequential rank-order application equals the greedy lowest-rank
+    * segmenter for any TRAINED merge table (a merge's components always
+    * carry lower ranks, so applying merge k exhaustively can never
+    * enable a merge < k; and one left-to-right `replace`/mergePair pass
+    * is already a fixpoint for its own pair). Per-doc counts then join
+    * the per-type symbol counts; `tokens_per_word` uses the same
+    * IEEE FLOOR rounding as the Spark side.
+    */
+  private val tokensSql: String =
+    s"""$chainSql, cnt AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(trim(s, $Sep), $Sep)) AS BIGINT) AS c FROM st$Merges
+       |), docw AS (
+       |  SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COUNT(dw.w) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS n_bpe_tokens,
+       |  FLOOR(CAST(COALESCE(SUM(c.c), 0) AS DOUBLE) / GREATEST(COUNT(dw.w), 1) * 1e6 + 0.5) / 1e6 AS tokens_per_word
+       |FROM documents d
+       |LEFT JOIN docw dw ON d.doc_id = dw.doc_id
+       |LEFT JOIN cnt c ON dw.w = c.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "vocab_bpe_merges" -> QueryDef.sql(merges, mergesSql,
       "BPE tokenizer induction: merge table fitted on the word-type " +
         "dictionary (Sennrich 2016); ORACLED since r7 — the fit replays " +
         "in DuckDB as chained per-round CTEs; BpeSpec gates the trainers"),
-    "text_bpe_tokens" -> QueryDef.rowsOnly(bpeTokens,
+    "text_bpe_tokens" -> QueryDef.sql(bpeTokens, tokensSql,
       "per-doc subword token counts under the fitted BPE merges; " +
-        "gate = BpeSpec (Spark ≡ driver-local reference)"))
+        "ORACLED since r7 — sequential rank-order replay ≡ the greedy " +
+        "segmenter for trained tables; gate = BpeSpec"))
 }
