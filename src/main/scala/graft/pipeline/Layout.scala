@@ -211,6 +211,10 @@ object Layout {
     */
   private def zorderScanQ(s: SparkSession, dir: String): DataFrame = {
     val ev = zorderedEvents(s, dir)
+    // fixture scaffolding, not the production pattern: a real query
+    // supplies its own box (the whole point of the layout is that the
+    // PREDICATE prunes); the extremes aggregate only makes the fixture
+    // box scale-independent so one oracle covers every SF
     val r = ev.agg(min("user_id"), max("user_id"), min("cents"), max("cents")).head
     // empty table: NULL extremes; a never-matching box keeps it empty
     val (umn, umx, cmn, cmx) =
