@@ -115,6 +115,34 @@ class BpeSpec extends SparkSpec {
       Character.isSurrogate(ch) && s.length == 1)), "no lone surrogates in symbols")
   }
 
+  test("cpOrder equals Spark's UTF8String binary order on random Unicode") {
+    // the BPE tie-break claim verbatim: the driver's comparator and the
+    // order Spark's TakeOrdered uses (UTF8String binary compareTo) must
+    // agree in SIGN for any valid strings — sampled across ASCII, BMP
+    // (incl. U+FFFD and surrogate-adjacent U+D7FF/U+E000), and
+    // supplementary planes
+    val rnd = new scala.util.Random(20260815L)
+    val pools = Array(
+      (0x20, 0x7E), (0xA0, 0x2FF), (0xD7F0, 0xD7FF), (0xE000, 0xE010),
+      (0xFFF0, 0xFFFD), (0x10000, 0x1001F), (0x1D540, 0x1D55F), (0x10FFF0, 0x10FFFF))
+    def randStr(): String = {
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(6)).foreach { _ =>
+        val (lo, hi) = pools(rnd.nextInt(pools.length))
+        sb.appendCodePoint(lo + rnd.nextInt(hi - lo + 1))
+      }
+      sb.toString
+    }
+    (0 until 5000).foreach { _ =>
+      val (a, b) = (randStr(), randStr())
+      val ours = Integer.signum(Bpe.cpOrder.compare(a, b))
+      val utf8 = Integer.signum(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+      assert(ours == utf8, s"cpOrder(${a.codePoints.toArray.toSeq}, " +
+        s"${b.codePoints.toArray.toSeq}) = $ours but UTF8 binary = $utf8")
+    }
+  }
+
   test("distributed trainer schedules a bounded number of jobs per merge round") {
     import spark.implicits._
     // dictionary with a long merge chain so many rounds run

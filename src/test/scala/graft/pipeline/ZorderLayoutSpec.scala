@@ -16,6 +16,28 @@ class ZorderLayoutSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("zValue is the Morton interleave of the clamped 16-bit inputs") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long = {
+      def cl(v: Long) = math.min(65535L, math.max(0L, v))
+      var z = 0L
+      (0 until 16).foreach { b =>
+        z |= ((cl(x) >> b) & 1L) << (2 * b)
+        z |= ((cl(y) >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(42L)
+    val cases = Seq((0L, 0L), (65535L, 65535L), (-5L, 70000L), (1L, 0L), (0L, 1L)) ++
+      (0 until 200).map(_ => (rnd.nextLong(70000L) - 2000L, rnd.nextLong(70000L) - 2000L))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    cases.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"zValue($x, $y)")
+    }
+  }
+
   test("2-D range predicate skips row groups on the z-ordered layout") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
