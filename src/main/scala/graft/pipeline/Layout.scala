@@ -181,8 +181,10 @@ object Layout {
     */
   private[pipeline] def writeZordered(ev: DataFrame, loc: String,
       blockSize: Option[Long] = None): Unit = {
+    // partition count follows the session's shuffle parallelism (no
+    // fixed small number — at 100 TB the range exchange must fan out)
     val z = ev.withColumn("z", zValue(col("user_id"), col("cents")))
-      .repartitionByRange(8, col("z"))
+      .repartitionByRange(col("z"))
       .sortWithinPartitions("z")
       .drop("z")
     val w = z.write.mode("overwrite")
