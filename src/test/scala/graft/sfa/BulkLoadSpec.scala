@@ -2,7 +2,6 @@ package graft.sfa
 
 import graft.SparkSpec
 import graft.ts.Loaders
-import org.apache.spark.sql.functions._
 
 /** Bulk-load scale gate, mirroring the reference's chunked subsequence
   * bulk load (SFABulkLoadTest.java:170-238): one long random walk is cut
@@ -36,7 +35,6 @@ class BulkLoadSpec extends SparkSpec {
   private val Probe = 64
 
   private def run(nChunks: Int, chunkSize: Int): Unit = {
-    import spark.implicits._
     val n = nChunks * chunkSize
     val walk = Loaders.randomWalk(n + W - 1, 20260812L)
     val model = SFA.fitWindowing(Array((walk, 0.0)), W, L, Alpha,
