@@ -207,13 +207,24 @@ object Bpe {
     *   3. folds the delta into the pair table and rewrites the
     *      symbolization (a map-only projection — [[mergePair]] is the
     *      identity on unaffected words).
-    * Round state (reprs, pair counts) is localCheckpoint-ed eagerly so
-    * plans stay shallow and each round is a CONSTANT number of
-    * scheduled jobs (BpeSpec asserts this); the previous round's blocks
-    * are released. The dictionary never leaves the cluster, so the fit
-    * is exact at ANY vocabulary size — no dropped tail, and BpeSpec
-    * pins merge-for-merge equality with the driver loop.
+    * The pair table is localCheckpoint-ed eagerly every round (it is
+    * pair-table-sized and feeds the next argmax); the symbolization is
+    * checkpointed only every [[ReprCkptEvery]] rounds — between
+    * checkpoints the pending merges ride as composed map-only
+    * projections (≤ [[ReprCkptEvery]] plan levels, re-applied inside
+    * the one delta job that reads them), cutting ~1/2 of the per-round
+    * materializations at 32k-merge vocabularies. Plans stay shallow and
+    * each round is a CONSTANT number of scheduled jobs (BpeSpec asserts
+    * this); superseded checkpoint blocks are released. The dictionary
+    * never leaves the cluster, so the fit is exact at ANY vocabulary
+    * size — no dropped tail, and BpeSpec pins merge-for-merge equality
+    * with the driver loop.
     */
+  /** Rounds between symbolization checkpoints in the distributed
+    * trainer: pending merges ride as composed projections until then.
+    */
+  private[pipeline] val ReprCkptEvery = 8
+
   private[pipeline] def fitMergesDistributed(dictDf: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
     val symUdf = udf { (w: String) => symbolize(w) }
     val mergeUdf = udf { (syms: Seq[String], l: String, r: String) =>
@@ -236,6 +247,8 @@ object Bpe {
 
     var reprs = dictDf.select(symUdf(col("w")).as("syms"), col("f"))
       .localCheckpoint(true)
+    var reprsCkpt = reprs // the checkpoint the composed view is rooted at
+    var pendingMerges = 0 // projections composed since that checkpoint
     // the one corpus-wide pair aggregate (round 0's baseline counts)
     var pc = pairsOf(reprs, col("f"))
       .groupBy("l", "r").agg(sum(col("d")).as("c"))
@@ -260,18 +273,25 @@ object Bpe {
           .groupBy("l", "r").agg(sum(col("d")).as("c"))
           .filter(col("c") > 0)
           .localCheckpoint(true)
-        val nextReprs = reprs
+        val merged = reprs
           .withColumn("syms", mergeUdf(col("syms"), lit(l), lit(r)))
-          .localCheckpoint(true)
+        pendingMerges += 1
+        if (pendingMerges >= ReprCkptEvery) {
+          // materialize once per cadence; only then is the PREVIOUS
+          // checkpoint safe to release (the composed views between
+          // cadences are plans rooted at it, never materialized state)
+          reprs = merged.localCheckpoint(true)
+          reprsCkpt.unpersist(false)
+          reprsCkpt = reprs
+          pendingMerges = 0
+        } else reprs = merged
         pc.unpersist(false)
-        reprs.unpersist(false)
         pc = nextPc
-        reprs = nextReprs
         rank += 1
       }
     }
     pc.unpersist(false)
-    reprs.unpersist(false)
+    reprsCkpt.unpersist(false)
     out.result()
   }
 

@@ -55,7 +55,7 @@ object GridQ {
     */
   private def m2(s: SparkSession, dir: String): DataFrame = {
     // SfaQ.series is already an eagerly-materialized session cache —
-    // safe for the overlapped branch fits below to share
+    // both windows' pipelines below scan it from the block store
     val ser = SfaQ.series(s, dir)
     // a window-grid FIT at fixture input size is plan-depth-bound:
     // run it (and the result materialization) in the small-fit scope
@@ -63,53 +63,57 @@ object GridQ {
   }
 
   private def m2Body(s: SparkSession, ser: DataFrame): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    // per-window branches are independent until the final union; their
-    // materializing actions (bags.count) overlap in driver threads so
-    // Spark interleaves the jobs instead of serializing the fits
-    val branches = M2Windows.map { w => Future {
-      val bins = SFAOps.equiDepthBins(SFAOps.disjointApprox(ser, w, L, normMean = false), Alpha)
-      val bags = graft.util.Pipelines.tracked(s, SFAOps.bagOfWords(
-        SFAOps.packWords(SFAOps.slidingApproxDirect(ser, w, L, normMean = false), bins, Bits)))
-      // materialize before composing the tf-idf chain: its broadcast
-      // subtrees are submitted concurrently, and against a cold cache
-      // each would recompute the whole word pipeline independently
-      bags.count()
-      val train = bags.filter(col("user_id") % 2 === 0)
-        .withColumn("cls", col("user_id") % NumClasses)
-      val tf = train.groupBy("cls", "word").agg(sum(col("cnt")).as("tf"))
-      val wc = tf.groupBy("word").agg(count(lit(1)).as("wc"))
-      val wt = tf.join(wc, Seq("word"))
-        .withColumn("weight",
-          when(col("wc") === NumClasses, lit(0.0))
-            .otherwise((lit(1.0) + log10(col("tf").cast("double"))) /
-              log10(lit(1.0) + lit(NumClasses) / col("wc").cast("double"))))
-      val l2 = wt.groupBy("cls").agg(sqrt(sum(col("weight") * col("weight"))).as("l2"))
-      val nw = wt.join(l2, Seq("cls"))
-        .withColumn("nweight",
-          when(col("l2") =!= 0.0, col("weight") / col("l2")).otherwise(lit(0.0)))
-        .select(col("cls"), col("word"), col("nweight"))
-      val test = bags.filter(col("user_id") % 2 === 1)
-        .select(col("user_id"), col("word"), col("cnt"))
-      val classes = nw.select(col("cls")).distinct()
-      val byScore = Window.partitionBy("user_id")
-        .orderBy(col("score").desc, col("cls").asc)
-      test.crossJoin(broadcast(classes))
-        .join(nw, Seq("cls", "word"), "left")
-        .na.fill(0.0, Seq("nweight"))
-        .groupBy("user_id", "cls")
-        .agg(sum(col("cnt") * col("nweight")).as("score"))
-        .withColumn("rn", row_number().over(byScore))
-        .filter(col("rn") === 1)
-        .agg(
-          sum(when(col("cls") === col("user_id") % NumClasses, 1L).otherwise(0L)).as("correct"),
-          count(lit(1)).as("total"))
-        .select(lit(w.toLong).as("w"), col("correct"), col("total"))
-    } }.map(Await.result(_, Duration.Inf))
+    // the grid axis `w` is a COLUMN, not a driver loop: both windows'
+    // quantizer fits run in ONE grouped aggregate, the word/bag/tf-idf
+    // chain is keyed by (w, …) throughout, and the whole grid is ONE
+    // plan — exactly the architecture a 1000-config sweep needs (shuffle
+    // count is independent of grid size)
+    def perW(build: Int => DataFrame): DataFrame =
+      M2Windows.map(w => build(w).withColumn("w", lit(w.toLong))).reduce(_ unionByName _)
+    val bins = SFAOps.equiDepthBins(
+      perW(w => SFAOps.disjointApprox(ser, w, L, normMean = false)), Alpha, Seq("w"))
+    val bags = graft.util.Pipelines.tracked(s, SFAOps.bagOfWords(
+      SFAOps.packWords(
+        perW(w => SFAOps.slidingApproxDirect(ser, w, L, normMean = false)),
+        bins, Bits, Seq("w")),
+      Seq("w")))
+    // materialize before composing the tf-idf chain: its broadcast
+    // subtrees are submitted concurrently, and against a cold cache
+    // each would recompute the whole word pipeline independently
+    bags.count()
+    val train = bags.filter(col("user_id") % 2 === 0)
+      .withColumn("cls", col("user_id") % NumClasses)
+    val tf = train.groupBy("w", "cls", "word").agg(sum(col("cnt")).as("tf"))
+    val wc = tf.groupBy("w", "word").agg(count(lit(1)).as("wc"))
+    val wt = tf.join(wc, Seq("w", "word"))
+      .withColumn("weight",
+        when(col("wc") === NumClasses, lit(0.0))
+          .otherwise((lit(1.0) + log10(col("tf").cast("double"))) /
+            log10(lit(1.0) + lit(NumClasses) / col("wc").cast("double"))))
+    val l2 = wt.groupBy("w", "cls").agg(sqrt(sum(col("weight") * col("weight"))).as("l2"))
+    val nw = wt.join(l2, Seq("w", "cls"))
+      .withColumn("nweight",
+        when(col("l2") =!= 0.0, col("weight") / col("l2")).otherwise(lit(0.0)))
+      .select(col("w"), col("cls"), col("word"), col("nweight"))
+    val test = bags.filter(col("user_id") % 2 === 1)
+      .select(col("w"), col("user_id"), col("word"), col("cnt"))
+    // per-w class list (the old per-branch crossJoin, now a w-keyed join)
+    val classes = nw.select(col("w"), col("cls")).distinct()
+    val byScore = Window.partitionBy("w", "user_id")
+      .orderBy(col("score").desc, col("cls").asc)
+    val graded = test.join(broadcast(classes), Seq("w"))
+      .join(nw, Seq("w", "cls", "word"), "left")
+      .na.fill(0.0, Seq("nweight"))
+      .groupBy("w", "user_id", "cls")
+      .agg(sum(col("cnt") * col("nweight")).as("score"))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .groupBy("w")
+      .agg(
+        sum(when(col("cls") === col("user_id") % NumClasses, 1L).otherwise(0L)).as("correct"),
+        count(lit(1)).as("total"))
     val byModel = Window.orderBy(col("correct").desc, col("w").desc)
-    val res = graft.util.Pipelines.tracked(s, branches.reduce(_ unionByName _)
+    val res = graft.util.Pipelines.tracked(s, graded
       .withColumn("rank", row_number().over(byModel).cast("long"))
       .orderBy("w"))
     res.count() // materialize inside the small-fit scope
@@ -174,41 +178,47 @@ object GridQ {
   }
 
   private def m3Body(s: SparkSession, dir: String): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val words = SfaQ.slidingWords(s, dir) // eagerly-materialized cache
     val byWin = Window.partitionBy("user_id").orderBy("win")
-    // per-f branches overlap their cell materializations (see m2)
-    val branches = M3Fs.map { f => Future {
-      val mask = 1L << (Bits * f)
-      val masked = words.withColumn("wf", col("word") % mask)
-        .withColumn("prev", lag(col("wf"), 16).over(byWin))
-      val uni = masked.select(col("user_id"), (col("wf") * UniShift).as("key"))
-      val big = masked.filter(col("prev").isNotNull)
-        .select(col("user_id"), (col("prev") * BigShift + col("wf") * UniShift).as("key"))
-      val bags = uni.unionByName(big)
-        .groupBy("user_id", "key").agg(count(lit(1)).as("cnt"))
-      val cell = graft.util.Pipelines.tracked(s, bags
-        .groupBy((col("user_id") % NumClasses).as("cls"), col("key"))
-        .agg(sum(col("cnt")).as("obs")))
-      cell.count() // materialize before the concurrently-submitted chi² subtrees
-      val wt = cell.groupBy("key").agg(sum(col("obs")).as("wtot"))
-      val lt = cell.groupBy("cls").agg(sum(col("obs")).as("ltot"))
-      val nt = cell.agg(sum(col("obs")).as("n"))
-      wt.crossJoin(broadcast(lt)).crossJoin(broadcast(nt))
-        .join(cell, Seq("key", "cls"), "left")
-        .na.fill(0L, Seq("obs"))
-        .withColumn("exp", col("wtot").cast("double") * col("ltot") / col("n"))
-        .groupBy("key")
-        .agg(sum((col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp")).as("chi2"))
-        .groupBy(when(col("key") >= BigShift, 1L).otherwise(0L).as("is_bigram"))
-        .agg(count(lit(1)).as("n_features"),
-          sum(when(col("chi2") >= ChiLimit, 1L).otherwise(0L)).as("n_selected"))
-        .select(lit(f.toLong).as("f"), col("is_bigram"), col("n_features"), col("n_selected"))
-    } }.map(Await.result(_, Duration.Inf))
-    val res = graft.util.Pipelines.tracked(s,
-      branches.reduce(_ unionByName _).orderBy("f", "is_bigram"))
+    // the sweep axis `f` is a COLUMN: the bigram lag runs ONCE on the
+    // unmasked words (lag-then-mask ≡ mask-then-lag since the mask is
+    // deterministic per f), each word row fans out to the |F| (f, mask)
+    // pairs in a map-only explode, and every aggregate/join below is
+    // keyed by (f, …) — the whole sweep is ONE plan whose shuffle count
+    // is independent of |F|
+    val fm = array(M3Fs.map(f =>
+      struct(lit(f.toLong).as("f"), lit(1L << (Bits * f)).as("mask"))): _*)
+    val masked = words
+      .withColumn("prevw", lag(col("word"), 16).over(byWin))
+      .select(col("user_id"), col("word"), col("prevw"), explode(fm).as("x"))
+      .select(col("user_id"), col("x.f").as("f"),
+        (col("word") % col("x.mask")).as("wf"),
+        (col("prevw") % col("x.mask")).as("prev"))
+    val uni = masked.select(col("f"), col("user_id"), (col("wf") * UniShift).as("key"))
+    val big = masked.filter(col("prev").isNotNull)
+      .select(col("f"), col("user_id"), (col("prev") * BigShift + col("wf") * UniShift).as("key"))
+    val bags = uni.unionByName(big)
+      .groupBy("f", "user_id", "key").agg(count(lit(1)).as("cnt"))
+    val cell = graft.util.Pipelines.tracked(s, bags
+      .groupBy(col("f"), (col("user_id") % NumClasses).as("cls"), col("key"))
+      .agg(sum(col("cnt")).as("obs")))
+    cell.count() // materialize before the concurrently-submitted chi² subtrees
+    val wt = cell.groupBy("f", "key").agg(sum(col("obs")).as("wtot"))
+    val lt = cell.groupBy("f", "cls").agg(sum(col("obs")).as("ltot"))
+    val nt = cell.groupBy("f").agg(sum(col("obs")).as("n"))
+    val res = graft.util.Pipelines.tracked(s, wt
+      .join(broadcast(lt), Seq("f"))
+      .join(broadcast(nt), Seq("f"))
+      .join(cell, Seq("f", "key", "cls"), "left")
+      .na.fill(0L, Seq("obs"))
+      .withColumn("exp", col("wtot").cast("double") * col("ltot") / col("n"))
+      .groupBy("f", "key")
+      .agg(sum((col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp")).as("chi2"))
+      .groupBy(col("f"), when(col("key") >= BigShift, 1L).otherwise(0L).as("is_bigram"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(when(col("chi2") >= ChiLimit, 1L).otherwise(0L)).as("n_selected"))
+      .select(col("f"), col("is_bigram"), col("n_features"), col("n_selected"))
+      .orderBy("f", "is_bigram"))
     res.count() // materialize inside the small-fit scope
     res
   }

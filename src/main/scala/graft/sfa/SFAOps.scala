@@ -45,22 +45,27 @@ object SFAOps {
   }
 
   /** Equi-depth bin edges per coefficient from the 2-decimal-rounded
-    * orderline (SFA.java:392-450). Output: (coef, pos, edge), assigned
-    * edges only. The per-coefficient collect is bounded by the fit
-    * sample size — the reference fits on disjoint windows for exactly
+    * orderline (SFA.java:392-450). Output: (extraKeys…, coef, pos, edge),
+    * assigned edges only. The per-coefficient collect is bounded by the
+    * fit sample size — the reference fits on disjoint windows for exactly
     * this cost reason; at extreme scale the fit input is itself sampled.
+    *
+    * `extraKeys` makes a GRID AXIS a grouping column (e.g. the window
+    * length `w` in m2_window_grid): every grid point's quantizer is fitted
+    * in the SAME grouped aggregate — one plan, no per-config driver loop.
     */
-  def equiDepthBins(approx: DataFrame, alphabetSize: Int): DataFrame = {
+  def equiDepthBins(approx: DataFrame, alphabetSize: Int, extraKeys: Seq[String] = Nil): DataFrame = {
     val edgesUdf = udf { (vals: Seq[Double]) =>
       SFA.equiDepthEdges(vals.sorted.toArray, alphabetSize)
         .zipWithIndex.collect { case (e, p) if e != Double.MaxValue => (p, e) }
     }
+    val keys = (extraKeys :+ "coef").map(col)
     approx
-      .select(col("coef"), graft.util.Rnd.jround(col("v"), 2).as("v2"))
-      .groupBy(col("coef"))
+      .select(keys :+ graft.util.Rnd.jround(col("v"), 2).as("v2"): _*)
+      .groupBy(keys: _*)
       .agg(edgesUdf(collect_list(col("v2"))).as("edges"))
-      .select(col("coef"), explode(col("edges")).as("pe"))
-      .select(col("coef"), col("pe._1").as("pos"), col("pe._2").as("edge"))
+      .select(keys :+ explode(col("edges")).as("pe"): _*)
+      .select(keys :+ col("pe._1").as("pos") :+ col("pe._2").as("edge"): _*)
   }
 
   /** Collect (coef, pos, edge) rows into a bins matrix. */
@@ -88,19 +93,21 @@ object SFAOps {
   def packWords(
       approx: DataFrame,
       bins: DataFrame,
-      usedBits: Int): DataFrame = {
+      usedBits: Int,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val maxEdges = (1 << usedBits) - 1
+    val binKeys = (extraKeys :+ "coef").map(col)
     val edgeArrays = bins
-      .groupBy(col("coef"))
+      .groupBy(binKeys: _*)
       .agg(expr("transform(sort_array(collect_list(struct(pos, edge))), p -> p.edge)")
         .as("edges"))
     val symbol = (1 to maxEdges)
       .map(i => when(size(col("edges")) >= i && col("v") >= element_at(col("edges"), i), 1L)
         .otherwise(0L))
       .reduce(_ + _)
-    approx.join(broadcast(edgeArrays), Seq("coef"), "left")
+    approx.join(broadcast(edgeArrays), extraKeys :+ "coef", "left")
       .withColumn("symbol", symbol)
-      .groupBy(col("user_id"), col("win"))
+      .groupBy((extraKeys ++ Seq("user_id", "win")).map(col): _*)
       .agg(sum(col("symbol") * expr(s"shiftleft(1L, coef * $usedBits)")).as("word"))
   }
 
@@ -197,12 +204,14 @@ object SFAOps {
     * (BOSS.java:116-145): drop a window whose word equals the previous
     * offset's, count the survivors. Input: (user_id, win, word).
     */
-  def bagOfWords(words: DataFrame): DataFrame = {
-    val byOffset = Window.partitionBy(col("user_id")).orderBy(col("win"))
+  def bagOfWords(words: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
+    val byOffset = Window
+      .partitionBy((extraKeys :+ "user_id").map(col): _*)
+      .orderBy(col("win"))
     words
       .withColumn("prev", lag(col("word"), 1).over(byOffset))
       .filter(col("prev").isNull || col("prev") =!= col("word"))
-      .groupBy(col("user_id"), col("word"))
+      .groupBy((extraKeys ++ Seq("user_id", "word")).map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 

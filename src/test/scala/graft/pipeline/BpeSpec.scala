@@ -160,9 +160,10 @@ class BpeSpec extends SparkSpec {
       org.apache.spark.sql.graft.Bridge.waitListenerBus(spark.sparkContext)
       val rounds = dist.size
       assert(rounds >= 8, s"want a multi-round fit to measure: $rounds")
-      // constant jobs per round (argmax + delta-fold checkpoint + repr
-      // checkpoint, ≤2 jobs each under AQE) + constant setup — NOT the
-      // full-recount trainer's dictionary-wide aggregate per round
+      // constant jobs per round (argmax + delta-fold checkpoint, ≤2
+      // jobs each under AQE; the symbolization checkpoints only every
+      // ReprCkptEvery rounds) + constant setup — NOT the full-recount
+      // trainer's dictionary-wide aggregate per round
       assert(jobs.get() <= 8L * rounds + 12,
         s"jobs ${jobs.get()} for $rounds rounds — per-round job count must be O(1)")
     } finally spark.sparkContext.removeSparkListener(listener)

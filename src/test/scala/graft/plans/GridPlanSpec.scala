@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sfa.SFAOps
+
+/** Executed-plan gate for the grid-as-a-column architecture
+  * (m2_window_grid / m3_weasel_grid): when the sweep axis is a data
+  * column, the pipeline's SHUFFLE COUNT must be independent of the
+  * number of grid points — a 1000-config sweep costs the same number of
+  * wide exchanges as a 2-config sweep, only wider rows. This is the
+  * property that makes the declarative grid viable at 100 TB, where a
+  * per-config driver loop would multiply every shuffle by the grid
+  * size.
+  */
+class GridPlanSpec extends SparkSpec {
+
+  private val L = 4
+  private val Alpha = 4
+  private val Bits = 2
+
+  private def series: DataFrame = {
+    import spark.implicits._
+    (0L until 12L)
+      .map(u => (u, Array.tabulate(48)(i => math.sin(u + i * 0.37) + 0.05 * i)))
+      .toDF("user_id", "data")
+  }
+
+  /** The m2-shaped keyed word pipeline: per-w quantizer fits in ONE
+    * grouped aggregate, words and bags keyed by (w, …).
+    */
+  private def bagsFor(ser: DataFrame, ws: Seq[Int]): DataFrame = {
+    def perW(build: Int => DataFrame): DataFrame =
+      ws.map(w => build(w).withColumn("w", lit(w.toLong))).reduce(_ unionByName _)
+    val bins = SFAOps.equiDepthBins(
+      perW(w => SFAOps.disjointApprox(ser, w, L, normMean = false)), Alpha, Seq("w"))
+    SFAOps.bagOfWords(
+      SFAOps.packWords(
+        perW(w => SFAOps.slidingApproxDirect(ser, w, L, normMean = false)),
+        bins, Bits, Seq("w")),
+      Seq("w"))
+  }
+
+  private def executed(df: DataFrame): String = {
+    df.collect() // force AQE to finalize the real physical plan
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def countOf(plan: String, token: String): Int =
+    token.r.findAllIn(plan).size
+
+  test("grid shuffle count is independent of the number of grid points") {
+    val ser = series.cache()
+    try {
+      val p2 = executed(bagsFor(ser, Seq(8, 16)))
+      val p3 = executed(bagsFor(ser, Seq(8, 16, 24)))
+      val (x2, x3) = (countOf(p2, "Exchange hashpartitioning"), countOf(p3, "Exchange hashpartitioning"))
+      assert(x2 > 0, p2)
+      assert(x2 == x3, s"shuffles must not scale with grid size: 2-point=$x2 3-point=$x3\n$p3")
+      // the quantizer broadcast stays a single small exchange too
+      assert(countOf(p2, "BroadcastExchange") == countOf(p3, "BroadcastExchange"), p3)
+    } finally { ser.unpersist(); () }
+  }
+
+  test("bag aggregate reuses the window partitioning (no extra exchange after lag)") {
+    val ser = series.cache()
+    try {
+      val p = executed(bagsFor(ser, Seq(8, 16)))
+      // numerosity's window runs on hashpartitioning(w, user_id); the bag
+      // groupBy(w, user_id, word) clusters on a superset and must NOT
+      // insert another exchange — the plan carries exactly: bins groupBy,
+      // word groupBy, window partitioning (3 wide exchanges total)
+      assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    } finally { ser.unpersist(); () }
+  }
+
+  test("keyed primitives equal the unkeyed per-config runs") {
+    val ser = series.cache()
+    try {
+      val ws = Seq(8, 16)
+      val keyed = bagsFor(ser, ws)
+        .select(col("w"), col("user_id"), col("word"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val looped = ws.flatMap { w =>
+        val bins = SFAOps.equiDepthBins(SFAOps.disjointApprox(ser, w, L, normMean = false), Alpha)
+        SFAOps.bagOfWords(
+          SFAOps.packWords(SFAOps.slidingApproxDirect(ser, w, L, normMean = false), bins, Bits))
+          .collect().map(r => (w.toLong, r.getLong(0), r.getLong(1), r.getLong(2)))
+      }.toSet
+      assert(keyed == looped)
+    } finally { ser.unpersist(); () }
+  }
+}
