@@ -318,27 +318,38 @@ object GridQ {
     * join, odd test vs even train) and its accuracy — TEASER's
     * per-snapshot quality curve.
     */
+  private val M5W = 16
+
   private def m5(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-    val byOrder = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val byUser = Window.partitionBy("user_id")
-    val branches = M5Snaps.map { snap =>
-      val trunc = ev
-        .withColumn("rn0", row_number().over(byOrder))
-        .withColumn("n0", count(lit(1)).over(byUser))
-        .filter(col("n0") >= snap && col("rn0") <= snap)
-        .drop("rn0", "n0")
-      val bags = graft.util.Pipelines.tracked(s, SFAOps.bagOfWords(SfaQ.slidingWordsOf(trunc)))
-      SFAOps.nnBagJoin(
-          bags.filter(col("user_id") % 2 === 1),
-          bags.filter(col("user_id") % 2 === 0))
-        .agg(
-          sum(when(col("nn_id") % NumClasses === col("test_id") % NumClasses, 1L)
-            .otherwise(0L)).as("correct"),
-          count(lit(1)).as("total"))
-        .select(lit(snap.toLong).as("snap"), col("correct"), col("total"))
-    }
-    branches.reduce(_ unionByName _)
+    // the snapshot length is a COLUMN: the series assemble ONCE (the
+    // shared session cache), each series fans out map-only to its
+    // qualifying snapshot prefixes via slice (the first `snap` points by
+    // (ts, event_id) — identical to truncating the event log), and the
+    // fit → words → bags → 1-NN cascade runs as ONE plan keyed by
+    // (snap, …). No per-snapshot event shuffle, no per-snapshot barrier.
+    val ser = SfaQ.series(s, dir)
+    val perSnap = ser
+      .select(explode(array(M5Snaps.map(v => lit(v.toLong)): _*)).as("snap"),
+        col("user_id"), col("data"))
+      .filter(size(col("data")) >= col("snap"))
+      .select(col("snap"), col("user_id"),
+        slice(col("data"), lit(1), col("snap")).as("data"))
+    val bins = SFAOps.equiDepthBins(
+      SFAOps.disjointApprox(perSnap, M5W, L, normMean = false, Seq("snap")),
+      Alpha, Seq("snap"))
+    val bags = graft.util.Pipelines.tracked(s, SFAOps.bagOfWords(
+      SFAOps.packWords(
+        SFAOps.slidingApproxDirect(perSnap, M5W, L, normMean = false, Seq("snap")),
+        bins, Bits, Seq("snap")),
+      Seq("snap")))
+    SFAOps.nnBagJoin(
+        bags.filter(col("user_id") % 2 === 1),
+        bags.filter(col("user_id") % 2 === 0), Seq("snap"))
+      .groupBy("snap")
+      .agg(
+        sum(when(col("nn_id") % NumClasses === col("test_id") % NumClasses, 1L)
+          .otherwise(0L)).as("correct"),
+        count(lit(1)).as("total"))
       .withColumn("acc", jround(col("correct").cast("double") / col("total"), 6))
       .orderBy("snap")
   }

@@ -32,16 +32,18 @@ object SFAOps {
       series: DataFrame,
       windowSize: Int,
       l: Int,
-      normMean: Boolean): DataFrame = {
+      normMean: Boolean,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val udfApprox = udf { (data: Seq[Double]) =>
       val arr = data.toArray
       SFA.disjointWindows(arr, windowSize, normMean).map { w =>
         Fourier.transformWindow(w, 0, windowSize, l, normMean, lowerBounding = true)
       }
     }
+    val keep = (extraKeys :+ "user_id").map(col)
     series
-      .select(col("user_id"), posexplode(udfApprox(col("data"))).as(Seq("win", "approx")))
-      .select(col("user_id"), col("win"), posexplode(col("approx")).as(Seq("coef", "v")))
+      .select(keep :+ posexplode(udfApprox(col("data"))).as(Seq("win", "approx")): _*)
+      .select(keep ++ Seq(col("win"), posexplode(col("approx")).as(Seq("coef", "v"))): _*)
   }
 
   /** Equi-depth bin edges per coefficient from the 2-decimal-rounded
@@ -122,7 +124,8 @@ object SFAOps {
       series: DataFrame,
       windowSize: Int,
       l: Int,
-      normMean: Boolean): DataFrame = {
+      normMean: Boolean,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val udfApprox = udf { (data: Seq[Double]) =>
       val arr = data.toArray
       val (_, stds) = Fourier.rollingMeanStdDirect(arr, windowSize)
@@ -132,10 +135,11 @@ object SFAOps {
         direct.map(_ * f)
       }
     }
+    val keep = (extraKeys :+ "user_id").map(col)
     series
       .filter(size(col("data")) >= windowSize)
-      .select(col("user_id"), posexplode(udfApprox(col("data"))).as(Seq("win", "approx")))
-      .select(col("user_id"), col("win"), posexplode(col("approx")).as(Seq("coef", "v")))
+      .select(keep :+ posexplode(udfApprox(col("data"))).as(Seq("win", "approx")): _*)
+      .select(keep ++ Seq(col("win"), posexplode(col("approx")).as(Seq("coef", "v"))): _*)
   }
 
   /** Sliding approximations kept as ONE array row per window — the
@@ -221,20 +225,23 @@ object SFAOps {
     * train id). Input bags: (user_id, word, cnt).
     * Output: (test_id, nn_id, dist).
     */
-  def nnBagJoin(testBags: DataFrame, trainBags: DataFrame): DataFrame = {
-    val t = testBags.select(col("user_id").as("test_id"), col("word"), col("cnt").as("tc"))
-    val n = trainBags.select(col("user_id").as("train_id"), col("word"), col("cnt").as("nc"))
-    val noMatch = t.groupBy(col("test_id")).agg(sum(col("tc") * col("tc")).as("no_match"))
-    val pairs = t.join(n, Seq("word"))
-      .groupBy(col("test_id"), col("train_id"))
+  def nnBagJoin(testBags: DataFrame, trainBags: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
+    val k = extraKeys.map(col)
+    val t = testBags.select(k ++ Seq(col("user_id").as("test_id"), col("word"), col("cnt").as("tc")): _*)
+    val n = trainBags.select(k ++ Seq(col("user_id").as("train_id"), col("word"), col("cnt").as("nc")): _*)
+    val noMatch = t.groupBy((extraKeys :+ "test_id").map(col): _*)
+      .agg(sum(col("tc") * col("tc")).as("no_match"))
+    val pairs = t.join(n, extraKeys :+ "word")
+      .groupBy((extraKeys ++ Seq("test_id", "train_id")).map(col): _*)
       .agg(sum((col("tc") - col("nc")) * (col("tc") - col("nc")) - col("tc") * col("tc"))
         .as("delta"))
-      .join(noMatch, Seq("test_id"))
+      .join(noMatch, extraKeys :+ "test_id")
       .withColumn("dist", col("delta") + col("no_match"))
       .filter(col("dist") =!= col("no_match") && col("dist") > 0)
-    val byDist = Window.partitionBy(col("test_id")).orderBy(col("dist").asc, col("train_id").asc)
+    val byDist = Window.partitionBy((extraKeys :+ "test_id").map(col): _*)
+      .orderBy(col("dist").asc, col("train_id").asc)
     pairs.withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1)
-      .select(col("test_id"), col("train_id").as("nn_id"), col("dist"))
+      .select(k ++ Seq(col("test_id"), col("train_id").as("nn_id"), col("dist")): _*)
   }
 }
