@@ -283,12 +283,17 @@ object GridQ {
       .withColumn("edge", (col("mx") - col("mn")) / Alpha * (col("pos") + 1) + col("mn"))
       .select("coef", "pos", "edge")
 
-    def branch(hist: String, bins: DataFrame): DataFrame =
-      SFAOps.packWords(sliding, bins, Bits)
-        .agg(countDistinct(col("word")).as("n_words"), count(lit(1)).as("n_windows"))
-        .select(lit(hist).as("hist"), col("n_words"), col("n_windows"))
-
-    branch("EQUI_DEPTH", edBins).unionByName(branch("EQUI_WIDTH", ewBins))
+    // the histogram type is a COLUMN: both quantizers' edge tables are
+    // unioned under a `hist` key, the sliding spectra fan out map-only
+    // to both types, and one keyed packWords + one aggregate cover the
+    // whole grid (same shuffle count for 2 or 20 histogram types)
+    val bins = edBins.withColumn("hist", lit("EQUI_DEPTH"))
+      .unionByName(ewBins.withColumn("hist", lit("EQUI_WIDTH")))
+    val slidingH = sliding.select(
+      explode(array(lit("EQUI_DEPTH"), lit("EQUI_WIDTH"))).as("hist"), col("*"))
+    SFAOps.packWords(slidingH, bins, Bits, Seq("hist"))
+      .groupBy("hist")
+      .agg(countDistinct(col("word")).as("n_words"), count(lit(1)).as("n_windows"))
       .orderBy("hist")
   }
 

@@ -60,8 +60,42 @@ object Profile {
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Footer-statistics table profile — the 100 TB "describe" path:
+    * COUNT/MIN/MAX are computed by the parquet reader from row-group
+    * footer statistics (`PushedAggregation` on the scan), so the job
+    * reads NO data pages — at any table size the cost is one footer
+    * read per file. DSv2 routing and aggregate pushdown are session
+    * configs, so the query runs in a CLONED session: every other query
+    * keeps its pinned v1 plan shapes (config isolation, not a global
+    * source-list flip). ProfilePushdownSpec pins PushedAggregation on
+    * the executed plan and value-equality with the v1 aggregate.
+    */
+  private[graft] def statsPushdown(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"))
+  }
+
+  private val pushSql =
+    """SELECT COUNT(*) AS n_rows,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+      |  MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey
+      |FROM lineitem""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "profile_percentiles" -> QueryDef.sql(percentiles, pctSql,
       "exact per-event-type value percentiles (p25/p50/p75/p95 at " +
-        "integer-cents precision) — one sort-shuffle per group"))
+        "integer-cents precision) — one sort-shuffle per group"),
+    "profile_stats_pushdown" -> QueryDef.sql(statsPushdown, pushSql,
+      "COUNT/MIN/MAX answered from parquet row-group footers " +
+        "(DSv2 PushedAggregation) — no data pages read at any scale"))
 }

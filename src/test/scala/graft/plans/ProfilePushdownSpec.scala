@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Executed-plan gate for the footer-statistics profile
+  * (profile_stats_pushdown): the COUNT/MIN/MAX aggregate must be
+  * answered by the parquet scan itself (`PushedAggregation`), not by
+  * reading data pages — the property that makes a 100 TB table profile
+  * cost one footer read per file. Also pins the config-isolation claim:
+  * the cloned DSv2 session must leave the calling session's v1 routing
+  * untouched.
+  */
+class ProfilePushdownSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("COUNT/MIN/MAX are pushed to the parquet footer scan") {
+    val df = graft.queries.Profile.statsPushdown(spark, dir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p.take(2000))
+    assert(p.contains("MIN(l_quantity)") && p.contains("MAX(l_extendedprice)"), p.take(2000))
+    // the scan's output schema is the aggregate columns, not table rows
+    assert(p.contains("ReadSchema: struct<count(*):bigint"), p.take(2000))
+  }
+
+  test("pushed aggregate equals the v1 data-page aggregate bit-for-bit") {
+    val pushed = graft.queries.Profile.statsPushdown(spark, dir).head
+    val v1 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)), min(col("l_quantity")), max(col("l_quantity")),
+        min(col("l_extendedprice")), max(col("l_extendedprice")),
+        min(col("l_orderkey")), max(col("l_orderkey"))).head
+    assert(pushed == v1)
+  }
+
+  test("the cloned session leaves the calling session's v1 routing untouched") {
+    val before = spark.conf.get("spark.sql.sources.useV1SourceList")
+    graft.queries.Profile.statsPushdown(spark, dir).collect()
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList") == before)
+    assert(before.contains("parquet"), s"v1 default expected to cover parquet: $before")
+    // and the normal load path still plans as a v1 FileScan
+    val v1Plan = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey").queryExecution.executedPlan.toString
+    assert(v1Plan.contains("FileScan parquet"), v1Plan.take(1000))
+  }
+}
