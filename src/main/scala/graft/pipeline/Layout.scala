@@ -101,7 +101,7 @@ object Layout {
     * table. Day = epoch_us div 86.4e9, a pure integer of the corpus
     * timestamp convention.
     */
-  private[pipeline] def timePartitionedEvents(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def timePartitionedEvents(s: SparkSession, dir: String): DataFrame = {
     val loc = Warehouse.dir(s, s"timepart/${suffix(dir)}")
     BuildOnce(loc) {
       Tables.load(s, dir, "events")
@@ -147,6 +147,35 @@ object Layout {
       |FROM ev e CROSS JOIN d0
       |WHERE e.day >= d0.d0 AND e.day < d0.d0 + 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-day corpus profile from footers alone: COUNT/MIN/MAX grouped
+    * by the PARTITION column are answered by the DSv2 parquet scan
+    * (`PushedAggregation` + `PushedGroupBy`) — the per-day stats of a
+    * 10-year 100 TB corpus cost one footer read per file, zero data
+    * pages. Pushdown routing is a session config, so the query reads
+    * the SAME at-rest layout through a cloned session (the same
+    * isolation pattern as [[graft.queries.Profile.statsPushdown]];
+    * ProfilePushdownSpec pins both plans).
+    */
+  private[graft] def dayStatsPushdown(s: SparkSession, dir: String): DataFrame = {
+    timePartitionedEvents(s, dir) // ensure the layout exists (BuildOnce)
+    val loc = Warehouse.dir(s, s"timepart/${suffix(dir)}")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.read.parquet(loc)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(col("day").cast("long").as("day"), col("n"),
+        col("min_value"), col("max_value"))
+      .orderBy("day")
+  }
+
+  private val dayStatsSql =
+    """SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- z-order (space-filling-curve) layout -----------------------------
 
@@ -320,5 +349,8 @@ object Layout {
         "at write time, then every join is co-located (no Exchange — LayoutSpec)"),
     "layout_time_prune" -> QueryDef.sql(timePrunedQ, timePrunedSql,
       "first-week rollup over the day-partitioned event layout: the " +
-        "time predicate prunes at the scan (PartitionFilters — LayoutSpec)"))
+        "time predicate prunes at the scan (PartitionFilters — LayoutSpec)"),
+    "layout_day_stats_pushdown" -> QueryDef.sql(dayStatsPushdown, dayStatsSql,
+      "per-day COUNT/MIN/MAX over the day-partitioned layout answered " +
+        "from parquet footers (PushedAggregation + PushedGroupBy)"))
 }

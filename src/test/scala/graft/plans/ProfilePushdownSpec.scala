@@ -34,6 +34,23 @@ class ProfilePushdownSpec extends SparkSpec {
     assert(pushed == v1)
   }
 
+  test("per-day layout stats push both the aggregate and the partition-column group-by") {
+    val df = graft.pipeline.Layout.dayStatsPushdown(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p.take(2000))
+    assert(p.contains("PushedGroupBy: [day]"), p.take(2000))
+    // grouped footer stats equal the data-page aggregate over the layout
+    val viaData = graft.pipeline.Layout.timePartitionedEvents(spark, dir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("day").cast("long").as("day"), col("n"),
+        col("min_value"), col("max_value"))
+      .orderBy("day")
+    assert(df.collect().toSeq == viaData.collect().toSeq)
+  }
+
   test("the cloned session leaves the calling session's v1 routing untouched") {
     val before = spark.conf.get("spark.sql.sources.useV1SourceList")
     graft.queries.Profile.statsPushdown(spark, dir).collect()
