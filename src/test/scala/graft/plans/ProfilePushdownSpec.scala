@@ -51,6 +51,25 @@ class ProfilePushdownSpec extends SparkSpec {
     assert(df.collect().toSeq == viaData.collect().toSeq)
   }
 
+  test("variant layout: the typed field extraction pushes into the scan") {
+    val df = graft.pipeline.Layout.variantExtract(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("PushedVariantExtractions"), p.take(2000))
+    assert(p.contains("$.k") && p.contains("LongType"), p.take(2000))
+    // variant-path results equal the string-JSON parse path (q13's
+    // expression) over the original table
+    val viaString = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("k_cnt"),
+        coalesce(sum(col("k")), lit(0L)).as("k_sum"),
+        coalesce(max(col("k")), lit(0L)).as("k_max"))
+      .orderBy("event_type")
+    assert(df.collect().toSeq == viaString.collect().toSeq)
+  }
+
   test("the cloned session leaves the calling session's v1 routing untouched") {
     val before = spark.conf.get("spark.sql.sources.useV1SourceList")
     graft.queries.Profile.statsPushdown(spark, dir).collect()
