@@ -112,8 +112,15 @@ object GridQ {
       .agg(
         sum(when(col("cls") === col("user_id") % NumClasses, 1L).otherwise(0L)).as("correct"),
         count(lit(1)).as("total"))
+    // left-join from the axis dim: an EMPTY grid point still emits its
+    // row (correct NULL, total 0) exactly like the per-branch global
+    // aggregate the oracle's UNION ALL computes
+    import s.implicits._
+    val wDim = M2Windows.map(_.toLong).toDF("w")
+    val full = wDim.join(graded, Seq("w"), "left")
+      .withColumn("total", coalesce(col("total"), lit(0L)))
     val byModel = Window.orderBy(col("correct").desc, col("w").desc)
-    val res = graft.util.Pipelines.tracked(s, graded
+    val res = graft.util.Pipelines.tracked(s, full
       .withColumn("rank", row_number().over(byModel).cast("long"))
       .orderBy("w"))
     res.count() // materialize inside the small-fit scope
@@ -291,9 +298,15 @@ object GridQ {
       .unionByName(ewBins.withColumn("hist", lit("EQUI_WIDTH")))
     val slidingH = sliding.select(
       explode(array(lit("EQUI_DEPTH"), lit("EQUI_WIDTH"))).as("hist"), col("*"))
-    SFAOps.packWords(slidingH, bins, Bits, Seq("hist"))
+    val counts = SFAOps.packWords(slidingH, bins, Bits, Seq("hist"))
       .groupBy("hist")
       .agg(countDistinct(col("word")).as("n_words"), count(lit(1)).as("n_windows"))
+    // empty inputs still emit one zero row per histogram type, like the
+    // oracle's per-branch global aggregates
+    import s.implicits._
+    val histDim = Seq("EQUI_DEPTH", "EQUI_WIDTH").toDF("hist")
+    histDim.join(counts, Seq("hist"), "left")
+      .na.fill(0L, Seq("n_words", "n_windows"))
       .orderBy("hist")
   }
 
@@ -347,7 +360,7 @@ object GridQ {
         SFAOps.slidingApproxDirect(perSnap, M5W, L, normMean = false, Seq("snap")),
         bins, Bits, Seq("snap")),
       Seq("snap")))
-    SFAOps.nnBagJoin(
+    val graded = SFAOps.nnBagJoin(
         bags.filter(col("user_id") % 2 === 1),
         bags.filter(col("user_id") % 2 === 0), Seq("snap"))
       .groupBy("snap")
@@ -355,6 +368,12 @@ object GridQ {
         sum(when(col("nn_id") % NumClasses === col("test_id") % NumClasses, 1L)
           .otherwise(0L)).as("correct"),
         count(lit(1)).as("total"))
+    // a snapshot with no decided pairs still emits its row (correct
+    // NULL, total 0, acc NULL) like the oracle's per-branch aggregate
+    import s.implicits._
+    val snapDim = M5Snaps.map(_.toLong).toDF("snap")
+    snapDim.join(graded, Seq("snap"), "left")
+      .withColumn("total", coalesce(col("total"), lit(0L)))
       .withColumn("acc", jround(col("correct").cast("double") / col("total"), 6))
       .orderBy("snap")
   }

@@ -75,6 +75,29 @@ class GridPlanSpec extends SparkSpec {
     } finally { ser.unpersist(); () }
   }
 
+  test("an empty grid point still emits its row (the oracle's per-branch aggregate shape)") {
+    // events where every series has 30 points: snap=24 qualifies,
+    // snap=32/48 have NO qualifying series — the cascade must emit a
+    // (snap, NULL, 0, NULL) row for them, exactly like the SQL oracle's
+    // per-branch global aggregate over an empty branch
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("grid_empty_").toString
+    (0L until 12L).flatMap { u =>
+      (0 until 30).map(i => (u * 100 + i, (1000000L * (u * 100 + i)), u,
+        "view", math.sin(u + i * 0.31) + 0.02 * i, """{"k": 1}"""))
+    }.toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("tsus"))
+      .drop("tsus")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.SparkEntry.queries("m5_teaser_cascade")(spark, dir)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(24L, 32L, 48L))
+    val bySnap = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(bySnap(24L)._2 > 0, s"snap=24 must have decided pairs: ${rows.toSeq}")
+    assert(bySnap(32L) == ((-1L, 0L)) && bySnap(48L) == ((-1L, 0L)),
+      s"empty snapshots must keep their NULL/0 row: ${rows.toSeq}")
+  }
+
   test("keyed primitives equal the unkeyed per-config runs") {
     val ser = series.cache()
     try {
