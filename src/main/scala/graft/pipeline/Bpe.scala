@@ -191,6 +191,11 @@ object Bpe {
   private def dict(s: SparkSession, dir: String): DataFrame =
     Pipelines.cachedDF(s, s"bpe.dict:$dir")(dictOf(docs(s, dir)))
 
+  /** Rounds between symbolization checkpoints in the distributed
+    * trainer: pending merges ride as composed projections until then.
+    */
+  private[pipeline] val ReprCkptEvery = 8
+
   /** Distributed trainer — the scale path when the type dictionary
     * exceeds [[MaxTypes]]: the SAME merge rule as [[fitMerges]], with
     * INCREMENTAL pair counts (the standard scalable trainer). The full
@@ -220,11 +225,6 @@ object Bpe {
     * size — no dropped tail, and BpeSpec pins merge-for-merge equality
     * with the driver loop.
     */
-  /** Rounds between symbolization checkpoints in the distributed
-    * trainer: pending merges ride as composed projections until then.
-    */
-  private[pipeline] val ReprCkptEvery = 8
-
   private[pipeline] def fitMergesDistributed(dictDf: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
     val symUdf = udf { (w: String) => symbolize(w) }
     val mergeUdf = udf { (syms: Seq[String], l: String, r: String) =>

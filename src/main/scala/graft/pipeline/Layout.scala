@@ -160,10 +160,7 @@ object Layout {
   private[graft] def dayStatsPushdown(s: SparkSession, dir: String): DataFrame = {
     timePartitionedEvents(s, dir) // ensure the layout exists (BuildOnce)
     val loc = Warehouse.dir(s, s"timepart/${suffix(dir)}")
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.sources.useV1SourceList", "")
-    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    s2.read.parquet(loc)
+    graft.util.Pipelines.dsv2Session(s).read.parquet(loc)
       .groupBy("day")
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
@@ -192,14 +189,15 @@ object Layout {
   private[graft] def variantExtract(s: SparkSession, dir: String): DataFrame = {
     val loc = Warehouse.dir(s, s"varprops/${suffix(dir)}")
     BuildOnce(loc) {
+      // try_* variants: a malformed props or non-long k degrades to NULL
+      // exactly like the get_json_object string baseline, instead of
+      // failing the whole job on one bad row
       Tables.load(s, dir, "events")
-        .select(col("event_id"), col("event_type"), parse_json(col("props")).as("props"))
+        .select(col("event_id"), col("event_type"), try_parse_json(col("props")).as("props"))
         .write.mode("overwrite").parquet(loc)
     }
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.sources.useV1SourceList", "")
-    s2.read.parquet(loc)
-      .select(col("event_type"), variant_get(col("props"), "$.k", "long").as("k"))
+    graft.util.Pipelines.dsv2Session(s).read.parquet(loc)
+      .select(col("event_type"), try_variant_get(col("props"), "$.k", "long").as("k"))
       .groupBy("event_type")
       .agg(count(col("k")).as("k_cnt"),
         coalesce(sum(col("k")), lit(0L)).as("k_sum"),
@@ -207,12 +205,9 @@ object Layout {
       .orderBy("event_type")
   }
 
-  private val variantExtractSql =
-    """SELECT event_type,
-      |  COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_cnt,
-      |  COALESCE(CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT), 0) AS k_sum,
-      |  COALESCE(CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT), 0) AS k_max
-      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  // the variant layout answers q13's exact question over a different
+  // physical layout — one shared oracle text, drift-proof
+  private def variantExtractSql = graft.queries.Relational.q13Sql
 
   // ---- z-order (space-filling-curve) layout -----------------------------
 

@@ -66,17 +66,10 @@ object GridQ {
     // the grid axis `w` is a COLUMN, not a driver loop: both windows'
     // quantizer fits run in ONE grouped aggregate, the word/bag/tf-idf
     // chain is keyed by (w, …) throughout, and the whole grid is ONE
-    // plan — exactly the architecture a 1000-config sweep needs (shuffle
-    // count is independent of grid size)
-    def perW(build: Int => DataFrame): DataFrame =
-      M2Windows.map(w => build(w).withColumn("w", lit(w.toLong))).reduce(_ unionByName _)
-    val bins = SFAOps.equiDepthBins(
-      perW(w => SFAOps.disjointApprox(ser, w, L, normMean = false)), Alpha, Seq("w"))
-    val bags = graft.util.Pipelines.tracked(s, SFAOps.bagOfWords(
-      SFAOps.packWords(
-        perW(w => SFAOps.slidingApproxDirect(ser, w, L, normMean = false)),
-        bins, Bits, Seq("w")),
-      Seq("w")))
+    // plan — exactly the architecture a 1000-config sweep needs
+    // (GridPlanSpec pins shuffle-count independence on THIS pipeline)
+    val bags = graft.util.Pipelines.tracked(s,
+      SFAOps.windowGridBags(ser, M2Windows, L, Alpha, Bits))
     // materialize before composing the tf-idf chain: its broadcast
     // subtrees are submitted concurrently, and against a cold cache
     // each would recompute the whole word pipeline independently
@@ -360,6 +353,10 @@ object GridQ {
         SFAOps.slidingApproxDirect(perSnap, M5W, L, normMean = false, Seq("snap")),
         bins, Bits, Seq("snap")),
       Seq("snap")))
+    // materialize before the 1-NN join: its test/train/no-match subtrees
+    // are scheduled concurrently and would each recompute the whole
+    // 3-snapshot word pipeline against a cold cache (same hazard as m2)
+    bags.count()
     val graded = SFAOps.nnBagJoin(
         bags.filter(col("user_id") % 2 === 1),
         bags.filter(col("user_id") % 2 === 0), Seq("snap"))

@@ -71,10 +71,7 @@ object Profile {
     * the executed plan and value-equality with the v1 aggregate.
     */
   private[graft] def statsPushdown(s: SparkSession, dir: String): DataFrame = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.sources.useV1SourceList", "")
-    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    s2.read.parquet(s"$dir/lineitem.parquet")
+    graft.util.Pipelines.dsv2Session(s).read.parquet(s"$dir/lineitem.parquet")
       .agg(count(lit(1)).as("n_rows"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),

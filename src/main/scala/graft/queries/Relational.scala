@@ -380,7 +380,9 @@ object Relational {
       .orderBy("event_type")
   }
 
-  private val q13Sql =
+  // shared with layout_variant_extract: both layouts answer the SAME
+  // question, so they must verify against the SAME oracle text
+  private[graft] val q13Sql =
     """SELECT event_type,
       |  COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_cnt,
       |  COALESCE(CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT), 0) AS k_sum,

@@ -204,6 +204,30 @@ object SFAOps {
       .select(col("user_id"), col("win"), posexplode(col("approx")).as(Seq("coef", "v")))
   }
 
+  /** The window-grid word pipeline with the grid axis as a `w` COLUMN:
+    * per-w quantizer fits run in ONE grouped aggregate, words and bags
+    * are keyed by (w, …), and the whole grid is one plan whose shuffle
+    * count is independent of the number of windows. Shared by
+    * m2_window_grid and GridPlanSpec, so the plan gates pin the SHIPPED
+    * pipeline, not a spec-local replica.
+    */
+  def windowGridBags(
+      series: DataFrame,
+      windows: Seq[Int],
+      l: Int,
+      alphabetSize: Int,
+      usedBits: Int): DataFrame = {
+    def perW(build: Int => DataFrame): DataFrame =
+      windows.map(w => build(w).withColumn("w", lit(w.toLong))).reduce(_ unionByName _)
+    val bins = equiDepthBins(
+      perW(w => disjointApprox(series, w, l, normMean = false)), alphabetSize, Seq("w"))
+    bagOfWords(
+      packWords(
+        perW(w => slidingApproxDirect(series, w, l, normMean = false)),
+        bins, usedBits, Seq("w")),
+      Seq("w"))
+  }
+
   /** Numerosity-reduced bag of packed words per series
     * (BOSS.java:116-145): drop a window whose word equals the previous
     * offset's, count the survivors. Input: (user_id, win, word).

@@ -130,6 +130,26 @@ object Pipelines {
   def cachedObj[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
     objs.getOrElseUpdate((sid(s), key), build).asInstanceOf[T]
 
+  /** The DSv2 clone the pushdown queries read through: parquet routed to
+    * the v2 source with footer-aggregate pushdown on, scoped to a CLONED
+    * session so the caller's v1 plan shapes (and their pinned gates)
+    * stay untouched. Memoized per calling session — repeated bench
+    * passes reuse ONE SessionState instead of building and discarding
+    * one per call — and the runtime confs the scans depend on are copied
+    * from the caller (newSession() starts from the context defaults, not
+    * the caller's runtime values).
+    */
+  def dsv2Session(s: SparkSession): SparkSession =
+    cachedObj(s, "dsv2.session") {
+      val s2 = s.newSession()
+      Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
+          "spark.sql.legacy.parquet.nanosAsLong")
+        .foreach(k => scala.util.Try(s2.conf.set(k, s.conf.get(k))))
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2
+    }
+
   /** Cache `df` AND register it for session-scoped release: an ad-hoc
     * intra-query `.cache()` has no owner, so it would survive
     * [[clear]]/[[evict]] for the JVM lifetime. Unlike [[cachedDF]] the

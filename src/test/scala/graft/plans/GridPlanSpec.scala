@@ -27,20 +27,11 @@ class GridPlanSpec extends SparkSpec {
       .toDF("user_id", "data")
   }
 
-  /** The m2-shaped keyed word pipeline: per-w quantizer fits in ONE
-    * grouped aggregate, words and bags keyed by (w, …).
+  /** THE shipped pipeline — the same function m2_window_grid runs, so a
+    * plan regression in the real query fails these gates.
     */
-  private def bagsFor(ser: DataFrame, ws: Seq[Int]): DataFrame = {
-    def perW(build: Int => DataFrame): DataFrame =
-      ws.map(w => build(w).withColumn("w", lit(w.toLong))).reduce(_ unionByName _)
-    val bins = SFAOps.equiDepthBins(
-      perW(w => SFAOps.disjointApprox(ser, w, L, normMean = false)), Alpha, Seq("w"))
-    SFAOps.bagOfWords(
-      SFAOps.packWords(
-        perW(w => SFAOps.slidingApproxDirect(ser, w, L, normMean = false)),
-        bins, Bits, Seq("w")),
-      Seq("w"))
-  }
+  private def bagsFor(ser: DataFrame, ws: Seq[Int]): DataFrame =
+    SFAOps.windowGridBags(ser, ws, L, Alpha, Bits)
 
   private def executed(df: DataFrame): String = {
     df.collect() // force AQE to finalize the real physical plan
@@ -101,7 +92,7 @@ class GridPlanSpec extends SparkSpec {
   test("keyed primitives equal the unkeyed per-config runs") {
     val ser = series.cache()
     try {
-      val ws = Seq(8, 16)
+      val ws = Seq(8, 12, 16)
       val keyed = bagsFor(ser, ws)
         .select(col("w"), col("user_id"), col("word"), col("cnt"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
