@@ -70,6 +70,30 @@ class ProfilePushdownSpec extends SparkSpec {
     assert(df.collect().toSeq == viaString.collect().toSeq)
   }
 
+  test("variant layout degrades malformed props to NULL like the string baseline") {
+    // one well-formed row, one broken-JSON row, one non-long k: the job
+    // must complete and count only the well-formed long (the
+    // try_parse_json/try_variant_get contract the scaladoc claims)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("variant_bad_").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 1L, 1L, "click", 1.0, """{"k": 7}"""),
+        Row(2L, 2L, 1L, "click", 1.0, """{broken"""),
+        Row(3L, 3L, 1L, "click", 1.0, """{"k": "abc"}""")),
+      schema).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = graft.pipeline.Layout.variantExtract(spark, tmp).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "click" && r.getLong(1) == 1L && r.getLong(2) == 7L && r.getLong(3) == 7L,
+      r.toString)
+  }
+
   test("the cloned session leaves the calling session's v1 routing untouched") {
     val before = spark.conf.get("spark.sql.sources.useV1SourceList")
     graft.queries.Profile.statsPushdown(spark, dir).collect()
