@@ -282,6 +282,11 @@ object IndexQ {
     def lbUdf(w: org.apache.spark.sql.Column, qw: org.apache.spark.sql.Column,
         qa: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       IndexOps.lbCol(w, qw, qa, bins, normed = false)
+    // decision-grade rounding (the j6 telemetry pattern): the top-k rank
+    // orders by the ROUNDED lb — ranking on raw doubles lets a ULP-level
+    // summation-order difference between engines flip which candidate
+    // survives the k boundary (observed at sf0.1); at 6 decimals both
+    // engines compute the identical key, ties broken by id
     val byLb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("lb").asc, col("id").asc)
     // query set streams in broadcast-ceiling-sized slices (each qid in
@@ -292,10 +297,10 @@ object IndexQ {
     (0 until chunks).map { i =>
       corpus.select(col("id"), col("word"))
         .crossJoin(broadcast(graft.util.Gated.chunk(q, "qid", i, chunks)))
-        .withColumn("lb", lbUdf(col("word"), col("qword"), col("qapprox")))
+        .withColumn("lb", jround(lbUdf(col("word"), col("qword"), col("qapprox")), 6))
         .withColumn("rn", row_number().over(byLb))
         .filter(col("rn") <= LbTopK)
-        .select(col("qid"), col("id"), jround(col("lb"), 6).as("lb"))
+        .select(col("qid"), col("id"), col("lb"))
     }.reduce(_ union _)
       .orderBy("qid", "id")
   }
@@ -325,10 +330,12 @@ object IndexQ {
       |             ELSE 2.0 * d * d END) AS lb
       |  FROM cd GROUP BY 1, 2
       |), rk AS (
-      |  SELECT qid, id, lb, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY lb, id) AS rn
+      |  SELECT qid, id, FLOOR(lb * 1e6 + 0.5) / 1e6 AS lb,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY FLOOR(lb * 1e6 + 0.5) / 1e6, id) AS rn
       |  FROM lbp
       |)
-      |SELECT qid, id, FLOOR(lb * 1e6 + 0.5) / 1e6 AS lb FROM rk WHERE rn <= $LbTopK
+      |SELECT qid, id, lb FROM rk WHERE rn <= $LbTopK
       |ORDER BY qid, id""".stripMargin
 
   /** A8: per-prefix element-wise min/max Fourier bounding boxes over the
