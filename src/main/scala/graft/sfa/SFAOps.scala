@@ -210,6 +210,15 @@ object SFAOps {
     * count is independent of the number of windows. Shared by
     * m2_window_grid and GridPlanSpec, so the plan gates pin the SHIPPED
     * pipeline, not a spec-local replica.
+    *
+    * The grid fan-out is `explode(array(w…))` on the SOURCE — one series
+    * scan per pipeline stage for ANY grid size, not one per window: on
+    * an uncached 100 TB corpus a 64-point grid must not read the fact
+    * table 64 times. The window length reaches the transforms as a UDF
+    * ARGUMENT, so the grid points appear in the plan only as one array
+    * literal — plan size and compile time are grid-size-independent too
+    * (GridPlanSpec pins both the scan-count and shuffle-count
+    * invariance, at 2 vs 64 points).
     */
   def windowGridBags(
       series: DataFrame,
@@ -217,15 +226,42 @@ object SFAOps {
       l: Int,
       alphabetSize: Int,
       usedBits: Int): DataFrame = {
-    def perW(build: Int => DataFrame): DataFrame =
-      windows.map(w => build(w).withColumn("w", lit(w.toLong))).reduce(_ unionByName _)
-    val bins = equiDepthBins(
-      perW(w => disjointApprox(series, w, l, normMean = false)), alphabetSize, Seq("w"))
-    bagOfWords(
-      packWords(
-        perW(w => slidingApproxDirect(series, w, l, normMean = false)),
-        bins, usedBits, Seq("w")),
-      Seq("w"))
+    val fanned = series.select(
+      col("user_id"), col("data"),
+      explode(array(windows.map(w => lit(w.toLong)): _*)).as("w"))
+    // disjointApprox with the window length as data: z-norm + direct DFT
+    // per complete disjoint window (values identical to the per-w form)
+    val udfDisjoint = udf { (data: Seq[Double], w: Long) =>
+      val arr = data.toArray
+      SFA.disjointWindows(arr, w.toInt, normMean = false).map { win =>
+        Fourier.transformWindow(win, 0, w.toInt, l, normMean = false, lowerBounding = true)
+      }
+    }
+    val disjoint = fanned
+      .select(col("w"), col("user_id"),
+        posexplode(udfDisjoint(col("data"), col("w"))).as(Seq("win", "approx")))
+      .select(col("w"), col("user_id"), col("win"),
+        posexplode(col("approx")).as(Seq("coef", "v")))
+    val bins = equiDepthBins(disjoint, alphabetSize, Seq("w"))
+    // slidingApproxDirect with the window length as data (same 1/σ
+    // scaling and short-series exclusion as the per-w form)
+    val udfSliding = udf { (data: Seq[Double], w: Long) =>
+      val arr = data.toArray
+      val ws = w.toInt
+      val (_, stds) = Fourier.rollingMeanStdDirect(arr, ws)
+      Array.tabulate(arr.length - ws + 1) { t =>
+        val direct = Fourier.transformWindow(arr, t, ws, l, normMean = false, lowerBounding = true)
+        val f = if (stds(t) > 0) 1.0 / stds(t) else 1.0
+        direct.map(_ * f)
+      }
+    }
+    val sliding = fanned
+      .filter(size(col("data")) >= col("w"))
+      .select(col("w"), col("user_id"),
+        posexplode(udfSliding(col("data"), col("w"))).as(Seq("win", "approx")))
+      .select(col("w"), col("user_id"), col("win"),
+        posexplode(col("approx")).as(Seq("coef", "v")))
+    bagOfWords(packWords(sliding, bins, usedBits, Seq("w")), Seq("w"))
   }
 
   /** Numerosity-reduced bag of packed words per series
