@@ -193,8 +193,16 @@ object Bpe {
 
   /** Rounds between symbolization checkpoints in the distributed
     * trainer: pending merges ride as composed projections until then.
+    * The cadence trades materializations for recompute — between
+    * checkpoints each round's delta job re-applies up to cadence−1
+    * pending merge layers over the dictionary, so raising it saves
+    * writes but grows per-round UDF work linearly within the window.
+    * Tunable (env `GRAFT_BPE_CKPT_EVERY`) so the trade can be
+    * re-benchmarked at a given dictionary size without a code change;
+    * 8 measured best at the BpeSpec over-cap scale.
     */
-  private[pipeline] val ReprCkptEvery = 8
+  private[pipeline] val ReprCkptEvery: Int =
+    sys.env.get("GRAFT_BPE_CKPT_EVERY").map(_.toInt).filter(_ >= 1).getOrElse(8)
 
   /** Distributed trainer — the scale path when the type dictionary
     * exceeds [[MaxTypes]]: the SAME merge rule as [[fitMerges]], with

@@ -196,8 +196,20 @@ object Layout {
         .select(col("event_id"), col("event_type"), try_parse_json(col("props")).as("props"))
         .write.mode("overwrite").parquet(loc)
     }
+    // extract at STRING type then try_cast: a direct 'long' extraction
+    // numerically coerces non-integral JSON values (7.5 → 7, true → 1)
+    // where the string baseline (get_json_object(...).cast('long')) and
+    // the DuckDB oracle never produce such a number — they error under
+    // ANSI / yield NULL otherwise. Via the string form the variant path
+    // can never return a DIFFERENT number than the baseline: integral k
+    // parses, everything else degrades to NULL (try_cast keeps the
+    // one-bad-row-must-not-kill-the-job contract above, where the ANSI
+    // string baseline would fail the whole job). ProfilePushdownSpec
+    // pins the 7.5/true cases; the extraction still pushes into the
+    // scan (at string type).
     graft.util.Pipelines.dsv2Session(s).read.parquet(loc)
-      .select(col("event_type"), try_variant_get(col("props"), "$.k", "long").as("k"))
+      .select(col("event_type"),
+        expr("try_cast(try_variant_get(props, '$.k', 'string') AS BIGINT)").as("k"))
       .groupBy("event_type")
       .agg(count(col("k")).as("k_cnt"),
         coalesce(sum(col("k")), lit(0L)).as("k_sum"),

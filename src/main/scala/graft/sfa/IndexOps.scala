@@ -430,6 +430,9 @@ object IndexOps {
 
   /** Query rows a single probe-plan batch may collect/broadcast
     * (slice + word + approx ≈ 0.5 KB/row → ~50 MB at the ceiling).
+    * BatchKnnSpec drives a 10k-query set through the layout at a batch
+    * size forcing 7 probe-plan batches and pins that batching is
+    * semantics-free (≡ brute scan AND ≡ the single-batch run).
     */
   private val QueryBatchRows = 100000L
 

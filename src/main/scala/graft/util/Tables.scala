@@ -139,16 +139,22 @@ object Pipelines {
     * from the caller (newSession() starts from the context defaults, not
     * the caller's runtime values).
     */
-  def dsv2Session(s: SparkSession): SparkSession =
-    cachedObj(s, "dsv2.session") {
-      val s2 = s.newSession()
-      Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
-          "spark.sql.legacy.parquet.nanosAsLong")
-        .foreach(k => scala.util.Try(s2.conf.set(k, s.conf.get(k))))
-      s2.conf.set("spark.sql.sources.useV1SourceList", "")
-      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-      s2
+  def dsv2Session(s: SparkSession): SparkSession = {
+    val s2 = cachedObj(s, "dsv2.session") {
+      val fresh = s.newSession()
+      fresh.conf.set("spark.sql.sources.useV1SourceList", "")
+      fresh.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      fresh
     }
+    // re-sync the mirrored runtime confs on EVERY call, not only at
+    // creation: a caller that changes e.g. the session time zone inside
+    // a scoped config block must not read through a clone that silently
+    // kept the stale value (the set is a cheap no-op when unchanged)
+    Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
+        "spark.sql.legacy.parquet.nanosAsLong")
+      .foreach(k => scala.util.Try(s2.conf.set(k, s.conf.get(k))))
+    s2
+  }
 
   /** Cache `df` AND register it for session-scoped release: an ad-hoc
     * intra-query `.cache()` has no owner, so it would survive

@@ -56,7 +56,9 @@ class ProfilePushdownSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("PushedVariantExtractions"), p.take(2000))
-    assert(p.contains("$.k") && p.contains("LongType"), p.take(2000))
+    // the extraction is pushed at STRING type (the long cast happens
+    // post-scan so non-integral values degrade like the string baseline)
+    assert(p.contains("$.k") && p.contains("StringType"), p.take(2000))
     // variant-path results equal the string-JSON parse path (q13's
     // expression) over the original table
     val viaString = spark.read.parquet(s"$dir/events.parquet")
@@ -85,11 +87,19 @@ class ProfilePushdownSpec extends SparkSpec {
       java.util.Arrays.asList(
         Row(1L, 1L, 1L, "click", 1.0, """{"k": 7}"""),
         Row(2L, 2L, 1L, "click", 1.0, """{broken"""),
-        Row(3L, 3L, 1L, "click", 1.0, """{"k": "abc"}""")),
+        Row(3L, 3L, 1L, "click", 1.0, """{"k": "abc"}"""),
+        Row(4L, 4L, 1L, "click", 1.0, """{"k": 7.5}"""),
+        Row(5L, 5L, 1L, "click", 1.0, """{"k": true}""")),
       schema).write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val rows = graft.pipeline.Layout.variantExtract(spark, tmp).collect()
     assert(rows.length == 1)
     val r = rows(0)
+    // non-integral (7.5) and boolean (true) k must NOT be numerically
+    // coerced (a 'long'-typed variant extraction would yield 7 and 1 —
+    // numbers the string baseline and the DuckDB oracle can never
+    // produce): they degrade to NULL, so only the integral 7 counts,
+    // and the job completes despite the broken/ill-typed rows (the
+    // ANSI string baseline would fail the whole job on them)
     assert(r.getString(0) == "click" && r.getLong(1) == 1L && r.getLong(2) == 7L && r.getLong(3) == 7L,
       r.toString)
   }
