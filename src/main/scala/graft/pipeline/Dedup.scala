@@ -525,8 +525,8 @@ object Dedup {
     * capped-shingle jaccard ≥ 0.5, symmetric-closed, self-loops for
     * totality. Pair blow-up is bounded: clusters are near-copies.
     */
-  private val componentsSql =
-    s"""WITH RECURSIVE $shinglesCte,
+  private val componentsCtes =
+    s"""$shinglesCte,
       |pf AS (SELECT sh AS shingle, COUNT(*) AS pf FROM sh GROUP BY 1),
       |rare AS (
       |  SELECT s.doc_id, s.sh FROM sh s JOIN pf ON s.sh = pf.shingle
@@ -548,10 +548,42 @@ object Dedup {
       |reach(v, u) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+      |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)""".stripMargin
+
+  private val componentsSql =
+    s"""WITH RECURSIVE $componentsCtes
       |SELECT v AS doc_id, MIN(u) AS comp,
       |  CAST(CASE WHEN MIN(u) = v THEN 1 ELSE 0 END AS BIGINT) AS keeper
       |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+
+  // ---- leakage-safe group holdout split --------------------------------
+
+  /** Leakage-safe train/val/test split: near/exact duplicates must
+    * never straddle splits, or held-out loss is contaminated by
+    * training copies. The split is a pure md5 hash of the COMPONENT id
+    * from [[components]]' duplicate-graph CC, so every member of a
+    * duplicate cluster lands in the same split BY CONSTRUCTION —
+    * deterministic, coordination-free, and stable under re-runs at any
+    * scale (adding documents only moves the clusters they join).
+    * 80/10/10 by bucket; the engine-portable [[Export.md5Int]] hash.
+    */
+  private def groupHoldout(s: SparkSession, dir: String): DataFrame = {
+    val bucket = Export.md5Int(col("comp").cast("string")) % 100L
+    components(s, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .select("doc_id", "comp", "split")
+      .orderBy("doc_id")
+  }
+
+  private val groupHoldoutSql =
+    s"""WITH RECURSIVE $componentsCtes,
+      |comp AS (SELECT v AS doc_id, MIN(u) AS comp FROM reach GROUP BY v)
+      |SELECT doc_id, comp,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, comp,
+      |        ${Export.md5IntSql("CAST(comp AS VARCHAR)")} % 100 AS b FROM comp) q
+      |ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact" -> QueryDef.sql(exact, exactSql),
@@ -561,5 +593,9 @@ object Dedup {
     "dedup_components" -> QueryDef.sql(components, componentsSql,
       "duplicate-cluster canonicalization: connected components over " +
         "exact + jaccard>=0.5 edges, min-id keeper; oracle = recursive-" +
-        "CTE transitive closure"))
+        "CTE transitive closure"),
+    "split_group_holdout" -> QueryDef.sql(groupHoldout, groupHoldoutSql,
+      "leakage-safe train/val/test split: 80/10/10 by md5 of the " +
+        "duplicate-cluster component id, so near/exact duplicates can " +
+        "never straddle splits"))
 }

@@ -278,7 +278,56 @@ object Export {
            "SUM(cnt) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total", 6)} AS coverage
       |FROM r, tot WHERE rank <= $VocabTopK ORDER BY rank""".stripMargin
 
+  // ---- seeded deterministic global shuffle (training order) -----------
+
+  /** Epoch seed of the registered query; a new epoch is a new seed
+    * string, not a new algorithm.
+    */
+  private[graft] val ShuffleSeed = "epoch-42:"
+  private val ShuffleShards = 8L
+
+  /** Seeded deterministic global shuffle — the training-order
+    * primitive: every document gets a unique position 0..N−1 in the
+    * order of md5(seed ‖ doc_id), plus its round-robin shard. Scale
+    * shape: the first two hex chars of the sort key are a PREFIX of
+    * the global order, so positions come from per-bucket ranks plus a
+    * 256-row broadcast offset table — never a single-partition global
+    * row_number. Determinism: same seed ⇒ same permutation on any
+    * cluster; no RNG state, no driver coordination.
+    */
+  private def exportShuffled(s: SparkSession, dir: String): DataFrame =
+    shuffledOf(docs(s, dir), ShuffleSeed)
+
+  private[graft] def shuffledOf(d: DataFrame, seed: String): DataFrame = {
+    val keyed = d.select(col("doc_id"),
+        md5(concat(lit(seed), col("doc_id").cast("string"))).as("k"))
+      .withColumn("bucket", substring(col("k"), 1, 2))
+    val inBucket = Window.partitionBy("bucket").orderBy(col("k"), col("doc_id"))
+    val ranked = keyed.withColumn("r", row_number().over(inBucket).cast("long"))
+    // rows BEFORE each bucket in global key order — 256 rows, so the
+    // unpartitioned window is a constant-size driver-light aggregate
+    val offsets = ranked.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    ranked.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), (col("off") + col("r") - 1L).as("pos"))
+      .withColumn("shard", col("pos") % ShuffleShards)
+      .orderBy("pos")
+  }
+
+  private val shuffledSql = {
+    val rn = s"ROW_NUMBER() OVER (ORDER BY md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)), doc_id)"
+    s"""SELECT doc_id, CAST($rn - 1 AS BIGINT) AS pos,
+      |  CAST(($rn - 1) % $ShuffleShards AS BIGINT) AS shard
+      |FROM documents ORDER BY pos""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "export_shuffled" -> QueryDef.sql(exportShuffled, shuffledSql,
+      "seeded deterministic global shuffle (training order): md5-keyed " +
+        "permutation via per-bucket ranks + 256-row offset table, " +
+        "round-robin shards"),
     "pack_sequences" -> QueryDef.sql(packSequences, packSql,
       s"GPT-style concat-and-slice packing into $CtxLen-token contexts over scaling md5 buckets"),
     "pack_contexts" -> QueryDef.sql(packContexts, packCtxSql,
