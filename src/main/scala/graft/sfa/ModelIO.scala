@@ -1,6 +1,6 @@
 package graft.sfa
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model persistence (SURVEY §2.1 S8/S9/S10), re-expressed as columnar
@@ -266,12 +266,32 @@ object ModelIO {
     * 256 to match the k-NN engine's scalar prefix key.
     */
   def saveIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
-      prefixStart: Int = 0, base: Int = 0): Unit = {
+      prefixStart: Int = 0, base: Int = 0): Unit =
+    writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Overwrite)
+
+  /** Incremental bulk INSERT into an existing layout (the trie-insert
+    * analogue, SFATrie.java's insert path re-expressed for an at-rest
+    * index): the new records are packed with the SAME prefix rule and
+    * appended partition-wise — new files join their prefix directories,
+    * untouched prefixes keep their files, and nothing is rewritten.
+    * Queries need no refresh step: `IndexOps.knnOverLayout` derives its
+    * per-prefix Fourier boxes from the layout at query time, so
+    * appended members are covered (and exactly verified) the moment the
+    * write commits — IndexAppendSpec pins k-NN ≡ brute scan over the
+    * combined corpus. Caller contract: same model/packing parameters as
+    * the original save (a different quantizer would scatter prefixes).
+    */
+  def appendIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
+      prefixStart: Int = 0, base: Int = 0): Unit =
+    writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Append)
+
+  private def writeIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
+      prefixStart: Int, base: Int, mode: SaveMode): Unit = {
     val b = if (base > 0) base else 1 << usedBits
     corpus
       .withColumn("prefix",
         expr(s"aggregate(slice(word, ${prefixStart + 1}, $prefixLen), 0L, (acc, s) -> acc * $b + s)"))
-      .write.mode("overwrite").partitionBy("prefix").parquet(path)
+      .write.mode(mode).partitionBy("prefix").parquet(path)
   }
 
   def loadIndex(path: String)(implicit spark: SparkSession): DataFrame =

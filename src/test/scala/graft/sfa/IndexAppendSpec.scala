@@ -1,0 +1,90 @@
+package graft.sfa
+
+import graft.SparkSpec
+import graft.ts.Loaders
+import org.apache.spark.sql.functions._
+
+/** Incremental bulk-insert gate ([[ModelIO.appendIndex]] — the trie
+  * insert analogue for the at-rest layout): half the corpus is saved,
+  * the other half appended, and exact k-NN over the COMBINED layout
+  * must equal the brute-force scan over the full corpus — no rebuild,
+  * no refresh step (the per-prefix boxes are derived from the layout at
+  * query time, so appended members are covered the moment the write
+  * commits). Also pins that the append is partition-wise: untouched
+  * prefix directories keep their original files.
+  */
+class IndexAppendSpec extends SparkSpec {
+
+  private val W = 16
+  private val L = 8
+  private val Alpha = 8
+  private val K = 5
+  private val Probe = 48
+
+  test("appendIndex: k-NN over the appended layout equals the brute scan, old files untouched") {
+    val nChunks = 4
+    val chunkSize = 1000
+    val walk = Loaders.randomWalk(nChunks * chunkSize + W - 1, 20260816L)
+    val model = SFA.fitWindowing(Array((walk, 0.0)), W, L, Alpha,
+      normMean = false, lowerBounding = true)
+    val corpus = BulkLoad.windowRecords(spark, walk, nChunks, chunkSize, W, L, model)
+      .cache()
+    val half = (nChunks * chunkSize / 2).toLong
+    val path = "/tmp/graft_append_index"
+    // fresh dir per run (append mode would otherwise stack onto a
+    // previous test execution's files)
+    val dir = new java.io.File(path)
+    if (dir.exists()) { scala.reflect.io.Directory(dir).deleteRecursively(); () }
+
+    ModelIO.saveIndex(corpus.filter(col("id") < half), model.usedBits, prefixLen = 2, path)
+    val filesBefore = scala.collection.mutable.Map.empty[String, Long]
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path)).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        filesBefore(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    }
+    assert(filesBefore.nonEmpty)
+
+    ModelIO.appendIndex(corpus.filter(col("id") >= half), model.usedBits, prefixLen = 2, path)
+    // partition-wise append: every pre-append file is still there, byte
+    // timestamps untouched (nothing was rewritten)
+    filesBefore.foreach { case (f, ts) =>
+      val p = java.nio.file.Paths.get(f)
+      assert(java.nio.file.Files.exists(p), s"original file rewritten away: $f")
+      assert(java.nio.file.Files.getLastModifiedTime(p).toMillis == ts,
+        s"original file modified: $f")
+    }
+    val loaded = ModelIO.loadIndex(path)(spark)
+    assert(loaded.count() == nChunks.toLong * chunkSize)
+
+    // 3 queries from an unrelated walk + 3 cut from the APPENDED region
+    // of the corpus walk: the latter match stored windows exactly
+    // (d2 = 0), so an appended record MUST win — the non-vacuousness
+    // guard below cannot depend on random-walk luck
+    val fromAppended = BulkLoad.queryWindows(
+        spark, walk.slice(half.toInt + 100, half.toInt + 100 + 4 * W), 3, W, L, model)
+      .withColumn("qid", col("qid") + 3L)
+    val queries = BulkLoad.queryWindows(
+      spark, Loaders.randomWalk(8 * W, 31337L), 3, W, L, model)
+      .unionByName(fromAppended)
+    val (gotDf, stats) = IndexOps.knnOverLayout(
+      path, queries, model.bins, model.normMean, K, Probe, prefixLen = 2)(spark)
+    val got = gotDf.orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = IndexOps.knnScan(
+        loaded.select("id", "data"), queries.select("qid", "qdata"), K)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 6 * K && want.length == 6 * K)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3,
+        s"qid=${g._1} rank=${g._2}: knn id ${g._3} vs scan ${w._3}")
+      assert(math.abs(g._4 - w._4) < 1e-9)
+    }
+    // the appended half must actually be reachable: with ids split by
+    // position and queries from an unrelated walk, at least one nearest
+    // neighbor should come from the appended records
+    assert(got.exists(_._3 >= half), "no appended record ever won — gate is vacuous")
+    assert(stats.corpusRows == nChunks.toLong * chunkSize)
+    corpus.unpersist()
+  }
+}
