@@ -294,6 +294,56 @@ object ModelIO {
       .write.mode(mode).partitionBy("prefix").parquet(path)
   }
 
+  /** Selective small-file compaction for an append-grown layout
+    * ([[appendIndex]] adds a file per write per touched prefix; scans
+    * degrade once a prefix holds many tiny files): prefixes holding
+    * more than `maxFilesPerPrefix` parquet files are rewritten to one
+    * file each, every other prefix's files stay byte-untouched. The
+    * rewrite never reads and overwrites the same path in one job — the
+    * heavy rows round-trip through a sibling temp dir, then DYNAMIC
+    * partition overwrite replaces exactly the heavy prefix directories.
+    * Cost is bounded by the heavy prefixes' bytes, not the layout size,
+    * so routine compaction after appends touches only what fragmented;
+    * at extreme scale call it per prefix-batch (filter the returned
+    * list). Returns the compacted prefixes. IndexAppendSpec pins file
+    * counts, untouched-light-prefix bytes, and k-NN exactness across
+    * the whole append→compact lifecycle.
+    */
+  def compactIndex(path: String, maxFilesPerPrefix: Int = 4)(
+      implicit spark: SparkSession): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val heavy = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("prefix="))
+      .flatMap { d =>
+        val n = fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (n > maxFilesPerPrefix) Some(d.getPath.getName.stripPrefix("prefix=").toLong)
+        else None
+      }
+    if (heavy.nonEmpty) {
+      val tmp = new Path(root.getParent, root.getName + "_compact_tmp")
+      spark.read.parquet(path)
+        .filter(col("prefix").isin(heavy: _*))
+        .repartition(heavy.size, col("prefix")) // one output file per prefix
+        .write.mode("overwrite").partitionBy("prefix").parquet(tmp.toString)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try
+        spark.read.parquet(tmp.toString)
+          .write.mode("overwrite").partitionBy("prefix").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      fs.delete(tmp, true)
+      ()
+    }
+    heavy
+  }
+
   def loadIndex(path: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(path)
 }

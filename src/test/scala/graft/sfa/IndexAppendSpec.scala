@@ -85,6 +85,63 @@ class IndexAppendSpec extends SparkSpec {
     // neighbor should come from the appended records
     assert(got.exists(_._3 >= half), "no appended record ever won — gate is vacuous")
     assert(stats.corpusRows == nChunks.toLong * chunkSize)
+
+    // ---- compaction over the append-grown layout -----------------------
+    // grow fragmentation: two more small appends (re-packing a slice of
+    // the same corpus under fresh ids keeps the model contract)
+    val extra = corpus.filter(col("id") < 200)
+    ModelIO.appendIndex(extra.withColumn("id", col("id") + 10000L),
+      model.usedBits, prefixLen = 2, path)
+    ModelIO.appendIndex(extra.withColumn("id", col("id") + 20000L),
+      model.usedBits, prefixLen = 2, path)
+    def filesPerPrefix(): Map[String, Int] = {
+      val m = scala.collection.mutable.Map.empty[String, Int]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val pfx = p.getParent.getFileName.toString
+          m(pfx) = m.getOrElse(pfx, 0) + 1
+        }
+      }
+      m.toMap
+    }
+    val before = filesPerPrefix()
+    val maxFiles = 2
+    assert(before.values.exists(_ > maxFiles), s"fixture never fragmented: $before")
+    val lightBefore = before.filter(_._2 <= maxFiles).keySet
+    val lightStamps = java.nio.file.Files.walk(java.nio.file.Paths.get(path)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.toString.endsWith(".parquet") &&
+        lightBefore(p.getParent.getFileName.toString))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    val total = ModelIO.loadIndex(path)(spark).count()
+
+    val compacted = ModelIO.compactIndex(path, maxFilesPerPrefix = maxFiles)(spark)
+    assert(compacted.nonEmpty)
+    val after = filesPerPrefix()
+    // every heavy prefix collapsed to one file, light prefixes untouched
+    compacted.foreach(p => assert(after(s"prefix=$p") == 1, s"prefix=$p: ${after.toSeq}"))
+    lightStamps.foreach { case (f, ts) =>
+      val p = java.nio.file.Paths.get(f)
+      assert(java.nio.file.Files.exists(p) &&
+        java.nio.file.Files.getLastModifiedTime(p).toMillis == ts,
+        s"light prefix file rewritten: $f")
+    }
+    // no rows lost or duplicated, and k-NN over the compacted layout is
+    // still exact vs the brute scan of the (now larger) corpus
+    val loaded2 = ModelIO.loadIndex(path)(spark)
+    assert(loaded2.count() == total)
+    val (gotC, _) = IndexOps.knnOverLayout(
+      path, queries, model.bins, model.normMean, K, Probe, prefixLen = 2)(spark)
+    val wantC = IndexOps.knnScan(
+        loaded2.select("id", "data"), queries.select("qid", "qdata"), K)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val gotCArr = gotC.orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    gotCArr.zip(wantC).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 1e-9)
+    }
     corpus.unpersist()
   }
 }
