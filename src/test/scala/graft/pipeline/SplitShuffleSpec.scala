@@ -36,6 +36,22 @@ class SplitShuffleSpec extends SparkSpec {
     } finally { a.unpersist(); () }
   }
 
+  test("export_shuffled plan: ranks run bucket-partitioned, offsets broadcast — no global data window") {
+    val df = graft.SparkEntry.queries("export_shuffled")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the data-sized window is partitioned by the 256-value bucket
+    assert(p.contains("hashpartitioning(bucket"), p.take(3000))
+    // exactly two windows: the bucket-partitioned row_number and the
+    // 256-row unpartitioned offset prefix-sum (constant-sized by
+    // construction) — a THIRD / data-sized global window would mean the
+    // single-partition row_number crept back in
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows == 2, s"expected 2 Window ops, got $windows\n${p.take(3000)}")
+    // the offset table joins broadcast, not shuffled
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("split_group_holdout: no duplicate cluster straddles a split") {
     val split = graft.SparkEntry.queries("split_group_holdout")(spark, dir).cache()
     try {
