@@ -298,7 +298,10 @@ object SourceQ {
     val path = graft.util.Warehouse.dir(s, "s10_index")
     ModelIO.saveIndex(corpus, usedBits = 1, prefixLen = 2, path)
     ModelIO.loadIndex(path)
-      .groupBy(col("prefix"))
+      // partition-column inference types small prefixes int32; the
+      // oracle emits BIGINT — align exactly rather than rely on the
+      // comparer's numeric normalization
+      .groupBy(col("prefix").cast("long").as("prefix"))
       .agg(count(lit(1)).as("n"))
       .orderBy("prefix")
   }

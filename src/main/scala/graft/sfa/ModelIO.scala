@@ -266,8 +266,10 @@ object ModelIO {
     * 256 to match the k-NN engine's scalar prefix key.
     */
   def saveIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
-      prefixStart: Int = 0, base: Int = 0): Unit =
+      prefixStart: Int = 0, base: Int = 0): Unit = {
     writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Overwrite)
+    writeIndexMeta(corpus.sparkSession, path, usedBits, prefixLen, prefixStart, base)
+  }
 
   /** Incremental bulk INSERT into an existing layout (the trie-insert
     * analogue, SFATrie.java's insert path re-expressed for an at-rest
@@ -279,11 +281,57 @@ object ModelIO {
     * appended members are covered (and exactly verified) the moment the
     * write commits — IndexAppendSpec pins k-NN ≡ brute scan over the
     * combined corpus. Caller contract: same model/packing parameters as
-    * the original save (a different quantizer would scatter prefixes).
+    * the original save (a different quantizer would scatter prefixes) —
+    * ENFORCED against the layout's own metadata sidecar when present
+    * (layouts written by [[saveIndex]] are self-describing), so a
+    * mismatched append fails fast instead of silently corrupting the
+    * prefix partitioning.
     */
   def appendIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
-      prefixStart: Int = 0, base: Int = 0): Unit =
+      prefixStart: Int = 0, base: Int = 0): Unit = {
+    readIndexMeta(corpus.sparkSession, path).foreach { m =>
+      require(m == IndexMeta(usedBits, prefixLen, prefixStart, base),
+        s"append packing (usedBits=$usedBits, prefixLen=$prefixLen, " +
+          s"prefixStart=$prefixStart, base=$base) does not match the layout's " +
+          s"own metadata $m at $path — appending with a different packing " +
+          "would scatter records across wrong prefix directories")
+    }
     writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Append)
+  }
+
+  /** Packing parameters a [[saveIndex]] layout records about itself. */
+  final case class IndexMeta(usedBits: Int, prefixLen: Int, prefixStart: Int, base: Int)
+
+  private val IndexMetaFile = "_graft_index_meta"
+
+  private def writeIndexMeta(s: SparkSession, path: String,
+      usedBits: Int, prefixLen: Int, prefixStart: Int, base: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"usedBits=$usedBits\nprefixLen=$prefixLen\nprefixStart=$prefixStart\nbase=$base\n"
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** None for pre-metadata layouts (append stays permitted, the caller
+    * contract applies unchecked — exactly the old behavior).
+    */
+  def readIndexMeta(s: SparkSession, path: String): Option[IndexMeta] = {
+    val p = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      try {
+        val kv = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .flatMap { l =>
+            l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim.toInt); case _ => None }
+          }.toMap
+        Some(IndexMeta(kv("usedBits"), kv("prefixLen"), kv("prefixStart"), kv("base")))
+      } finally in.close()
+    }
+  }
 
   private def writeIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
       prefixStart: Int, base: Int, mode: SaveMode): Unit = {

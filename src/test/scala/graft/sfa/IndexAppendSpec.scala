@@ -44,6 +44,14 @@ class IndexAppendSpec extends SparkSpec {
     }
     assert(filesBefore.nonEmpty)
 
+    // the layout is self-describing, and a mismatched append fails fast
+    // instead of scattering records across wrong prefix directories
+    assert(ModelIO.readIndexMeta(spark, path)
+      .contains(ModelIO.IndexMeta(model.usedBits, 2, 0, 0)))
+    intercept[IllegalArgumentException] {
+      ModelIO.appendIndex(corpus.filter(col("id") >= half), model.usedBits, prefixLen = 3, path)
+    }
+
     ModelIO.appendIndex(corpus.filter(col("id") >= half), model.usedBits, prefixLen = 2, path)
     // partition-wise append: every pre-append file is still there, byte
     // timestamps untouched (nothing was rewritten)
@@ -126,6 +134,10 @@ class IndexAppendSpec extends SparkSpec {
         java.nio.file.Files.getLastModifiedTime(p).toMillis == ts,
         s"light prefix file rewritten: $f")
     }
+    // compaction's dynamic partition overwrite must leave the root-level
+    // metadata sidecar in place
+    assert(ModelIO.readIndexMeta(spark, path)
+      .contains(ModelIO.IndexMeta(model.usedBits, 2, 0, 0)))
     // no rows lost or duplicated, and k-NN over the compacted layout is
     // still exact vs the brute scan of the (now larger) corpus
     val loaded2 = ModelIO.loadIndex(path)(spark)
