@@ -197,12 +197,17 @@ object Bpe {
     * checkpoints each round's delta job re-applies up to cadence−1
     * pending merge layers over the dictionary, so raising it saves
     * writes but grows per-round UDF work linearly within the window.
-    * Tunable (env `GRAFT_BPE_CKPT_EVERY`) so the trade can be
-    * re-benchmarked at a given dictionary size without a code change;
-    * 8 measured best at the BpeSpec over-cap scale.
+    * MEASURED (r8, BpeSpec over-cap parity wall time, one run each,
+    * ~20 s fixed sbt overhead included): cadence 1 → 47 s, 2 → 49 s,
+    * 4 → 49 s, 8 → 65 s, 16 → 90 s — the recompute term dominates and
+    * the curve is flat below 4, so 4 is the default. Result parity
+    * holds at EVERY cadence (it is purely a materialization schedule);
+    * env `GRAFT_BPE_CKPT_EVERY` re-tunes it without a code change for
+    * regimes where writes dominate instead (very large dictionaries on
+    * slow storage).
     */
   private[pipeline] val ReprCkptEvery: Int =
-    sys.env.get("GRAFT_BPE_CKPT_EVERY").map(_.toInt).filter(_ >= 1).getOrElse(8)
+    sys.env.get("GRAFT_BPE_CKPT_EVERY").map(_.toInt).filter(_ >= 1).getOrElse(4)
 
   /** Distributed trainer — the scale path when the type dictionary
     * exceeds [[MaxTypes]]: the SAME merge rule as [[fitMerges]], with
