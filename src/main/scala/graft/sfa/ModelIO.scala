@@ -289,7 +289,8 @@ object ModelIO {
     */
   def appendIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
       prefixStart: Int = 0, base: Int = 0): Unit = {
-    readIndexMeta(corpus.sparkSession, path).foreach { m =>
+    val existing = readIndexMeta(corpus.sparkSession, path)
+    existing.foreach { m =>
       require(m == IndexMeta(usedBits, prefixLen, prefixStart, base),
         s"append packing (usedBits=$usedBits, prefixLen=$prefixLen, " +
           s"prefixStart=$prefixStart, base=$base) does not match the layout's " +
@@ -297,6 +298,10 @@ object ModelIO {
           "would scatter records across wrong prefix directories")
     }
     writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Append)
+    // annotate a pre-metadata layout with the packing this append just
+    // asserted, so the NEXT append is checked too
+    if (existing.isEmpty)
+      writeIndexMeta(corpus.sparkSession, path, usedBits, prefixLen, prefixStart, base)
   }
 
   /** Packing parameters a [[saveIndex]] layout records about itself. */
