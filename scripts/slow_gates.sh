@@ -12,11 +12,13 @@
 set -o pipefail
 cd "$(dirname "$0")/.."
 LABEL=${1:-adhoc}
-SUITES="graft.sfa.TeaserGoldenSpec graft.sfa.BulkLoadSpec graft.sfa.ShotgunGoldenSpec graft.pipeline.BpeSpec graft.pipeline.PackScaleSpec graft.pipeline.CurationSpec"
+# `test` (not a hardcoded suite list): the tag filter selects every
+# graft.Slow-tagged test wherever it lives, so a new Slow gate can
+# never be silently excluded from the record
 LOG=$(mktemp /tmp/slow_gates_XXXXXX.log)
 sbt -batch \
   'set Test/testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest, "-n", "graft.Slow"))' \
-  "testOnly $SUITES" 2>&1 | tee "$LOG"
+  test 2>&1 | tee "$LOG"
 RC=${PIPESTATUS[0]}
 SUMMARY=$(grep -E "^\[info\] Tests: succeeded" "$LOG" | tail -1 | sed 's/^\[info\] //')
 [ -z "$SUMMARY" ] && SUMMARY="(no ScalaTest summary line — see log)"

@@ -57,11 +57,14 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map(_.split(",").toSet)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    def runOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    // THE measurement protocol — one implementation for registered
+    // queries and extra items alike (timing, job-count delta, error
+    // recording), so the two classes of entries can never drift apart
+    def timed(name: String)(body: => Unit): Double = {
       val j0 = jobCounter.get()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        body
         val dt = (System.nanoTime() - t0) / 1e9
         jobCounts(name) = math.max(jobCounts.getOrElse(name, 0L), jobCounter.get() - j0)
         dt
@@ -72,6 +75,8 @@ object Bench {
           -1.0
       }
     }
+    def runOne(name: String, fn: (SparkSession, String) => DataFrame): Double =
+      timed(name) { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => (name, fn, runOne(name, fn)) }
@@ -168,25 +173,10 @@ object Bench {
     }
 
     // Every extra item runs the SAME first+min protocol as the registered
-    // queries (two runs, both estimators reported): a one-shot wall time
-    // absorbs full ambient noise — BENCH_r07 published 23.95 s for a bulk
-    // job whose uncontended time is ~3.4 s. Skipped under
-    // SPARK_GRAFT_ONLY (they are not registered queries).
-    def timedExtra(name: String)(body: => Unit): Double = {
-      val j0 = jobCounter.get()
-      val t0 = System.nanoTime()
-      try {
-        body
-        val dt = (System.nanoTime() - t0) / 1e9
-        jobCounts(name) = math.max(jobCounts.getOrElse(name, 0L), jobCounter.get() - j0)
-        dt
-      } catch {
-        case e: Throwable =>
-          errors += s"$name: ${e.getClass.getSimpleName}"
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-      }
-    }
+    // queries (two runs, both estimators reported, via the shared
+    // `timed`): a one-shot wall time absorbs full ambient noise —
+    // BENCH_r07 published 23.95 s for a bulk job whose uncontended time
+    // is ~3.4 s. Skipped under SPARK_GRAFT_ONLY (not registered queries).
     val extraItems: Seq[(String, () => Unit)] = Seq(
       "bulk_knn_layout_200k" -> (() => bulkKnnBody()),
       "streaming_words_100k" -> (() => streamingWordsBody()),
@@ -199,8 +189,8 @@ object Bench {
         // val would otherwise be paid inside the first run's estimate)
         streamWordModel; streamPointEvents; streamDocEvents
         extraItems.map { case (n, f) =>
-          val t1 = timedExtra(n)(f())
-          val t2 = if (t1 >= 0) timedExtra(n)(f()) else -1.0
+          val t1 = timed(n)(f())
+          val t2 = if (t1 >= 0) timed(n)(f()) else -1.0
           (n, t1, if (t2 >= 0) math.min(t1, t2) else t1)
         }
       } else Seq.empty

@@ -207,7 +207,9 @@ object Bpe {
     * slow storage).
     */
   private[pipeline] val ReprCkptEvery: Int =
-    sys.env.get("GRAFT_BPE_CKPT_EVERY").map(_.toInt).filter(_ >= 1).getOrElse(4)
+    sys.env.get("GRAFT_BPE_CKPT_EVERY").flatMap(_.toIntOption).filter(_ >= 1)
+      .getOrElse(4) // malformed/non-positive values fall back (a throw here
+                    // would be an ExceptionInInitializerError far from the env var)
 
   /** Distributed trainer — the scale path when the type dictionary
     * exceeds [[MaxTypes]]: the SAME merge rule as [[fitMerges]], with

@@ -313,14 +313,23 @@ object ModelIO {
       usedBits: Int, prefixLen: Int, prefixStart: Int, base: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // write-then-rename so a crash mid-write can never leave a TORN
+    // sidecar in place (rename is atomic on local/HDFS semantics)
+    val staging = new org.apache.hadoop.fs.Path(path,
+      s".$IndexMetaFile.tmp_${ProcessHandle.current().pid()}")
+    val out = fs.create(staging, true)
     out.write(s"usedBits=$usedBits\nprefixLen=$prefixLen\nprefixStart=$prefixStart\nbase=$base\n"
       .getBytes("UTF-8"))
     out.close()
+    fs.delete(p, false)
+    if (!fs.rename(staging, p))
+      throw new java.io.IOException(s"could not commit index metadata sidecar $p")
   }
 
   /** None for pre-metadata layouts (append stays permitted, the caller
-    * contract applies unchecked — exactly the old behavior).
+    * contract applies unchecked — exactly the old behavior). A PRESENT
+    * but unparsable sidecar fails with the file named: silently
+    * skipping the check on corruption would defeat the fail-fast.
     */
   def readIndexMeta(s: SparkSession, path: String): Option[IndexMeta] = {
     val p = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
@@ -328,13 +337,21 @@ object ModelIO {
     if (!fs.exists(p)) None
     else {
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
-      try {
-        val kv = Iterator.continually(in.readLine()).takeWhile(_ != null)
-          .flatMap { l =>
-            l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim.toInt); case _ => None }
-          }.toMap
-        Some(IndexMeta(kv("usedBits"), kv("prefixLen"), kv("prefixStart"), kv("base")))
+      val parsed = try {
+        scala.util.Try {
+          val kv = Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .flatMap { l =>
+              l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim.toInt); case _ => None }
+            }.toMap
+          IndexMeta(kv("usedBits"), kv("prefixLen"), kv("prefixStart"), kv("base"))
+        }
       } finally in.close()
+      parsed match {
+        case scala.util.Success(m) => Some(m)
+        case scala.util.Failure(e) => throw new IllegalStateException(
+          s"index metadata sidecar $p is unreadable (${e.getMessage}); " +
+            "delete the sidecar to fall back to the unchecked append contract", e)
+      }
     }
   }
 
@@ -376,23 +393,30 @@ object ModelIO {
         else None
       }
     if (heavy.nonEmpty) {
-      val tmp = new Path(root.getParent, root.getName + "_compact_tmp")
-      spark.read.parquet(path)
-        .filter(col("prefix").isin(heavy: _*))
-        .repartition(heavy.size, col("prefix")) // one output file per prefix
-        .write.mode("overwrite").partitionBy("prefix").parquet(tmp.toString)
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try
-        spark.read.parquet(tmp.toString)
-          .write.mode("overwrite").partitionBy("prefix").parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      // unique temp name: a crashed or CONCURRENT compaction must never
+      // clobber another run's in-flight temp data, and the delete rides
+      // a finally so a failed overwrite cannot leak the copy
+      val tmp = new Path(root.getParent,
+        s"${root.getName}_compact_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      try {
+        spark.read.parquet(path)
+          .filter(col("prefix").isin(heavy: _*))
+          .repartition(heavy.size, col("prefix")) // one output file per prefix
+          .write.mode("overwrite").partitionBy("prefix").parquet(tmp.toString)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try
+          spark.read.parquet(tmp.toString)
+            .write.mode("overwrite").partitionBy("prefix").parquet(path)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      } finally {
+        fs.delete(tmp, true)
+        ()
       }
-      fs.delete(tmp, true)
-      ()
     }
     heavy
   }

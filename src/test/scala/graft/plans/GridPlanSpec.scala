@@ -50,10 +50,8 @@ class GridPlanSpec extends SparkSpec {
     val ser = seriesOf(160).cache()
     try {
       val grid64 = (4 until 68).toSeq
-      val t0 = System.nanoTime()
       val p2 = executed(bagsFor(ser, Seq(8, 16)))
       val p64 = executed(bagsFor(ser, grid64))
-      val planSecs = (System.nanoTime() - t0) / 1e9
       val (x2, x64) = (countOf(p2, "Exchange hashpartitioning"), countOf(p64, "Exchange hashpartitioning"))
       assert(x2 > 0, p2)
       assert(x2 == x64, s"shuffles must not scale with grid size: 2-point=$x2 64-point=$x64\n$p64")
@@ -66,10 +64,9 @@ class GridPlanSpec extends SparkSpec {
       val (s2, s64) = (countOf(p2, "InMemoryTableScan"), countOf(p64, "InMemoryTableScan"))
       assert(s2 > 0, p2)
       assert(s2 == s64, s"source scans must not scale with grid size: 2-point=$s2 64-point=$s64\n$p64")
-      // grid points enter the plan as one array literal, so planning a
-      // 64-point sweep must not blow up plan-compile time (both plans,
-      // execution included, land in seconds at fixture size)
-      assert(planSecs < 120.0, s"64-point grid plan+run took ${planSecs}s")
+      // plan-size independence (grid points enter as ONE array literal)
+      // is pinned structurally by the equal scan/shuffle counts above —
+      // no wall-clock assert, which would only flake under contention
     } finally { ser.unpersist(); () }
   }
 

@@ -35,7 +35,7 @@ class BatchKnnSpec extends SparkSpec {
     val model = SFA.fitWindowing(Array((walk, 0.0)), W, L, Alpha,
       normMean = false, lowerBounding = true)
     val corpus = BulkLoad.windowRecords(spark, walk, nChunks, chunkSize, W, L, model)
-    val path = "/tmp/graft_batch_knn_index"
+    val path = graft.util.Warehouse.dir(spark, "batch_knn_spec_index")
     ModelIO.saveIndex(corpus, model.usedBits, prefixLen = 2, path)
 
     // 10k query windows cut at stride W from an unrelated walk

@@ -30,11 +30,9 @@ class IndexAppendSpec extends SparkSpec {
     val corpus = BulkLoad.windowRecords(spark, walk, nChunks, chunkSize, W, L, model)
       .cache()
     val half = (nChunks * chunkSize / 2).toLong
-    val path = "/tmp/graft_append_index"
-    // fresh dir per run (append mode would otherwise stack onto a
-    // previous test execution's files)
-    val dir = new java.io.File(path)
-    if (dir.exists()) { scala.reflect.io.Directory(dir).deleteRecursively(); () }
+    // per-PID warehouse path: concurrent test JVMs can never clobber
+    // each other's in-flight layout, and the shutdown hook cleans up
+    val path = graft.util.Warehouse.dir(spark, "append_spec_index")
 
     ModelIO.saveIndex(corpus.filter(col("id") < half), model.usedBits, prefixLen = 2, path)
     val filesBefore = scala.collection.mutable.Map.empty[String, Long]
