@@ -289,23 +289,49 @@ object Export {
   /** Seeded deterministic global shuffle — the training-order
     * primitive: every document gets a unique position 0..N−1 in the
     * order of md5(seed ‖ doc_id), plus its round-robin shard. Scale
-    * shape: the first two hex chars of the sort key are a PREFIX of
-    * the global order, so positions come from per-bucket ranks plus a
-    * 256-row broadcast offset table — never a single-partition global
+    * shape: the leading hex chars of the sort key (width adaptive in
+    * the corpus size — [[adaptiveHexChars]]) are a PREFIX of the global
+    * order, so positions come from per-bucket ranks plus a small
+    * broadcast offset table — never a single-partition global
     * row_number. Determinism: same seed ⇒ same permutation on any
-    * cluster; no RNG state, no driver coordination.
+    * cluster at ANY bucket width; no RNG state, no driver coordination.
     */
   private def exportShuffled(s: SparkSession, dir: String): DataFrame =
     shuffledOf(docs(s, dir), ShuffleSeed)
 
-  private[graft] def shuffledOf(d: DataFrame, seed: String): DataFrame = {
+  /** Per-bucket rank-sort budget: the adaptive prefix keeps each
+    * bucket's in-task sort at roughly this many rows.
+    */
+  private val BucketRankRows = 4000000L
+
+  /** Adaptive bucket width (hex chars of the md5 key): the smallest
+    * prefix in [2, 5] whose 16^p buckets hold ≤ [[BucketRankRows]] rows
+    * each in expectation — the same grow-with-the-corpus rule as
+    * `IndexOps.adaptiveDepth`. Fixed at 2 (r8) each bucket sorted N/256
+    * keys in ONE task: a multi-GB single-task sort at 10^10–10^11 docs.
+    * The cap of 5 bounds the offset table at 16^5 ≈ 1M rows (~25 MB
+    * broadcast, single-task prefix-sum still trivial) — headroom to
+    * ~4·10^12 docs, far past a 100 TB corpus. The OUTPUT is
+    * width-invariant by construction (the bucket is a PREFIX of the
+    * global sort key, so per-bucket rank + offset = global rank at any
+    * width — SplitShuffleSpec pins byte-equality at 2 vs 3).
+    */
+  private[pipeline] def adaptiveHexChars(n: Long): Int = {
+    var p = 2
+    var cap = BucketRankRows * 256L
+    while (p < 5 && n > cap) { p += 1; cap *= 16L }
+    p
+  }
+
+  private[graft] def shuffledOf(d: DataFrame, seed: String, hexChars: Int = 0): DataFrame = {
+    val width = if (hexChars > 0) hexChars else adaptiveHexChars(d.count())
     val keyed = d.select(col("doc_id"),
         md5(concat(lit(seed), col("doc_id").cast("string"))).as("k"))
-      .withColumn("bucket", substring(col("k"), 1, 2))
+      .withColumn("bucket", substring(col("k"), 1, width))
     val inBucket = Window.partitionBy("bucket").orderBy(col("k"), col("doc_id"))
     val ranked = keyed.withColumn("r", row_number().over(inBucket).cast("long"))
-    // rows BEFORE each bucket in global key order — 256 rows, so the
-    // unpartitioned window is a constant-size driver-light aggregate
+    // rows BEFORE each bucket in global key order — ≤ 16^width rows, so
+    // the unpartitioned window is a constant-size driver-light aggregate
     val offsets = ranked.groupBy("bucket").agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(
         Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

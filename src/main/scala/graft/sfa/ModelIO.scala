@@ -266,10 +266,11 @@ object ModelIO {
     * 256 to match the k-NN engine's scalar prefix key.
     */
   def saveIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
-      prefixStart: Int = 0, base: Int = 0): Unit = {
-    writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Overwrite)
-    writeIndexMeta(corpus.sparkSession, path, usedBits, prefixLen, prefixStart, base)
-  }
+      prefixStart: Int = 0, base: Int = 0): Unit =
+    withMaintenanceLock(corpus.sparkSession, path, "save") {
+      writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Overwrite)
+      writeIndexMeta(corpus.sparkSession, path, usedBits, prefixLen, prefixStart, base)
+    }
 
   /** Incremental bulk INSERT into an existing layout (the trie-insert
     * analogue, SFATrie.java's insert path re-expressed for an at-rest
@@ -285,27 +286,97 @@ object ModelIO {
     * ENFORCED against the layout's own metadata sidecar when present
     * (layouts written by [[saveIndex]] are self-describing), so a
     * mismatched append fails fast instead of silently corrupting the
-    * prefix partitioning.
+    * prefix partitioning. Maintenance ops are serialized per layout by
+    * the single-maintainer lock (see [[maintenanceLockPath]]): an
+    * append racing a compaction fails fast instead of being lost.
     */
   def appendIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
-      prefixStart: Int = 0, base: Int = 0): Unit = {
-    val existing = readIndexMeta(corpus.sparkSession, path)
-    existing.foreach { m =>
-      require(m == IndexMeta(usedBits, prefixLen, prefixStart, base),
-        s"append packing (usedBits=$usedBits, prefixLen=$prefixLen, " +
-          s"prefixStart=$prefixStart, base=$base) does not match the layout's " +
-          s"own metadata $m at $path — appending with a different packing " +
-          "would scatter records across wrong prefix directories")
+      prefixStart: Int = 0, base: Int = 0): Unit =
+    withMaintenanceLock(corpus.sparkSession, path, "append") {
+      val existing = readIndexMeta(corpus.sparkSession, path)
+      existing.foreach { m =>
+        require(m == IndexMeta(usedBits, prefixLen, prefixStart, base),
+          s"append packing (usedBits=$usedBits, prefixLen=$prefixLen, " +
+            s"prefixStart=$prefixStart, base=$base) does not match the layout's " +
+            s"own metadata $m at $path — appending with a different packing " +
+            "would scatter records across wrong prefix directories")
+      }
+      writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Append)
+      // annotate a pre-metadata layout with the packing this append just
+      // asserted, so the NEXT append is checked too
+      if (existing.isEmpty)
+        writeIndexMeta(corpus.sparkSession, path, usedBits, prefixLen, prefixStart, base)
     }
-    writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Append)
-    // annotate a pre-metadata layout with the packing this append just
-    // asserted, so the NEXT append is checked too
-    if (existing.isEmpty)
-      writeIndexMeta(corpus.sparkSession, path, usedBits, prefixLen, prefixStart, base)
-  }
 
   /** Packing parameters a [[saveIndex]] layout records about itself. */
   final case class IndexMeta(usedBits: Int, prefixLen: Int, prefixStart: Int, base: Int)
+
+  // ---- single-maintainer lock -----------------------------------------
+
+  /** THE concurrency contract of the index-maintenance lifecycle:
+    * save/append/compact are SERIALIZED per layout by a lock file
+    * (atomic create-if-absent) next to the layout directory. Without
+    * it, an [[appendIndex]] committing inside [[compactIndex]]'s
+    * read→overwrite window is silently LOST (the compacted rewrite
+    * replaces the prefix directory the append just added a file to) —
+    * the distributed failure mode the reference never faced because its
+    * trie insert/merge is single-process by construction
+    * (SFATrie.java:299-380). A competing maintainer fails FAST with the
+    * holder's identity instead of corrupting the layout; queries never
+    * take the lock (reads are safe against append, and compaction is
+    * the documented stop-the-scans window). A maintainer that CRASHED
+    * leaves its lock behind on purpose: the next maintainer must
+    * inspect the layout (and any surviving `*_compact_tmp_*` dir — see
+    * [[compactIndex]]) before deleting the lock file. Lock placement is
+    * a SIBLING of the layout dir so `saveIndex`'s whole-directory
+    * overwrite cannot delete the lock that guards it. Atomicity caveat
+    * as for the sidecar: create-if-absent is atomic on local/HDFS
+    * semantics; object stores need their own conditional-put primitive.
+    */
+  private def maintenanceLockPath(path: String): org.apache.hadoop.fs.Path = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    new org.apache.hadoop.fs.Path(root.getParent, s".${root.getName}.graft_maintenance.lock")
+  }
+
+  private def withMaintenanceLock[T](s: SparkSession, path: String, op: String)(body: => T): T = {
+    val lock = maintenanceLockPath(path)
+    val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val out = try fs.create(lock, false) catch {
+      case e: java.io.IOException =>
+        val holder = scala.util.Try {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(lock), "UTF-8"))
+          try Iterator.continually(in.readLine()).takeWhile(_ != null).mkString(" ")
+          finally in.close()
+        }.getOrElse("<unreadable>")
+        throw new IllegalStateException(
+          s"cannot $op index layout $path: another maintainer holds the lock " +
+            s"$lock ($holder). Maintenance is serialized per layout; if the " +
+            "holder crashed, inspect the layout (and any surviving " +
+            "*_compact_tmp_* dir) before deleting the lock file.", e)
+    }
+    out.write(s"op=$op pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}"
+      .getBytes("UTF-8"))
+    out.close()
+    var keepLock = false
+    try body
+    catch {
+      case e: KeepMaintenanceLock =>
+        keepLock = true
+        throw e.cause
+    } finally {
+      if (!keepLock) { fs.delete(lock, false); () }
+    }
+  }
+
+  /** Internal control-flow wrapper: a body section throws this when the
+    * layout may be mid-mutation (e.g. a failed dynamic overwrite) and
+    * the lock must OUTLIVE the failure so the next maintainer fails
+    * fast into recovery instead of compounding the damage.
+    */
+  private final case class KeepMaintenanceLock(cause: Throwable)
+    extends RuntimeException(cause)
 
   private val IndexMetaFile = "_graft_index_meta"
 
@@ -321,9 +392,15 @@ object ModelIO {
     out.write(s"usedBits=$usedBits\nprefixLen=$prefixLen\nprefixStart=$prefixStart\nbase=$base\n"
       .getBytes("UTF-8"))
     out.close()
-    fs.delete(p, false)
-    if (!fs.rename(staging, p))
-      throw new java.io.IOException(s"could not commit index metadata sidecar $p")
+    // rename OVER the destination (FileContext supports overwrite-rename
+    // where plain FileSystem.rename does not): a delete-then-rename pair
+    // would leave a no-sidecar window in which a concurrent reader takes
+    // the unchecked pre-metadata fallback. Maintenance is additionally
+    // serialized by the layout lock, but the sidecar commit itself
+    // should not depend on it.
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
+      .rename(staging, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** None for pre-metadata layouts (append stays permitted, the caller
@@ -375,51 +452,76 @@ object ModelIO {
     * Cost is bounded by the heavy prefixes' bytes, not the layout size,
     * so routine compaction after appends touches only what fragmented;
     * at extreme scale call it per prefix-batch (filter the returned
-    * list). Returns the compacted prefixes. IndexAppendSpec pins file
-    * counts, untouched-light-prefix bytes, and k-NN exactness across
-    * the whole append→compact lifecycle.
+    * list). Returns the compacted prefixes. Runs under the
+    * single-maintainer lock (see [[maintenanceLockPath]]); on a failed
+    * write-back the temp copy AND the lock survive for recovery.
+    * IndexAppendSpec pins file counts, untouched-light-prefix bytes,
+    * k-NN exactness across the whole append→compact lifecycle, and the
+    * fail-fast of an append interleaved into the compaction window.
     */
   def compactIndex(path: String, maxFilesPerPrefix: Int = 4)(
-      implicit spark: SparkSession): Seq[Long] = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val heavy = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("prefix="))
-      .flatMap { d =>
-        val n = fs.listStatus(d.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        if (n > maxFilesPerPrefix) Some(d.getPath.getName.stripPrefix("prefix=").toLong)
-        else None
-      }
-    if (heavy.nonEmpty) {
-      // unique temp name: a crashed or CONCURRENT compaction must never
-      // clobber another run's in-flight temp data, and the delete rides
-      // a finally so a failed overwrite cannot leak the copy
-      val tmp = new Path(root.getParent,
-        s"${root.getName}_compact_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      try {
-        spark.read.parquet(path)
-          .filter(col("prefix").isin(heavy: _*))
-          .repartition(heavy.size, col("prefix")) // one output file per prefix
-          .write.mode("overwrite").partitionBy("prefix").parquet(tmp.toString)
+      implicit spark: SparkSession): Seq[Long] =
+    withMaintenanceLock(spark, path, "compact") {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val heavy = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("prefix="))
+        .flatMap { d =>
+          val n = fs.listStatus(d.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          if (n > maxFilesPerPrefix) Some(d.getPath.getName.stripPrefix("prefix=").toLong)
+          else None
+        }
+      if (heavy.nonEmpty) {
+        // unique temp name: a crashed compaction's leftover temp must
+        // never be clobbered before recovery
+        val tmp = new Path(root.getParent,
+          s"${root.getName}_compact_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+        // phase 1 — copy the heavy rows OUT (layout untouched). A failure
+        // here is fully recoverable: drop the partial temp, release the
+        // lock, nothing in the layout moved.
+        try
+          spark.read.parquet(path)
+            .filter(col("prefix").isin(heavy: _*))
+            .repartition(heavy.size, col("prefix")) // one output file per prefix
+            .write.mode("overwrite").partitionBy("prefix").parquet(tmp.toString)
+        catch { case e: Throwable => fs.delete(tmp, true); throw e }
+        onCompactBeforeWriteBack()
+        // phase 2 — dynamic partition overwrite back into the layout. A
+        // failure here may already have cleared some heavy prefix dirs,
+        // making tmp the ONLY copy of those rows: KEEP tmp AND the
+        // maintenance lock, and name both in the error so the rows are
+        // recoverable (a blanket finally-delete here would destroy them).
         val key = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "dynamic")
         try
           spark.read.parquet(tmp.toString)
             .write.mode("overwrite").partitionBy("prefix").parquet(path)
-        finally prev match {
+        catch {
+          case e: Throwable => throw KeepMaintenanceLock(new IllegalStateException(
+            s"compactIndex write-back into $path failed mid-overwrite; the heavy " +
+              s"prefixes' rows survive at $tmp — restore them into the layout " +
+              s"before deleting the maintenance lock ${maintenanceLockPath(path)}", e))
+        } finally prev match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)
         }
-      } finally {
+        // only after the overwrite committed is the copy redundant
         fs.delete(tmp, true)
         ()
       }
+      heavy
     }
-    heavy
-  }
+
+  /** Test seam: invoked between compact's copy-out and write-back, i.e.
+    * inside the window where an unserialized append would be lost.
+    * IndexAppendSpec interleaves an append here and proves it fails
+    * fast (and that a post-compact retry lands every row). No-op in
+    * production.
+    */
+  private[sfa] var onCompactBeforeWriteBack: () => Unit = () => ()
 
   def loadIndex(path: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(path)

@@ -23,6 +23,40 @@ object SFAOps {
         .as("pts"))
       .select(col("user_id"), expr("transform(pts, p -> p.value)").as("data"))
 
+  /** THE per-series disjoint-window kernel — z-norm rule and DFT call in
+    * ONE place, shared by the fixed-w UDF ([[disjointApprox]]) and the
+    * grid UDF ([[windowGridBags]], window length as data) so the two
+    * paths cannot silently diverge under a future fix.
+    */
+  private[sfa] def disjointKernel(
+      data: Seq[Double], w: Int, l: Int, normMean: Boolean): Array[Array[Double]] = {
+    val arr = data.toArray
+    SFA.disjointWindows(arr, w, normMean).map { win =>
+      Fourier.transformWindow(win, 0, w, l, normMean, lowerBounding = true)
+    }
+  }
+
+  /** THE per-series sliding-window kernel (direct per-window DFT with
+    * per-window 1/σ scaling, σ=0 guarded to 1) — shared by
+    * [[slidingApproxDirect]], [[slidingApproxArrays]] and the grid UDF
+    * in [[windowGridBags]]. Series shorter than the window yield no
+    * rows (callers additionally exclude them at DataFrame level, where
+    * the SQL oracle models the exclusion).
+    */
+  private[sfa] def slidingKernel(
+      data: Seq[Double], w: Int, l: Int, normMean: Boolean): Array[Array[Double]] = {
+    val arr = data.toArray
+    if (arr.length < w) Array.empty
+    else {
+      val (_, stds) = Fourier.rollingMeanStdDirect(arr, w)
+      Array.tabulate(arr.length - w + 1) { t =>
+        val direct = Fourier.transformWindow(arr, t, w, l, normMean, lowerBounding = true)
+        val f = if (stds(t) > 0) 1.0 / stds(t) else 1.0
+        direct.map(_ * f)
+      }
+    }
+  }
+
   /** Disjoint-window Fourier approximations (the quantizer-fit input):
     * z-norm each complete window (σ-division only when !normMean), direct
     * DFT, keep `l` values. Output: (user_id, win, coef, v) with `v`
@@ -35,10 +69,7 @@ object SFAOps {
       normMean: Boolean,
       extraKeys: Seq[String] = Nil): DataFrame = {
     val udfApprox = udf { (data: Seq[Double]) =>
-      val arr = data.toArray
-      SFA.disjointWindows(arr, windowSize, normMean).map { w =>
-        Fourier.transformWindow(w, 0, windowSize, l, normMean, lowerBounding = true)
-      }
+      disjointKernel(data, windowSize, l, normMean)
     }
     val keep = (extraKeys :+ "user_id").map(col)
     series
@@ -127,13 +158,7 @@ object SFAOps {
       normMean: Boolean,
       extraKeys: Seq[String] = Nil): DataFrame = {
     val udfApprox = udf { (data: Seq[Double]) =>
-      val arr = data.toArray
-      val (_, stds) = Fourier.rollingMeanStdDirect(arr, windowSize)
-      Array.tabulate(arr.length - windowSize + 1) { t =>
-        val direct = Fourier.transformWindow(arr, t, windowSize, l, normMean, lowerBounding = true)
-        val f = if (stds(t) > 0) 1.0 / stds(t) else 1.0
-        direct.map(_ * f)
-      }
+      slidingKernel(data, windowSize, l, normMean)
     }
     val keep = (extraKeys :+ "user_id").map(col)
     series
@@ -152,13 +177,7 @@ object SFAOps {
       l: Int,
       normMean: Boolean): DataFrame = {
     val udfApprox = udf { (data: Seq[Double]) =>
-      val arr = data.toArray
-      val (_, stds) = Fourier.rollingMeanStdDirect(arr, windowSize)
-      Array.tabulate(arr.length - windowSize + 1) { t =>
-        val direct = Fourier.transformWindow(arr, t, windowSize, l, normMean, lowerBounding = true)
-        val f = if (stds(t) > 0) 1.0 / stds(t) else 1.0
-        direct.map(_ * f)
-      }
+      slidingKernel(data, windowSize, l, normMean)
     }
     series
       .filter(size(col("data")) >= windowSize)
@@ -229,13 +248,10 @@ object SFAOps {
     val fanned = series.select(
       col("user_id"), col("data"),
       explode(array(windows.map(w => lit(w.toLong)): _*)).as("w"))
-    // disjointApprox with the window length as data: z-norm + direct DFT
-    // per complete disjoint window (values identical to the per-w form)
+    // disjointApprox with the window length as data — the SAME kernel as
+    // the per-w form, so parity is by construction
     val udfDisjoint = udf { (data: Seq[Double], w: Long) =>
-      val arr = data.toArray
-      SFA.disjointWindows(arr, w.toInt, normMean = false).map { win =>
-        Fourier.transformWindow(win, 0, w.toInt, l, normMean = false, lowerBounding = true)
-      }
+      disjointKernel(data, w.toInt, l, normMean = false)
     }
     val disjoint = fanned
       .select(col("w"), col("user_id"),
@@ -243,17 +259,10 @@ object SFAOps {
       .select(col("w"), col("user_id"), col("win"),
         posexplode(col("approx")).as(Seq("coef", "v")))
     val bins = equiDepthBins(disjoint, alphabetSize, Seq("w"))
-    // slidingApproxDirect with the window length as data (same 1/σ
-    // scaling and short-series exclusion as the per-w form)
+    // slidingApproxDirect with the window length as data — the SAME
+    // kernel (1/σ scaling, short-series exclusion) as the per-w form
     val udfSliding = udf { (data: Seq[Double], w: Long) =>
-      val arr = data.toArray
-      val ws = w.toInt
-      val (_, stds) = Fourier.rollingMeanStdDirect(arr, ws)
-      Array.tabulate(arr.length - ws + 1) { t =>
-        val direct = Fourier.transformWindow(arr, t, ws, l, normMean = false, lowerBounding = true)
-        val f = if (stds(t) > 0) 1.0 / stds(t) else 1.0
-        direct.map(_ * f)
-      }
+      slidingKernel(data, w.toInt, l, normMean = false)
     }
     val sliding = fanned
       .filter(size(col("data")) >= col("w"))

@@ -1,0 +1,124 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+
+/** Shared layout-maintenance primitives for every persisted layout
+  * (k-NN prefix index, IVF cells, Z-order files):
+  *
+  *  - a single-maintainer LOCK (atomic create-if-absent, sibling of the
+  *    layout dir) serializing save/append/compact per layout — without
+  *    it an append committing inside a compaction's read→overwrite
+  *    window is silently lost;
+  *  - a self-describing metadata SIDECAR (write-then-rename, rename
+  *    OVER the destination) so a mismatched append fails fast instead
+  *    of silently corrupting the layout's physical contract.
+  *
+  * Atomicity caveat (both primitives): create-if-absent and rename are
+  * atomic on local/HDFS semantics; object stores need their own
+  * conditional-put/rename primitives.
+  */
+object Maintenance {
+
+  /** Thrown (wrapped) by a maintenance body when the layout may be
+    * mid-mutation and the lock must OUTLIVE the failure, so the next
+    * maintainer fails fast into recovery instead of compounding the
+    * damage. [[withLock]] unwraps and rethrows `cause`.
+    */
+  final case class KeepLock(cause: Throwable) extends RuntimeException(cause)
+
+  /** The lock file guarding `path` — a SIBLING of the layout dir so a
+    * whole-directory overwrite of the layout cannot delete the lock
+    * that guards it.
+    */
+  def lockPath(path: String): Path = {
+    val root = new Path(path)
+    new Path(root.getParent, s".${root.getName}.graft_maintenance.lock")
+  }
+
+  /** Run `body` holding `path`'s single-maintainer lock. A competing
+    * maintainer fails FAST (IllegalStateException naming the holder)
+    * instead of corrupting the layout; queries never take the lock. A
+    * maintainer that CRASHED leaves its lock behind on purpose: the
+    * next maintainer must inspect the layout (and any surviving temp
+    * dir) before deleting the lock file.
+    */
+  def withLock[T](s: SparkSession, path: String, op: String)(body: => T): T = {
+    val lock = lockPath(path)
+    val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val out = try fs.create(lock, false) catch {
+      case e: java.io.IOException =>
+        val holder = scala.util.Try {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(lock), "UTF-8"))
+          try Iterator.continually(in.readLine()).takeWhile(_ != null).mkString(" ")
+          finally in.close()
+        }.getOrElse("<unreadable>")
+        throw new IllegalStateException(
+          s"cannot $op layout $path: another maintainer holds the lock " +
+            s"$lock ($holder). Maintenance is serialized per layout; if the " +
+            "holder crashed, inspect the layout (and any surviving temp dir) " +
+            "before deleting the lock file.", e)
+    }
+    out.write(s"op=$op pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}"
+      .getBytes("UTF-8"))
+    out.close()
+    var keepLock = false
+    try body
+    catch {
+      case e: KeepLock =>
+        keepLock = true
+        throw e.cause
+    } finally {
+      if (!keepLock) { fs.delete(lock, false); () }
+    }
+  }
+
+  /** Commit `kv` as the sidecar `dir/name` via write-then-rename: a
+    * crash mid-write can never leave a TORN sidecar, and the rename
+    * goes OVER any existing file (FileContext overwrite-rename — a
+    * delete-then-rename pair would open a no-sidecar window in which a
+    * concurrent reader takes an unchecked fallback).
+    */
+  def writeSidecar(s: SparkSession, dir: String, name: String,
+      kv: Seq[(String, String)]): Unit = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir, s".$name.tmp_${ProcessHandle.current().pid()}")
+    val out = fs.create(staging, true)
+    out.write(kv.map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
+    out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
+      .rename(staging, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** None for a layout without the sidecar (pre-metadata layouts keep
+    * their unchecked caller contract). A PRESENT but unreadable sidecar
+    * FAILS with the file named: silently skipping the check on
+    * corruption would defeat the fail-fast.
+    */
+  def readSidecar(s: SparkSession, dir: String, name: String): Option[Map[String, String]] = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      val parsed = try {
+        scala.util.Try {
+          Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .flatMap { l =>
+              l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
+            }.toMap
+        }
+      } finally in.close()
+      parsed match {
+        case scala.util.Success(m) => Some(m)
+        case scala.util.Failure(e) => throw new IllegalStateException(
+          s"layout metadata sidecar $p is unreadable (${e.getMessage}); " +
+            "delete the sidecar to fall back to the unchecked contract", e)
+      }
+    }
+  }
+}

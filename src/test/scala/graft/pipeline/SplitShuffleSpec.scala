@@ -52,6 +52,24 @@ class SplitShuffleSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("shuffledOf output is bucket-width-invariant (2 vs 3 hex chars) and the width adapts") {
+    val d = graft.util.Tables.load(spark, dir, "documents").select("doc_id")
+    // positions are a pure function of the global md5 order — the bucket
+    // prefix only chooses HOW the rank is computed, never what it is
+    val w2 = Export.shuffledOf(d, "epoch-7:", hexChars = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w3 = Export.shuffledOf(d, "epoch-7:", hexChars = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(w2 == w3)
+    // the adaptive rule: fixture-sized corpora stay at 2; the width grows
+    // with the corpus and caps at 5 (16^5 buckets bound the offset table)
+    assert(Export.adaptiveHexChars(60000L) == 2)
+    assert(Export.adaptiveHexChars(1000000000L) == 2)
+    assert(Export.adaptiveHexChars(5000000000L) == 3)
+    assert(Export.adaptiveHexChars(100000000000L) == 4)
+    assert(Export.adaptiveHexChars(Long.MaxValue / 4) == 5)
+  }
+
   test("split_group_holdout: no duplicate cluster straddles a split") {
     val split = graft.SparkEntry.queries("split_group_holdout")(spark, dir).cache()
     try {

@@ -154,4 +154,61 @@ class IndexAppendSpec extends SparkSpec {
     }
     corpus.unpersist()
   }
+
+  test("maintenance lock: an append inside compact's read->overwrite window fails fast; no row lost") {
+    val n = 800
+    val walk = Loaders.randomWalk(n + W - 1, 20260901L)
+    val model = SFA.fitWindowing(Array((walk, 0.0)), W, L, Alpha,
+      normMean = false, lowerBounding = true)
+    val corpus = BulkLoad.windowRecords(spark, walk, 2, n / 2, W, L, model).cache()
+    val path = graft.util.Warehouse.dir(spark, "interleave_spec_index")
+    ModelIO.saveIndex(corpus.filter(col("id") < 400), model.usedBits, prefixLen = 2, path)
+    // fragment a prefix so compaction has work
+    val extra = corpus.filter(col("id") < 100)
+    (1 to 3).foreach { i =>
+      ModelIO.appendIndex(extra.withColumn("id", col("id") + lit(i * 1000L)),
+        model.usedBits, prefixLen = 2, path)
+    }
+    val preCompact = ModelIO.loadIndex(path)(spark).count()
+    val lateRows = corpus.filter(col("id") >= 400).withColumn("id", col("id") + 50000L)
+    @volatile var hookRan = false
+    @volatile var interleaved: Option[Throwable] = None
+    ModelIO.onCompactBeforeWriteBack = () => {
+      hookRan = true
+      // the append that would previously be silently LOST: its prefix
+      // files land just before the dynamic overwrite clears those dirs
+      interleaved = scala.util.Try(
+        ModelIO.appendIndex(lateRows, model.usedBits, prefixLen = 2, path)).failed.toOption
+    }
+    val compacted = try ModelIO.compactIndex(path, maxFilesPerPrefix = 2)(spark)
+    finally ModelIO.onCompactBeforeWriteBack = () => ()
+    assert(compacted.nonEmpty && hookRan)
+    // the interleaved append failed FAST at the lock, before writing a row
+    val err = interleaved.getOrElse(fail("interleaved append did not fail"))
+    assert(err.isInstanceOf[IllegalStateException] &&
+      err.getMessage.contains("another maintainer"), err.toString)
+    assert(ModelIO.loadIndex(path)(spark).count() == preCompact,
+      "compaction lost or gained rows")
+    // compact released the lock on success: the retried append lands,
+    // and k-NN over the final layout is exact vs the brute scan
+    ModelIO.appendIndex(lateRows, model.usedBits, prefixLen = 2, path)
+    val loaded = ModelIO.loadIndex(path)(spark)
+    assert(loaded.count() == preCompact + 400)
+    val queries = BulkLoad.queryWindows(
+      spark, Loaders.randomWalk(6 * W, 4242L), 2, W, L, model)
+    val (gotDf, _) = IndexOps.knnOverLayout(
+      path, queries, model.bins, model.normMean, K, Probe, prefixLen = 2)(spark)
+    val got = gotDf.orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = IndexOps.knnScan(
+        loaded.select("id", "data"), queries.select("qid", "qdata"), K)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 2 * K)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 1e-9)
+    }
+    corpus.unpersist()
+  }
 }
