@@ -197,11 +197,13 @@ object Bpe {
     * checkpoints each round's delta job re-applies up to cadence−1
     * pending merge layers over the dictionary, so raising it saves
     * writes but grows per-round UDF work linearly within the window.
-    * MEASURED (r8, BpeSpec over-cap parity wall time, one run each,
-    * ~20 s fixed sbt overhead included): cadence 1 → 47 s, 2 → 49 s,
-    * 4 → 49 s, 8 → 65 s, 16 → 90 s — the recompute term dominates and
-    * the curve is flat below 4, so 4 is the default. Result parity
-    * holds at EVERY cadence (it is purely a materialization schedule);
+    * MEASURED (r9, [[BpeCadenceBench]]: over-cap fixture, raw JVM — no
+    * sbt overhead — one warm-up fit then min-of-3 per cadence):
+    * cadence 1 → 26.1 s, 2 → 23.7 s, 4 → 22.2 s, 8 → 25.1 s. The curve
+    * is a shallow U: fewer materializations win until the re-applied
+    * pending-merge layers outgrow them (~8), and 4 sits at the bottom —
+    * so 4 is the default. Result parity holds at EVERY cadence (it is
+    * purely a materialization schedule);
     * env `GRAFT_BPE_CKPT_EVERY` re-tunes it without a code change for
     * regimes where writes dominate instead (very large dictionaries on
     * slow storage).
@@ -240,7 +242,8 @@ object Bpe {
     * size — no dropped tail, and BpeSpec pins merge-for-merge equality
     * with the driver loop.
     */
-  private[pipeline] def fitMergesDistributed(dictDf: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
+  private[pipeline] def fitMergesDistributed(dictDf: DataFrame, k: Int,
+      ckptEvery: Int = ReprCkptEvery): Seq[(Long, String, String, Long)] = {
     val symUdf = udf { (w: String) => symbolize(w) }
     val mergeUdf = udf { (syms: Seq[String], l: String, r: String) =>
       mergePair(syms.toVector, l, r)
@@ -291,7 +294,7 @@ object Bpe {
         val merged = reprs
           .withColumn("syms", mergeUdf(col("syms"), lit(l), lit(r)))
         pendingMerges += 1
-        if (pendingMerges >= ReprCkptEvery) {
+        if (pendingMerges >= ckptEvery) {
           // materialize once per cadence; only then is the PREVIOUS
           // checkpoint safe to release (the composed views between
           // cadences are plans rooted at it, never materialized state)

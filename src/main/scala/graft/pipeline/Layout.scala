@@ -253,14 +253,60 @@ object Layout {
     * keeps the default.
     */
   private[pipeline] def writeZordered(ev: DataFrame, loc: String,
-      blockSize: Option[Long] = None): Unit = {
+      blockSize: Option[Long] = None,
+      dims: (String, String) = ("user_id", "cents")): Unit =
+    graft.util.Maintenance.withLock(ev.sparkSession, loc, "save") {
+      writeZBatch(ev, loc, blockSize, dims, org.apache.spark.sql.SaveMode.Overwrite)
+      // the layout self-describes its z-dimensions (written AFTER the
+      // data — the overwrite clears the directory first)
+      graft.util.Maintenance.writeSidecar(ev.sparkSession, loc, ZorderMetaFile,
+        Seq("zdims" -> s"${dims._1},${dims._2}"))
+    }
+
+  /** Incremental bulk INSERT into a z-ordered layout: the new batch
+    * rides the SAME Morton pipeline (range-partition + sort on z within
+    * the batch) and lands as NEW files — existing files stay
+    * byte-untouched. Skipping holds over the grown layout because it is
+    * per ROW GROUP: each appended file is itself z-sorted, so its row
+    * groups keep tight (dim1, dim2) boxes; old and new files' z-ranges
+    * overlapping costs nothing. When appends accumulate, re-running
+    * [[writeZordered]] is the compaction analogue (a full re-sort).
+    * Fail-fast: the sidecar must exist and name the SAME z-dimensions —
+    * appending data interleaved on different columns (or not z-sorted
+    * at all) would silently break row-group skipping. Serialized per
+    * layout by the shared maintenance lock. ZorderLayoutSpec measures
+    * the skip over a half-saved/half-appended layout.
+    */
+  private[pipeline] def appendZordered(ev: DataFrame, loc: String,
+      blockSize: Option[Long] = None,
+      dims: (String, String) = ("user_id", "cents")): Unit =
+    graft.util.Maintenance.withLock(ev.sparkSession, loc, "append") {
+      graft.util.Maintenance.readSidecar(ev.sparkSession, loc, ZorderMetaFile) match {
+        case Some(m) =>
+          require(m.get("zdims").contains(s"${dims._1},${dims._2}"),
+            s"append z-dimensions (${dims._1},${dims._2}) do not match the " +
+              s"layout's own metadata ${m.getOrElse("zdims", "<absent>")} at $loc — " +
+              "appending data interleaved on different columns would silently " +
+              "break row-group skipping")
+        case None => throw new IllegalStateException(
+          s"$loc is not a self-describing z-ordered layout (no $ZorderMetaFile " +
+            "sidecar) — write it with writeZordered first; appending unsorted " +
+            "data would silently break row-group skipping")
+      }
+      writeZBatch(ev, loc, blockSize, dims, org.apache.spark.sql.SaveMode.Append)
+    }
+
+  private val ZorderMetaFile = "_graft_zorder_meta"
+
+  private def writeZBatch(ev: DataFrame, loc: String, blockSize: Option[Long],
+      dims: (String, String), mode: org.apache.spark.sql.SaveMode): Unit = {
     // partition count follows the session's shuffle parallelism (no
     // fixed small number — at 100 TB the range exchange must fan out)
-    val z = ev.withColumn("z", zValue(col("user_id"), col("cents")))
+    val z = ev.withColumn("z", zValue(col(dims._1), col(dims._2)))
       .repartitionByRange(col("z"))
       .sortWithinPartitions("z")
       .drop("z")
-    val w = z.write.mode("overwrite")
+    val w = z.write.mode(mode)
     blockSize.fold(w)(b => w.option("parquet.block.size", b.toString)
       .option("parquet.page.size", math.max(1024L, b / 4).toString))
       .parquet(loc)

@@ -313,12 +313,9 @@ object Similarity {
     val c = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
     val cent = ivfCentroids(c.select(col("c_id").as("id"), col("civ").as("iv")), IvfCells)
-    val byCell = Window.partitionBy("c_id").orderBy(desc("score"), col("cell"))
-    val m1 = c.crossJoin(broadcast(cent))
-      .withColumn("score", dot(col("civ"), col("cv")) / sqrt(col("cn2")))
-      .withColumn("rn", row_number().over(byCell))
-      .filter(col("rn") === 1)
-      .select("c_id", "cell")
+    // member→cell via THE shared assignment rule (assignCells)
+    val m1 = assignCells(c.select(col("c_id").as("id"), col("civ").as("iv")), cent)
+      .withColumnRenamed("id", "c_id")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
     val byQ = Window.partitionBy("q_id").orderBy(desc("score"), col("cell"))
@@ -353,11 +350,76 @@ object Similarity {
     * integers, and the scoring expressions are shared), so the query
     * reuses that oracle.
     */
+  /** Where the IVF layout persists its centroid table: a
+    * leading-underscore subdirectory is invisible to parquet file
+    * listings, so `spark.read.parquet(loc)` still sees only the member
+    * rows. The centroids ARE the layout's self-description — an append
+    * assigns against THEM, never against recomputed centroids (which
+    * would drift as the corpus grows and scatter members across wrong
+    * cells); the small sidecar adds a cheap consistency check.
+    */
+  private val IvfCentroidsDir = "_centroids"
+  private val IvfMetaFile = "_graft_ivf_meta"
+
+  /** Persist `members` (c_id, civ, cn) as the cell-partitioned IVF
+    * layout assigned against `cent`, plus the centroid table itself and
+    * the fail-fast sidecar — the embedding-side analogue of
+    * `ModelIO.saveIndex` (self-describing, maintenance-locked).
+    */
+  private[pipeline] def saveIvfLayout(s: SparkSession, members: DataFrame,
+      cent: DataFrame, loc: String): Unit =
+    graft.util.Maintenance.withLock(s, loc, "save") {
+      assignCells(members.select(col("c_id").as("id"), col("civ").as("iv")), cent)
+        .withColumnRenamed("id", "c_id")
+        .join(members, "c_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(loc)
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$loc/$IvfCentroidsDir")
+      graft.util.Maintenance.writeSidecar(s, loc, IvfMetaFile,
+        Seq("cells" -> cent.count().toString))
+    }
+
+  /** Incremental bulk INSERT into a persisted IVF layout: new members
+    * are assigned against the layout's own PERSISTED centroids and
+    * appended partition-wise — new files join their cell directories,
+    * untouched cells keep their files, nothing is rewritten, and every
+    * query sees the appended members the moment the write commits (the
+    * probe set is computed against the same persisted centroids).
+    * Fail-fast: a layout without a centroid table (or whose sidecar
+    * disagrees with it) refuses the append — assigning against
+    * RECOMPUTED centroids would scatter members across cells that
+    * disagree with the at-rest partitioning. Serialized per layout by
+    * the shared maintenance lock (`graft.util.Maintenance`).
+    */
+  private[pipeline] def appendIvfLayout(s: SparkSession, members: DataFrame,
+      loc: String): Unit =
+    graft.util.Maintenance.withLock(s, loc, "append") {
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/$IvfCentroidsDir")))
+        throw new IllegalStateException(
+          s"$loc has no persisted centroid table ($IvfCentroidsDir) — appending " +
+            "against recomputed centroids would scatter members across wrong " +
+            "cells; write the layout with saveIvfLayout first")
+      val cent = s.read.parquet(s"$loc/$IvfCentroidsDir")
+      graft.util.Maintenance.readSidecar(s, loc, IvfMetaFile).foreach { m =>
+        val n = cent.count()
+        require(m.get("cells").contains(n.toString),
+          s"centroid table at $loc has $n cells but the sidecar records " +
+            s"${m.getOrElse("cells", "<absent>")} — the layout is inconsistent")
+      }
+      assignCells(members.select(col("c_id").as("id"), col("civ").as("iv")), cent)
+        .withColumnRenamed("id", "c_id")
+        .join(members, "c_id")
+        .write.mode("append").partitionBy("cell").parquet(loc)
+    }
+
+  private[pipeline] def loadIvfCentroids(s: SparkSession, loc: String): DataFrame =
+    s.read.parquet(s"$loc/$IvfCentroidsDir").select("cell", "cv", "cn2")
+
   private def ivfLayoutAnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val c = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
-    val cent = ivfCentroids(c.select(col("c_id").as("id"), col("civ").as("iv")), IvfCells)
     val loc = graft.util.Warehouse.dir(s,
       "ivf/" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString)
@@ -365,20 +427,24 @@ object Similarity {
     // _SUCCESS check would serve a stale layout if the source table
     // changed between runs); within a session every re-run reuses it.
     // mark built only AFTER the write returns (a failed first write must
-    // not leave later calls reading a partial directory)
+    // not leave later calls reading a partial directory).
+    // The build is half-SAVED / half-APPENDED by design: the registered
+    // query itself exercises the append lifecycle, so the DuckDB oracle
+    // (≡ sim_ivf_ann) gates the append-grown layout every round — a
+    // member's cell depends only on itself and the centroids, so the
+    // two-step build is bit-identical to a one-shot save.
     if (!builtLayouts.contains(loc)) builtLayouts.synchronized {
       if (!builtLayouts.contains(loc)) {
-        val byCell = Window.partitionBy("c_id").orderBy(desc("score"), col("cell"))
-        val m1 = c.crossJoin(broadcast(cent))
-          .withColumn("score", dot(col("civ"), col("cv")) / sqrt(col("cn2")))
-          .withColumn("rn", row_number().over(byCell))
-          .filter(col("rn") === 1)
-          .select("c_id", "cell")
-        m1.join(c, "c_id")
-          .write.mode("overwrite").partitionBy("cell").parquet(loc)
+        val centFit = ivfCentroids(c.select(col("c_id").as("id"), col("civ").as("iv")), IvfCells)
+        saveIvfLayout(s, c.filter(col("c_id") % 2 === 0), centFit, loc)
+        appendIvfLayout(s, c.filter(col("c_id") % 2 =!= 0), loc)
         builtLayouts.add(loc)
       }
     }
+    // probes score against the PERSISTED centroid table, as any reader
+    // of the at-rest layout would (integer centroid sums round-trip
+    // parquet exactly, so scores are unchanged)
+    val cent = loadIvfCentroids(s, loc)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
     val byQ = Window.partitionBy("q_id").orderBy(desc("score"), col("cell"))

@@ -333,104 +333,39 @@ object ModelIO {
     * as for the sidecar: create-if-absent is atomic on local/HDFS
     * semantics; object stores need their own conditional-put primitive.
     */
-  private def maintenanceLockPath(path: String): org.apache.hadoop.fs.Path = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    new org.apache.hadoop.fs.Path(root.getParent, s".${root.getName}.graft_maintenance.lock")
-  }
+  private def maintenanceLockPath(path: String): org.apache.hadoop.fs.Path =
+    graft.util.Maintenance.lockPath(path)
 
-  private def withMaintenanceLock[T](s: SparkSession, path: String, op: String)(body: => T): T = {
-    val lock = maintenanceLockPath(path)
-    val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(lock.getParent)
-    val out = try fs.create(lock, false) catch {
-      case e: java.io.IOException =>
-        val holder = scala.util.Try {
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(lock), "UTF-8"))
-          try Iterator.continually(in.readLine()).takeWhile(_ != null).mkString(" ")
-          finally in.close()
-        }.getOrElse("<unreadable>")
-        throw new IllegalStateException(
-          s"cannot $op index layout $path: another maintainer holds the lock " +
-            s"$lock ($holder). Maintenance is serialized per layout; if the " +
-            "holder crashed, inspect the layout (and any surviving " +
-            "*_compact_tmp_* dir) before deleting the lock file.", e)
-    }
-    out.write(s"op=$op pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}"
-      .getBytes("UTF-8"))
-    out.close()
-    var keepLock = false
-    try body
-    catch {
-      case e: KeepMaintenanceLock =>
-        keepLock = true
-        throw e.cause
-    } finally {
-      if (!keepLock) { fs.delete(lock, false); () }
-    }
-  }
-
-  /** Internal control-flow wrapper: a body section throws this when the
-    * layout may be mid-mutation (e.g. a failed dynamic overwrite) and
-    * the lock must OUTLIVE the failure so the next maintainer fails
-    * fast into recovery instead of compounding the damage.
-    */
-  private final case class KeepMaintenanceLock(cause: Throwable)
-    extends RuntimeException(cause)
+  private def withMaintenanceLock[T](s: SparkSession, path: String, op: String)(body: => T): T =
+    graft.util.Maintenance.withLock(s, path, op)(body)
 
   private val IndexMetaFile = "_graft_index_meta"
 
+  /** Sidecar commit via the shared write-then-rename-over helper
+    * ([[graft.util.Maintenance.writeSidecar]]): no torn sidecar on a
+    * crash, no no-sidecar window for a concurrent reader.
+    */
   private def writeIndexMeta(s: SparkSession, path: String,
-      usedBits: Int, prefixLen: Int, prefixStart: Int, base: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // write-then-rename so a crash mid-write can never leave a TORN
-    // sidecar in place (rename is atomic on local/HDFS semantics)
-    val staging = new org.apache.hadoop.fs.Path(path,
-      s".$IndexMetaFile.tmp_${ProcessHandle.current().pid()}")
-    val out = fs.create(staging, true)
-    out.write(s"usedBits=$usedBits\nprefixLen=$prefixLen\nprefixStart=$prefixStart\nbase=$base\n"
-      .getBytes("UTF-8"))
-    out.close()
-    // rename OVER the destination (FileContext supports overwrite-rename
-    // where plain FileSystem.rename does not): a delete-then-rename pair
-    // would leave a no-sidecar window in which a concurrent reader takes
-    // the unchecked pre-metadata fallback. Maintenance is additionally
-    // serialized by the layout lock, but the sidecar commit itself
-    // should not depend on it.
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
-      .rename(staging, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      usedBits: Int, prefixLen: Int, prefixStart: Int, base: Int): Unit =
+    graft.util.Maintenance.writeSidecar(s, path, IndexMetaFile, Seq(
+      "usedBits" -> usedBits.toString, "prefixLen" -> prefixLen.toString,
+      "prefixStart" -> prefixStart.toString, "base" -> base.toString))
 
   /** None for pre-metadata layouts (append stays permitted, the caller
     * contract applies unchecked — exactly the old behavior). A PRESENT
     * but unparsable sidecar fails with the file named: silently
     * skipping the check on corruption would defeat the fail-fast.
     */
-  def readIndexMeta(s: SparkSession, path: String): Option[IndexMeta] = {
-    val p = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
-      val parsed = try {
-        scala.util.Try {
-          val kv = Iterator.continually(in.readLine()).takeWhile(_ != null)
-            .flatMap { l =>
-              l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim.toInt); case _ => None }
-            }.toMap
-          IndexMeta(kv("usedBits"), kv("prefixLen"), kv("prefixStart"), kv("base"))
-        }
-      } finally in.close()
-      parsed match {
-        case scala.util.Success(m) => Some(m)
-        case scala.util.Failure(e) => throw new IllegalStateException(
-          s"index metadata sidecar $p is unreadable (${e.getMessage}); " +
+  def readIndexMeta(s: SparkSession, path: String): Option[IndexMeta] =
+    graft.util.Maintenance.readSidecar(s, path, IndexMetaFile).map { kv =>
+      try IndexMeta(kv("usedBits").toInt, kv("prefixLen").toInt,
+        kv("prefixStart").toInt, kv("base").toInt)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"index metadata sidecar at $path is unreadable (${e.getMessage}); " +
             "delete the sidecar to fall back to the unchecked append contract", e)
       }
     }
-  }
 
   private def writeIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
       prefixStart: Int, base: Int, mode: SaveMode): Unit = {
@@ -500,7 +435,7 @@ object ModelIO {
           spark.read.parquet(tmp.toString)
             .write.mode("overwrite").partitionBy("prefix").parquet(path)
         catch {
-          case e: Throwable => throw KeepMaintenanceLock(new IllegalStateException(
+          case e: Throwable => throw graft.util.Maintenance.KeepLock(new IllegalStateException(
             s"compactIndex write-back into $path failed mid-overwrite; the heavy " +
               s"prefixes' rows survive at $tmp — restore them into the layout " +
               s"before deleting the maintenance lock ${maintenanceLockPath(path)}", e))

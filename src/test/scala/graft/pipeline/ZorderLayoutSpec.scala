@@ -48,7 +48,39 @@ class ZorderLayoutSpec extends SparkSpec {
       val blocks = Some(16384L)
       val zLoc = "/tmp/graft_zorder_spec/z"
       val cLoc = "/tmp/graft_zorder_spec/shuffled"
-      Layout.writeZordered(ev, zLoc, blocks)
+      // clean slate: a CRASHED previous run may have left a maintenance
+      // lock behind (the documented fail-fast contract) — this fixture
+      // dir carries no state worth recovering
+      val rootDir = new java.io.File("/tmp/graft_zorder_spec")
+      if (rootDir.exists) {
+        java.nio.file.Files.walk(rootDir.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+      // half-saved / half-APPENDED: the skip gate below must hold over an
+      // append-grown layout (each appended file is itself z-sorted, so
+      // its row groups keep tight boxes — skipping is per row group)
+      Layout.writeZordered(ev.filter(col("event_id") % 2 === 0), zLoc, blocks)
+      val preAppend = java.nio.file.Files.walk(java.nio.file.Paths.get(zLoc)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      assert(preAppend.nonEmpty)
+      // fail-fast contract: wrong dims or a non-layout directory refuse
+      intercept[IllegalArgumentException] {
+        Layout.appendZordered(ev.filter(col("event_id") % 2 =!= 0), zLoc, blocks,
+          dims = ("cents", "user_id"))
+      }
+      intercept[IllegalStateException] {
+        Layout.appendZordered(ev, "/tmp/graft_zorder_spec/not_a_layout", blocks)
+      }
+      Layout.appendZordered(ev.filter(col("event_id") % 2 =!= 0), zLoc, blocks)
+      // partition-wise growth: every pre-append file survives untouched
+      preAppend.foreach { case (f, ts) =>
+        val p = java.nio.file.Paths.get(f)
+        assert(java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis == ts,
+          s"pre-append file rewritten: $f")
+      }
       // control: identical rows, random (hash) order, same row-group size
       val w = ev.repartitionByRange(8, hash(col("event_id")))
         .sortWithinPartitions(hash(col("event_id")))

@@ -70,6 +70,31 @@ class GridPlanSpec extends SparkSpec {
     } finally { ser.unpersist(); () }
   }
 
+  test("grid plan bound at the reference's real M3 scale (2 vs 350 points)") {
+    // WEASEL's production sweep is ~350 window lengths
+    // (WEASELClassifier.java:202-212 builds maxWindowLength-minWindowLength
+    // candidates) — the 2-vs-64 gate above pins the shape, this one pins
+    // it at the reference's actual grid size: same exchange and scan
+    // counts, and the grid enters the plan as ONE array literal so the
+    // whole fit (plan compile included) stays fixture-fast
+    val ser = seriesOf(360).cache()
+    try {
+      val t0 = System.nanoTime()
+      val p2 = executed(bagsFor(ser, Seq(8, 16)))
+      val p350 = executed(bagsFor(ser, (4 until 354).toSeq))
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"2-point + 350-point grids executed in $secs%.1f s")
+      val (x2, x350) = (countOf(p2, "Exchange hashpartitioning"),
+        countOf(p350, "Exchange hashpartitioning"))
+      assert(x2 > 0 && x2 == x350,
+        s"shuffles must not scale with grid size: 2-point=$x2 350-point=$x350")
+      assert(countOf(p2, "BroadcastExchange") == countOf(p350, "BroadcastExchange"))
+      val (s2, s350) = (countOf(p2, "InMemoryTableScan"), countOf(p350, "InMemoryTableScan"))
+      assert(s2 > 0 && s2 == s350,
+        s"source scans must not scale with grid size: 2-point=$s2 350-point=$s350")
+    } finally { ser.unpersist(); () }
+  }
+
   test("bag aggregate reuses the window partitioning (no extra exchange after lag)") {
     val ser = series.cache()
     try {
