@@ -416,6 +416,18 @@ object Similarity {
   private[pipeline] def loadIvfCentroids(s: SparkSession, loc: String): DataFrame =
     s.read.parquet(s"$loc/$IvfCentroidsDir").select("cell", "cv", "cn2")
 
+  /** Selective small-file compaction of an append-grown IVF layout:
+    * the shared two-phase compaction (`Maintenance.compactPartitioned`)
+    * over the cell partitions — over-fragmented cells rewritten to one
+    * file each, everything else (light cells, the centroid table, the
+    * sidecar) byte-untouched, same locked/recoverable failure contract
+    * as the k-NN index's `ModelIO.compactIndex`.
+    */
+  private[pipeline] def compactIvfLayout(s: SparkSession, loc: String,
+      maxFilesPerCell: Int = 4): Seq[Long] =
+    graft.util.Maintenance.compactPartitioned(s, loc, "cell", maxFilesPerCell)
+      .map(_.toLong)
+
   private def ivfLayoutAnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val c = e.filter(col("vec_id") >= 10)

@@ -396,67 +396,9 @@ object ModelIO {
     */
   def compactIndex(path: String, maxFilesPerPrefix: Int = 4)(
       implicit spark: SparkSession): Seq[Long] =
-    withMaintenanceLock(spark, path, "compact") {
-      import org.apache.hadoop.fs.Path
-      val root = new Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val heavy = fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("prefix="))
-        .flatMap { d =>
-          val n = fs.listStatus(d.getPath)
-            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          if (n > maxFilesPerPrefix) Some(d.getPath.getName.stripPrefix("prefix=").toLong)
-          else None
-        }
-      if (heavy.nonEmpty) {
-        // unique temp name: a crashed compaction's leftover temp must
-        // never be clobbered before recovery
-        val tmp = new Path(root.getParent,
-          s"${root.getName}_compact_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-        // phase 1 — copy the heavy rows OUT (layout untouched). A failure
-        // here is fully recoverable: drop the partial temp, release the
-        // lock, nothing in the layout moved.
-        try
-          spark.read.parquet(path)
-            .filter(col("prefix").isin(heavy: _*))
-            .repartition(heavy.size, col("prefix")) // one output file per prefix
-            .write.mode("overwrite").partitionBy("prefix").parquet(tmp.toString)
-        catch { case e: Throwable => fs.delete(tmp, true); throw e }
-        onCompactBeforeWriteBack()
-        // phase 2 — dynamic partition overwrite back into the layout. A
-        // failure here may already have cleared some heavy prefix dirs,
-        // making tmp the ONLY copy of those rows: KEEP tmp AND the
-        // maintenance lock, and name both in the error so the rows are
-        // recoverable (a blanket finally-delete here would destroy them).
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "dynamic")
-        try
-          spark.read.parquet(tmp.toString)
-            .write.mode("overwrite").partitionBy("prefix").parquet(path)
-        catch {
-          case e: Throwable => throw graft.util.Maintenance.KeepLock(new IllegalStateException(
-            s"compactIndex write-back into $path failed mid-overwrite; the heavy " +
-              s"prefixes' rows survive at $tmp — restore them into the layout " +
-              s"before deleting the maintenance lock ${maintenanceLockPath(path)}", e))
-        } finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-        // only after the overwrite committed is the copy redundant
-        fs.delete(tmp, true)
-        ()
-      }
-      heavy
-    }
-
-  /** Test seam: invoked between compact's copy-out and write-back, i.e.
-    * inside the window where an unserialized append would be lost.
-    * IndexAppendSpec interleaves an append here and proves it fails
-    * fast (and that a post-compact retry lands every row). No-op in
-    * production.
-    */
-  private[sfa] var onCompactBeforeWriteBack: () => Unit = () => ()
+    graft.util.Maintenance
+      .compactPartitioned(spark, path, "prefix", maxFilesPerPrefix)
+      .map(_.toLong)
 
   def loadIndex(path: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(path)

@@ -94,6 +94,80 @@ object Maintenance {
       .rename(staging, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Selective small-file compaction for any append-grown layout
+    * partitioned by `partCol` (k-NN word prefixes, IVF cells): every
+    * partition directory holding more than `maxFilesPerPartition`
+    * parquet files is rewritten to ONE file, every other partition's
+    * files stay byte-untouched. Two-phase under the maintenance lock:
+    *
+    *  1. copy the heavy partitions' rows OUT to a unique sibling temp
+    *     dir (layout untouched; a failure here drops the partial temp
+    *     and releases the lock);
+    *  2. DYNAMIC partition overwrite back into the layout. A failure
+    *     here may already have cleared some heavy partition dirs,
+    *     making the temp the ONLY copy of those rows: the temp AND the
+    *     lock survive, both named in the raised error, so the rows are
+    *     recoverable and the next maintainer fails fast into recovery.
+    *
+    * Cost is bounded by the heavy partitions' bytes, not the layout
+    * size; at extreme scale run it per partition-batch. Root-level
+    * sidecar files are untouched (dynamic overwrite only replaces the
+    * rewritten partition dirs). Returns the compacted partition values.
+    */
+  def compactPartitioned(s: SparkSession, path: String, partCol: String,
+      maxFilesPerPartition: Int): Seq[String] =
+    withLock(s, path, "compact") {
+      import org.apache.spark.sql.functions.col
+      val root = new Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val heavy = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+        .flatMap { d =>
+          val n = fs.listStatus(d.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          if (n > maxFilesPerPartition)
+            Some(d.getPath.getName.stripPrefix(s"$partCol="))
+          else None
+        }
+      if (heavy.nonEmpty) {
+        val tmp = new Path(root.getParent,
+          s"${root.getName}_compact_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+        try
+          s.read.parquet(path)
+            .filter(col(partCol).cast("string").isin(heavy: _*))
+            .repartition(heavy.size, col(partCol)) // one output file per partition
+            .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+        catch { case e: Throwable => fs.delete(tmp, true); throw e }
+        onCompactBeforeWriteBack()
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "dynamic")
+        try
+          s.read.parquet(tmp.toString)
+            .write.mode("overwrite").partitionBy(partCol).parquet(path)
+        catch {
+          case e: Throwable => throw KeepLock(new IllegalStateException(
+            s"compaction write-back into $path failed mid-overwrite; the heavy " +
+              s"partitions' rows survive at $tmp — restore them into the layout " +
+              s"before deleting the maintenance lock ${lockPath(path)}", e))
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        // only after the overwrite committed is the copy redundant
+        fs.delete(tmp, true)
+        ()
+      }
+      heavy
+    }
+
+  /** Test seam: invoked between compaction's copy-out and write-back,
+    * i.e. inside the window where an unserialized append would be
+    * lost. IndexAppendSpec interleaves an append here and proves it
+    * fails fast. No-op in production.
+    */
+  private[graft] var onCompactBeforeWriteBack: () => Unit = () => ()
+
   /** None for a layout without the sidecar (pre-metadata layouts keep
     * their unchecked caller contract). A PRESENT but unreadable sidecar
     * FAILS with the file named: silently skipping the check on

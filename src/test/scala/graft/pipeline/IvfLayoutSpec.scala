@@ -76,6 +76,21 @@ class IvfLayoutSpec extends SparkSpec {
           members.limit(20).select(col("c_id").as("id"), col("civ").as("iv")), reCent)
         .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
       assert(again.subsetOf(oneShot))
+
+      // compaction over the append-grown cells: fragmented cells collapse
+      // to one file, membership unchanged, centroids + sidecar survive
+      val compacted = Similarity.compactIvfLayout(spark, loc, maxFilesPerCell = 1)
+      assert(compacted.nonEmpty, "save+append must fragment at least one cell")
+      compacted.foreach { c =>
+        val n = java.nio.file.Files.list(java.nio.file.Paths.get(loc, s"cell=$c"))
+          .toArray.count(_.toString.endsWith(".parquet"))
+        assert(n == 1, s"cell=$c still holds $n files")
+      }
+      val afterCompact = spark.read.parquet(loc)
+        .select(col("cell").cast("long"), col("c_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterCompact == grown)
+      assert(Similarity.loadIvfCentroids(spark, loc).count() == 8L)
     } finally { members.unpersist(); () }
   }
 }

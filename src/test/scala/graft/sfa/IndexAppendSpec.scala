@@ -173,7 +173,7 @@ class IndexAppendSpec extends SparkSpec {
     val lateRows = corpus.filter(col("id") >= 400).withColumn("id", col("id") + 50000L)
     @volatile var hookRan = false
     @volatile var interleaved: Option[Throwable] = None
-    ModelIO.onCompactBeforeWriteBack = () => {
+    graft.util.Maintenance.onCompactBeforeWriteBack = () => {
       hookRan = true
       // the append that would previously be silently LOST: its prefix
       // files land just before the dynamic overwrite clears those dirs
@@ -181,7 +181,7 @@ class IndexAppendSpec extends SparkSpec {
         ModelIO.appendIndex(lateRows, model.usedBits, prefixLen = 2, path)).failed.toOption
     }
     val compacted = try ModelIO.compactIndex(path, maxFilesPerPrefix = 2)(spark)
-    finally ModelIO.onCompactBeforeWriteBack = () => ()
+    finally graft.util.Maintenance.onCompactBeforeWriteBack = () => ()
     assert(compacted.nonEmpty && hookRan)
     // the interleaved append failed FAST at the lock, before writing a row
     val err = interleaved.getOrElse(fail("interleaved append did not fail"))
