@@ -139,21 +139,11 @@ object Bench {
     // be invisible without a tracked number. Inputs are built once outside
     // the timed region; the stream drive (source → stateful op → noop
     // sink, checkpoint included) is what's measured.
-    lazy val streamWordModel = {
-      val walk = graft.ts.Loaders.randomWalk(500, 999L)
-      graft.sfa.SFA.fitWindowing(Array((walk, 0.0)), 16, 8, 4,
-        normMean = false, lowerBounding = true)
-    }
-    lazy val streamPointEvents: IndexedSeq[graft.streaming.StreamingWords.PointEvent] = {
-      val walks = (0 until 200).map(u => graft.ts.Loaders.randomWalk(500, 1000L + u))
-      // interleaved by seq so chunked feeding preserves per-key order
-      (0 until 500).flatMap(i => (0 until 200).map(u =>
-        graft.streaming.StreamingWords.PointEvent(u.toLong, i.toLong, walks(u)(i))))
-    }
-    lazy val streamDocEvents: IndexedSeq[graft.streaming.StreamingDedup.DocEvent] =
-      (0 until 100000).map(i =>
-        // ~30% duplicates across 70k distinct digests — state-heavy
-        graft.streaming.StreamingDedup.DocEvent(i.toLong, s"document body number ${i % 70000}"))
+    // THE shared bench-scale fixture (StreamFixtures): the same load the
+    // bounded-state gate (StreamingStateSizeSpec) pins, by construction
+    lazy val streamWordModel = graft.streaming.StreamFixtures.wordModel
+    lazy val streamPointEvents = graft.streaming.StreamFixtures.wordPointEvents
+    lazy val streamDocEvents = graft.streaming.StreamFixtures.dedupDocEvents
     def streamingWordsBody(): Unit = {
       import spark.implicits._
       implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -162,7 +152,7 @@ object Bench {
       val q = graft.streaming.StreamingWords.wordStream(input.toDS(), streamWordModel)(spark)
         .writeStream.format("noop").outputMode("append").start()
       try {
-        streamPointEvents.grouped(25000).foreach { chunk =>
+        streamPointEvents.grouped(graft.streaming.StreamFixtures.ChunkSize).foreach { chunk =>
           input.addData(chunk); q.processAllAvailable()
         }
       } finally q.stop()
@@ -175,7 +165,7 @@ object Bench {
       val q = graft.streaming.StreamingDedup.dedupStream(input.toDS())(spark)
         .writeStream.format("noop").outputMode("append").start()
       try {
-        streamDocEvents.grouped(25000).foreach { chunk =>
+        streamDocEvents.grouped(graft.streaming.StreamFixtures.ChunkSize).foreach { chunk =>
           input.addData(chunk); q.processAllAvailable()
         }
       } finally q.stop()

@@ -296,8 +296,15 @@ object Export {
     * row_number. Determinism: same seed ⇒ same permutation on any
     * cluster at ANY bucket width; no RNG state, no driver coordination.
     */
-  private def exportShuffled(s: SparkSession, dir: String): DataFrame =
-    shuffledOf(docs(s, dir), ShuffleSeed)
+  private def exportShuffled(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // the width probe's row count is memoized per session+dir: a parquet
+    // count is footer-cheap but still a job, and it must not re-run on
+    // every call (Bench repeats, multi-epoch sessions)
+    val n = Pipelines.cachedObj(s, s"export.docCount:$dir")(
+      java.lang.Long.valueOf(d.count())).longValue()
+    shuffledOf(d, ShuffleSeed, adaptiveHexChars(n))
+  }
 
   /** Per-bucket rank-sort budget: the adaptive prefix keeps each
     * bucket's in-task sort at roughly this many rows.
@@ -323,6 +330,11 @@ object Export {
     p
   }
 
+  /** `hexChars` = 0 derives the width from `d.count()` AT CONSTRUCTION
+    * (an eager job — correctness-first fallback for ad-hoc callers);
+    * the registered query passes the width explicitly from a memoized
+    * count so plan construction stays action-free on the hot path.
+    */
   private[graft] def shuffledOf(d: DataFrame, seed: String, hexChars: Int = 0): DataFrame = {
     val width = if (hexChars > 0) hexChars else adaptiveHexChars(d.count())
     val keyed = d.select(col("doc_id"),

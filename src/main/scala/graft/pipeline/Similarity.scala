@@ -369,13 +369,19 @@ object Similarity {
   private[pipeline] def saveIvfLayout(s: SparkSession, members: DataFrame,
       cent: DataFrame, loc: String): Unit =
     graft.util.Maintenance.withLock(s, loc, "save") {
-      assignCells(members.select(col("c_id").as("id"), col("civ").as("iv")), cent)
-        .withColumnRenamed("id", "c_id")
-        .join(members, "c_id")
-        .write.mode("overwrite").partitionBy("cell").parquet(loc)
-      cent.coalesce(1).write.mode("overwrite").parquet(s"$loc/$IvfCentroidsDir")
-      graft.util.Maintenance.writeSidecar(s, loc, IvfMetaFile,
-        Seq("cells" -> cent.count().toString))
+      // cent is consumed three times (assignment broadcast, centroid
+      // write, sidecar count) and its plan is the Lloyd-step fit — cache
+      // it for the save's duration so the fit runs once
+      val c = cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        assignCells(members.select(col("c_id").as("id"), col("civ").as("iv")), c)
+          .withColumnRenamed("id", "c_id")
+          .join(members, "c_id")
+          .write.mode("overwrite").partitionBy("cell").parquet(loc)
+        c.coalesce(1).write.mode("overwrite").parquet(s"$loc/$IvfCentroidsDir")
+        graft.util.Maintenance.writeSidecar(s, loc, IvfMetaFile,
+          Seq("cells" -> c.count().toString))
+      } finally { c.unpersist(); () }
     }
 
   /** Incremental bulk INSERT into a persisted IVF layout: new members

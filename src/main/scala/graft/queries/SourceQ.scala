@@ -258,6 +258,12 @@ object SourceQ {
   private[graft] def prefitS9(s: SparkSession, dir: String): Unit = {
     graft.queries.ClassifierQ.bossGridFit(s, dir)
     weaselS9Fit(s)
+    // the fit transitively built the shared series stage (SfaQ.series
+    // cachedDF); DROP it so only the fit OBJECTS stay warm — a prefit
+    // that also pre-warmed the series cache would flatter the first
+    // measured series consumer's time. The model's own trainBags cache
+    // is materialized inside fit, so it survives this drop.
+    graft.util.Pipelines.dropDF(s, s"sfa.series:$dir")
     ()
   }
 

@@ -47,23 +47,46 @@ object Maintenance {
     val lock = lockPath(path)
     val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
-    val out = try fs.create(lock, false) catch {
-      case e: java.io.IOException =>
-        val holder = scala.util.Try {
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(lock), "UTF-8"))
-          try Iterator.continually(in.readLine()).takeWhile(_ != null).mkString(" ")
-          finally in.close()
-        }.getOrElse("<unreadable>")
-        throw new IllegalStateException(
-          s"cannot $op layout $path: another maintainer holds the lock " +
-            s"$lock ($holder). Maintenance is serialized per layout; if the " +
-            "holder crashed, inspect the layout (and any surviving temp dir) " +
-            "before deleting the lock file.", e)
+    def lockHeld(cause: Throwable): Nothing = {
+      val holder = scala.util.Try {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(lock), "UTF-8"))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null).mkString(" ")
+        finally in.close()
+      }.getOrElse("<unreadable>")
+      throw new IllegalStateException(
+        s"cannot $op layout $path: another maintainer holds the lock " +
+          s"$lock ($holder). Maintenance is serialized per layout; if the " +
+          "holder crashed, inspect the layout (and any surviving temp dir) " +
+          "before deleting the lock file.", cause)
     }
-    out.write(s"op=$op pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}"
-      .getBytes("UTF-8"))
-    out.close()
+    // Acquire = create-if-absent. On the LOCAL filesystem Hadoop's
+    // create(overwrite=false) is check-then-act (exists() + truncating
+    // open — two racing maintainers could both pass), so route through
+    // java.io's createNewFile, which is O_CREAT|O_EXCL atomic; HDFS
+    // create(false) is atomic at the NameNode already.
+    val out: java.io.OutputStream =
+      if (fs.getScheme == "file") {
+        val f = new java.io.File(lock.toUri.getPath)
+        val created = try f.createNewFile() catch { case e: java.io.IOException => lockHeld(e) }
+        if (!created) lockHeld(null)
+        new java.io.FileOutputStream(f)
+      } else {
+        try fs.create(lock, false)
+        catch { case e: java.io.IOException => lockHeld(e) }
+      }
+    // holder info is diagnostics: if recording it fails (disk full), the
+    // just-created lock must not leak as an anonymous permanent holder
+    try {
+      out.write(s"op=$op pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}"
+        .getBytes("UTF-8"))
+      out.close()
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(out.close())
+        scala.util.Try(fs.delete(lock, false))
+        throw e
+    }
     var keepLock = false
     try body
     catch {
@@ -132,9 +155,13 @@ object Maintenance {
       if (heavy.nonEmpty) {
         val tmp = new Path(root.getParent,
           s"${root.getName}_compact_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+        // read the heavy partition DIRECTORIES directly (basePath keeps
+        // the partition column): no value matching against directory
+        // names, so escaped string values and the null partition behave
+        // — Spark's own partition codec handles both directions
+        val heavyPaths = heavy.map(h => new Path(root, s"$partCol=$h").toString)
         try
-          s.read.parquet(path)
-            .filter(col(partCol).cast("string").isin(heavy: _*))
+          s.read.option("basePath", path).parquet(heavyPaths: _*)
             .repartition(heavy.size, col(partCol)) // one output file per partition
             .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
         catch { case e: Throwable => fs.delete(tmp, true); throw e }

@@ -192,6 +192,16 @@ object Pipelines {
     objs.clear()
   }
 
+  /** Drop (and unpersist) ONE cached DataFrame stage for `s`, keeping
+    * every other entry — for callers that must force a fit object
+    * without leaving its UPSTREAM shared stages warm (Bench's s9
+    * prefit: the fit is an input artifact, but the series cache it
+    * built would flatter the first measured series consumer).
+    */
+  def dropDF(s: SparkSession, key: String): Unit =
+    dfs.remove((sid(s), key))
+      .foreach(df => try df.unpersist() catch { case _: Throwable => () })
+
   /** Partition count for an iterative driver-coordinated ML fit over
     * `n` feature rows. Every MLlib L-BFGS iteration launches a
     * treeAggregate over ALL partitions of the input; feature frames
