@@ -39,6 +39,11 @@ class BulkLoadSpec extends SparkSpec {
     val walk = Loaders.randomWalk(n + W - 1, 20260812L)
     val model = SFA.fitWindowing(Array((walk, 0.0)), W, L, Alpha,
       normMean = false, lowerBounding = true)
+    // fixture hygiene: a CRASHED previous run may have left the
+    // maintenance lock behind (the documented fail-fast contract); this
+    // /tmp fixture carries no state worth recovering
+    new java.io.File(s"/tmp/.graft_bulk_index_${nChunks}x$chunkSize.graft_maintenance.lock")
+      .delete()
 
     // chunked bulk transform: one row per chunk, MFT per chunk on the
     // executors, one (id, data, word, approx) record per sliding window
@@ -95,6 +100,45 @@ class BulkLoadSpec extends SparkSpec {
       java.nio.file.Paths.get(s"/tmp/graft_bulk_plan_${nChunks}x$chunkSize.txt"), plan)
     assert("PartitionFilters: \\[[^\\]]*prefix#\\d+".r.findFirstIn(plan).isDefined,
       s"expected pruned layout scans in:\n${plan.take(4000)}")
+
+    // ---- maintenance at scale: partition-wise bulk INSERT ---------------
+    // a quarter-size second walk appended under shifted ids (the trie
+    // insert analogue at this corpus size — the 2M gate appends 500k
+    // windows); k-NN over the GROWN layout must stay exact, and queries
+    // cut from the appended walk force appended records to win (d2 = 0),
+    // so reachability cannot depend on random-walk luck. Compaction
+    // cost-boundedness is pinned at fixture scale by IndexAppendSpec.
+    import org.apache.spark.sql.functions.{col, lit}
+    val aChunks = math.max(1, nChunks / 4)
+    val awalk = Loaders.randomWalk(aChunks * chunkSize + W - 1, 31415L)
+    val idShift = 10000000L
+    ModelIO.appendIndex(
+      BulkLoad.windowRecords(spark, awalk, aChunks, chunkSize, W, L, model)
+        .withColumn("id", col("id") + lit(idShift)),
+      model.usedBits, prefixLen = 2, path)
+    val grown = ModelIO.loadIndex(path)(spark).select("id", "data", "word", "approx")
+    val grownN = grown.count()
+    assert(grownN == (n + aChunks * chunkSize).toLong,
+      s"append-grown layout holds $grownN windows")
+    val aq = BulkLoad.queryWindows(spark, awalk.slice(100, 100 + 4 * W), 3, W, L, model)
+    val (aDf, aStats) = IndexOps.knnOverLayout(
+      path, aq, model.bins, model.normMean, K, Probe, prefixLen = 2)(spark)
+    val aGot = aDf.orderBy("qid", "rank").collect()
+    val aWant = IndexOps.knnScan(
+        grown.select("id", "data"), aq.select("qid", "qdata"), K)
+      .orderBy("qid", "rank").collect()
+    assert(aGot.length == 3 * K && aWant.length == 3 * K)
+    aGot.zip(aWant).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1)
+        && g.getLong(2) == w.getLong(2),
+        s"append-grown qid=${g.getLong(0)} rank=${g.getLong(1)}: " +
+          s"knn id ${g.getLong(2)} vs scan ${w.getLong(2)}")
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-9)
+    }
+    assert(aGot.exists(_.getLong(2) >= idShift),
+      "no appended record ever won — the append-reachability gate is vacuous")
+    assert(aStats.corpusRows == grownN)
+    info(s"append-grown to $grownN windows: knn == scan, appended records reachable")
   }
 
   test("bulk-loaded index (200k windows): k-NN over the layout equals the scan") {
