@@ -1,0 +1,82 @@
+package graft.util
+
+import graft.SparkSpec
+
+/** Direct gates for the shared maintenance primitives — the properties
+  * the layout specs rely on but exercise only single-threaded:
+  *
+  *  - lock acquire is ATOMIC under genuine thread contention (the local
+  *    filesystem path routes through O_CREAT|O_EXCL, not Hadoop's
+  *    check-then-act create) — at no instant do two maintainers hold
+  *    one layout's lock;
+  *  - the sidecar round-trips, overwrites atomically, and a corrupted
+  *    sidecar FAILS the read instead of silently skipping the check.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  test("lock acquire is mutually exclusive under thread contention") {
+    val path = Warehouse.dir(spark, "maint_lock_race")
+    new java.io.File(path).mkdirs()
+    val threads = 16
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    (1 to threads).foreach { _ =>
+      new Thread(() => {
+        start.await()
+        try {
+          Maintenance.withLock(spark, path, "race-test") {
+            val a = active.incrementAndGet()
+            maxActive.getAndUpdate(m => math.max(m, a))
+            Thread.sleep(20)
+            active.decrementAndGet()
+            wins.incrementAndGet()
+          }
+        } catch {
+          case _: IllegalStateException => losses.incrementAndGet()
+        } finally done.countDown()
+      }).start()
+    }
+    start.countDown()
+    assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(wins.get() + losses.get() == threads)
+    // all 16 hit create inside each other's hold window; at least one
+    // must win, and NO TWO may ever be inside the critical section —
+    // the property Hadoop's check-then-act local create() violates
+    assert(wins.get() >= 1, "no thread ever acquired the lock")
+    assert(losses.get() >= 1, s"no contention materialized (wins=${wins.get()}) — gate vacuous")
+    assert(maxActive.get() == 1, s"${maxActive.get()} maintainers held the lock at once")
+    // the last winner released: the lock file is gone
+    assert(!new java.io.File(Maintenance.lockPath(path).toUri.getPath).exists)
+  }
+
+  test("sidecar: round-trip, atomic overwrite, corrupted read fails fast") {
+    val dir = Warehouse.dir(spark, "maint_sidecar")
+    new java.io.File(dir).mkdirs()
+    assert(Maintenance.readSidecar(spark, dir, "_meta").isEmpty)
+    Maintenance.writeSidecar(spark, dir, "_meta", Seq("a" -> "1", "b" -> "x y"))
+    assert(Maintenance.readSidecar(spark, dir, "_meta")
+      .contains(Map("a" -> "1", "b" -> "x y")))
+    // overwrite-rename replaces the content in one step
+    Maintenance.writeSidecar(spark, dir, "_meta", Seq("a" -> "2"))
+    assert(Maintenance.readSidecar(spark, dir, "_meta").contains(Map("a" -> "2")))
+    // a PRESENT but empty sidecar yields an empty map (the caller's
+    // schema check is the caller's fail-fast — ModelIO.readIndexMeta
+    // throws on missing keys)
+    Maintenance.writeSidecar(spark, dir, "_empty", Seq.empty)
+    assert(Maintenance.readSidecar(spark, dir, "_empty").contains(Map.empty[String, String]))
+    // CORRUPTION fails the read instead of silently skipping the check:
+    // overwriting the file out-of-band leaves the Hadoop checksum stale,
+    // and the reader must surface that as the documented
+    // IllegalStateException, never as a clean "no sidecar" fallback
+    val f = new java.io.File(dir, "_meta")
+    java.nio.file.Files.writeString(f.toPath, "tampered out-of-band\n")
+    val e = intercept[IllegalStateException] {
+      Maintenance.readSidecar(spark, dir, "_meta")
+    }
+    assert(e.getMessage.contains("unreadable"))
+  }
+}
