@@ -315,9 +315,17 @@ object Layout {
   private[pipeline] def zorderedEvents(s: SparkSession, dir: String): DataFrame = {
     val loc = Warehouse.dir(s, s"zorder/${suffix(dir)}")
     BuildOnce(loc) {
-      writeZordered(Tables.load(s, dir, "events")
+      val ev = Tables.load(s, dir, "events")
         .withColumn("cents", round(col("value") * 100).cast("long"))
-        .select("event_id", "user_id", "event_type", "cents"), loc)
+        .select("event_id", "user_id", "event_type", "cents")
+      // half-SAVED / half-APPENDED by design (same pattern as the IVF
+      // layout): the registered query itself exercises the append
+      // lifecycle, so its DuckDB oracle gates the grown layout every
+      // round — the rollup is order-independent, so results are
+      // identical to a one-shot write, and skipping stays per row group
+      // (each appended file is itself z-sorted)
+      writeZordered(ev.filter(col("event_id") % 2 === 0), loc)
+      appendZordered(ev.filter(col("event_id") % 2 =!= 0), loc)
     }
     s.read.parquet(loc)
   }
