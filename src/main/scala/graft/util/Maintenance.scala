@@ -195,6 +195,67 @@ object Maintenance {
     */
   private[graft] var onCompactBeforeWriteBack: () => Unit = () => ()
 
+  /** Recover a layout from a compaction that failed mid-write-back —
+    * the one-call form of the manual procedure [[compactPartitioned]]'s
+    * error names (restore the temp's rows, then delete the lock):
+    * re-applies the dynamic partition overwrite from the surviving
+    * `*_compact_tmp_*` dir(s), then deletes the temp(s) and releases
+    * the lock. IDEMPOTENT by construction: each temp holds the COMPLETE
+    * compacted contents of every heavy partition its run selected, so
+    * re-running the overwrite lands exactly the state that compaction
+    * intended — whether the original failure hit before, during, or
+    * after any individual partition's swap, and no matter how often
+    * recovery itself is retried. Returns the recovered partition values
+    * (empty when there is nothing to recover).
+    *
+    * Caller contract: only invoke once the failed maintainer is KNOWN
+    * dead (its error propagated / its job is gone) — recovery operates
+    * under the crashed holder's lock on purpose and must not race a
+    * live one. A lock with NO temp dir is not a failed write-back
+    * (phase-1 failures and appends clean up after themselves) and is
+    * refused: that state means a maintainer crashed mid-operation and
+    * the layout needs inspection, not a blind overwrite.
+    */
+  def recoverCompaction(s: SparkSession, path: String, partCol: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val temps = fs.listStatus(root.getParent).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"${root.getName}_compact_tmp_"))
+    val lock = lockPath(path)
+    if (temps.isEmpty) {
+      if (fs.exists(lock)) throw new IllegalStateException(
+        s"$path holds a maintenance lock but no compaction temp dir — this is " +
+          "not a failed write-back (those always leave their temp); a maintainer " +
+          "crashed mid-operation, inspect the layout before deleting the lock")
+      return Seq.empty
+    }
+    val recovered = temps.flatMap { tmp =>
+      val parts = fs.listStatus(tmp).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+        .map(_.getPath.getName.stripPrefix(s"$partCol="))
+      if (parts.nonEmpty) {
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "dynamic")
+        try
+          s.read.option("basePath", tmp.toString)
+            .parquet(parts.map(p => new Path(tmp, s"$partCol=$p").toString): _*)
+            .repartition(parts.size, col(partCol))
+            .write.mode("overwrite").partitionBy(partCol).parquet(path)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+      fs.delete(tmp, true)
+      parts
+    }
+    fs.delete(lock, false)
+    recovered.distinct
+  }
+
   /** None for a layout without the sidecar (pre-metadata layouts keep
     * their unchecked caller contract). A PRESENT but unreadable sidecar
     * FAILS with the file named: silently skipping the check on

@@ -53,6 +53,69 @@ class MaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(Maintenance.lockPath(path).toUri.getPath).exists)
   }
 
+  test("recoverCompaction restores a failed write-back: rows back, temp and lock released") {
+    import graft.sfa.{BulkLoad, ModelIO, SFA}
+    import org.apache.spark.sql.functions._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val W = 16
+    val walk = graft.ts.Loaders.randomWalk(1000 + W - 1, 20260930L)
+    val model = SFA.fitWindowing(Array((walk, 0.0)), W, 8, 8,
+      normMean = false, lowerBounding = true)
+    val corpus = BulkLoad.windowRecords(spark, walk, 2, 500, W, 8, model).cache()
+    val path = Warehouse.dir(spark, "recover_spec_index")
+    ModelIO.saveIndex(corpus, model.usedBits, prefixLen = 2, path)
+    val extra = corpus.filter(col("id") < 150)
+    (1 to 2).foreach(i => ModelIO.appendIndex(
+      extra.withColumn("id", col("id") + lit(i * 10000L)), model.usedBits, 2, path))
+    val preRows = ModelIO.loadIndex(path)(spark).count()
+
+    // manufacture EXACTLY the state a mid-overwrite crash leaves behind:
+    // a complete phase-1 temp copy of the heavy prefixes, one heavy
+    // prefix directory already cleared from the layout, and the lock
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val heavy = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("prefix="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > 2)
+      .map(_.getPath.getName.stripPrefix("prefix="))
+    assert(heavy.nonEmpty, "fixture never fragmented")
+    val tmp = new org.apache.hadoop.fs.Path(root.getParent,
+      s"${root.getName}_compact_tmp_sim_1")
+    spark.read.option("basePath", path)
+      .parquet(heavy.map(h => s"$path/prefix=$h"): _*)
+      .repartition(heavy.size, col("prefix"))
+      .write.mode("overwrite").partitionBy("prefix").parquet(tmp.toString)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(root, s"prefix=${heavy.head}"), true))
+    fs.create(Maintenance.lockPath(path), false).close()
+    val damaged = ModelIO.loadIndex(path)(spark).count()
+    assert(damaged < preRows, "the simulated crash must actually lose rows")
+
+    val recovered = Maintenance.recoverCompaction(spark, path, "prefix")
+    assert(recovered.toSet == heavy.toSet)
+    assert(ModelIO.loadIndex(path)(spark).count() == preRows, "recovery must restore every row")
+    heavy.foreach { h =>
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(root, s"prefix=$h"))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      assert(n == 1, s"prefix=$h holds $n files after recovery")
+    }
+    assert(!fs.exists(tmp) && !fs.exists(Maintenance.lockPath(path)))
+    // idempotent: nothing left to recover
+    assert(Maintenance.recoverCompaction(spark, path, "prefix").isEmpty)
+    // and maintenance works again post-recovery
+    ModelIO.appendIndex(extra.withColumn("id", col("id") + lit(30000L)),
+      model.usedBits, 2, path)
+    assert(ModelIO.loadIndex(path)(spark).count() == preRows + 150L)
+
+    // a lock with NO temp is NOT a failed write-back: refuse
+    fs.create(Maintenance.lockPath(path), false).close()
+    intercept[IllegalStateException] {
+      Maintenance.recoverCompaction(spark, path, "prefix")
+    }
+    fs.delete(Maintenance.lockPath(path), false)
+    corpus.unpersist()
+  }
+
   test("sidecar: round-trip, atomic overwrite, corrupted read fails fast") {
     val dir = Warehouse.dir(spark, "maint_sidecar")
     new java.io.File(dir).mkdirs()
