@@ -175,8 +175,10 @@ object Maintenance {
         catch {
           case e: Throwable => throw KeepLock(new IllegalStateException(
             s"compaction write-back into $path failed mid-overwrite; the heavy " +
-              s"partitions' rows survive at $tmp — restore them into the layout " +
-              s"before deleting the maintenance lock ${lockPath(path)}", e))
+              s"partitions' rows survive at $tmp — run " +
+              s"Maintenance.recoverCompaction(spark, \"$path\", \"$partCol\") once " +
+              s"this maintainer is dead (it restores the rows, then releases the " +
+              s"lock ${lockPath(path)})", e))
         } finally prev match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
