@@ -201,41 +201,83 @@ object Maintenance {
     * the one-call form of the manual procedure [[compactPartitioned]]'s
     * error names (restore the temp's rows, then delete the lock):
     * re-applies the dynamic partition overwrite from the surviving
-    * `*_compact_tmp_*` dir(s), then deletes the temp(s) and releases
-    * the lock. IDEMPOTENT by construction: each temp holds the COMPLETE
-    * compacted contents of every heavy partition its run selected, so
-    * re-running the overwrite lands exactly the state that compaction
-    * intended — whether the original failure hit before, during, or
-    * after any individual partition's swap, and no matter how often
-    * recovery itself is retried. Returns the recovered partition values
-    * (empty when there is nothing to recover).
+    * COMPLETE `*_compact_tmp_*` dir(s), then deletes the temp(s) and
+    * releases the lock. Safety properties, each one a distinct crash
+    * class:
+    *
+    *  - Only temps carrying Spark's `_SUCCESS` job-commit marker are
+    *    re-applied: a process KILLED during the phase-1 copy-out (no
+    *    in-process cleanup ran) leaves a PARTIAL temp whose rows must
+    *    never overwrite complete layout partitions — such temps are
+    *    deleted instead (their run never touched the layout; phase 2
+    *    only starts after phase 1 commits).
+    *  - Multiple complete temps (repeated failed compactions) are
+    *    applied OLDEST-FIRST by modification time, so the newest
+    *    snapshot of any shared partition lands last.
+    *  - Recovery itself runs under the maintenance lock: if the crashed
+    *    holder's lock is still present, recovery proceeds under it (the
+    *    caller contract below); if an operator already deleted the
+    *    lock, recovery ACQUIRES it atomically first — otherwise a
+    *    concurrent append could commit into a heavy partition mid-
+    *    overwrite and be silently erased.
+    *  - IDEMPOTENT: each complete temp holds the COMPLETE compacted
+    *    contents of every heavy partition its run selected, so
+    *    re-running the overwrite (or retrying recovery) lands exactly
+    *    the state compaction intended.
+    *
+    * Returns the recovered partition values (empty when there is
+    * nothing to recover).
     *
     * Caller contract: only invoke once the failed maintainer is KNOWN
-    * dead (its error propagated / its job is gone) — recovery operates
-    * under the crashed holder's lock on purpose and must not race a
-    * live one. A lock with NO temp dir is not a failed write-back
-    * (phase-1 failures and appends clean up after themselves) and is
-    * refused: that state means a maintainer crashed mid-operation and
-    * the layout needs inspection, not a blind overwrite.
+    * dead (its error propagated / its job is gone). A lock with NO temp
+    * dir is refused: appends and saves leave no temp, so that state is
+    * a maintainer crashed mid-operation — the layout needs inspection,
+    * not a blind overwrite.
     */
   def recoverCompaction(s: SparkSession, path: String, partCol: String): Seq[String] = {
+    val lock = lockPath(path)
+    val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(lock)) {
+      // dead holder's lock (caller contract): recover under it, then release
+      val r = recoverCompactionBody(s, path, partCol, underDeadLock = true)
+      fs.delete(lock, false)
+      r
+    } else
+      // lock already removed out-of-band: take it atomically so no
+      // append can land inside the recovery overwrite window
+      withLock(s, path, "recover")(
+        recoverCompactionBody(s, path, partCol, underDeadLock = false))
+  }
+
+  private def recoverCompactionBody(s: SparkSession, path: String,
+      partCol: String, underDeadLock: Boolean): Seq[String] = {
     import org.apache.spark.sql.functions.col
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val temps = fs.listStatus(root.getParent).toSeq
-      .map(_.getPath)
-      .filter(_.getName.startsWith(s"${root.getName}_compact_tmp_"))
-    val lock = lockPath(path)
+      .filter(_.getPath.getName.startsWith(s"${root.getName}_compact_tmp_"))
     if (temps.isEmpty) {
-      if (fs.exists(lock)) throw new IllegalStateException(
+      // a foreign lock with no temp is NOT a failed write-back (appends
+      // and saves leave no temp): a maintainer crashed mid-operation —
+      // refuse, the layout needs inspection, not a blind overwrite (and
+      // the lock must stay). With no lock and no temp there is simply
+      // nothing to recover.
+      if (underDeadLock) throw new IllegalStateException(
         s"$path holds a maintenance lock but no compaction temp dir — this is " +
           "not a failed write-back (those always leave their temp); a maintainer " +
           "crashed mid-operation, inspect the layout before deleting the lock")
       return Seq.empty
     }
-    val recovered = temps.flatMap { tmp =>
+    val (complete, partial) = temps.partition(t =>
+      fs.exists(new Path(t.getPath, "_SUCCESS")))
+    // a temp without the job-commit marker is a phase-1 crash artifact:
+    // its run never started the write-back, the layout is intact, and
+    // its rows are an incomplete copy that must never be applied
+    partial.foreach(t => fs.delete(t.getPath, true))
+    val recovered = complete.sortBy(_.getModificationTime).flatMap { st =>
+      val tmp = st.getPath
       val parts = fs.listStatus(tmp).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partCol="))
         .map(_.getPath.getName.stripPrefix(s"$partCol="))
       if (parts.nonEmpty) {
         val key = "spark.sql.sources.partitionOverwriteMode"
@@ -254,7 +296,6 @@ object Maintenance {
       fs.delete(tmp, true)
       parts
     }
-    fs.delete(lock, false)
     recovered.distinct
   }
 

@@ -39,11 +39,6 @@ class BulkLoadSpec extends SparkSpec {
     val walk = Loaders.randomWalk(n + W - 1, 20260812L)
     val model = SFA.fitWindowing(Array((walk, 0.0)), W, L, Alpha,
       normMean = false, lowerBounding = true)
-    // fixture hygiene: a CRASHED previous run may have left the
-    // maintenance lock behind (the documented fail-fast contract); this
-    // /tmp fixture carries no state worth recovering
-    new java.io.File(s"/tmp/.graft_bulk_index_${nChunks}x$chunkSize.graft_maintenance.lock")
-      .delete()
 
     // chunked bulk transform: one row per chunk, MFT per chunk on the
     // executors, one (id, data, word, approx) record per sliding window
@@ -51,6 +46,11 @@ class BulkLoadSpec extends SparkSpec {
     val corpus0 = BulkLoad.windowRecords(spark, walk, nChunks, chunkSize, W, L, model)
 
     val path = s"/tmp/graft_bulk_index_${nChunks}x$chunkSize"
+    // fixture hygiene: a CRASHED previous run may have left the
+    // maintenance lock behind (the documented fail-fast contract); this
+    // /tmp fixture carries no state worth recovering. Via the REAL
+    // naming helper, so a lock-placement change can't silently no-op it.
+    new java.io.File(graft.util.Maintenance.lockPath(path).toUri.getPath).delete()
     ModelIO.saveIndex(corpus0, model.usedBits, prefixLen = 2, path)
     val corpus = ModelIO.loadIndex(path)(spark).select("id", "data", "word", "approx")
     val total = corpus.count()

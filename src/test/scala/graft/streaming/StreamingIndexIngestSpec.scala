@@ -73,15 +73,26 @@ class StreamingIndexIngestSpec extends SparkSpec {
     assert(got.exists(_._3 >= half), "no streamed record ever won — gate is vacuous")
     assert(stats.corpusRows == n.toLong)
 
-    // replay guard: re-delivering an already-committed batch id appends
-    // NOTHING (the at-least-once restart path), a fresh id appends
+    // replay guard: re-delivering an already-committed batch id OF THE
+    // SAME LINEAGE appends NOTHING (the at-least-once restart path)...
+    val sid = StreamingIndexIngest.checkpointStreamId(spark, ckpt)
     val replay = corpus.filter(col("id") < 100)
       .withColumn("id", col("id") + 900000L)
-    assert(!StreamingIndexIngest.appendBatch(replay, 1L, model.usedBits, 2, path))
+    assert(!StreamingIndexIngest.appendBatch(replay, sid, 1L, model.usedBits, 2, path))
     assert(ModelIO.loadIndex(path)(spark).count() == n.toLong, "replayed batch must be a no-op")
-    assert(StreamingIndexIngest.appendBatch(replay, 3L, model.usedBits, 2, path))
+    assert(StreamingIndexIngest.appendBatch(replay, sid, 3L, model.usedBits, 2, path))
     assert(ModelIO.loadIndex(path)(spark).count() == n.toLong + 100L)
     assert(StreamingIndexIngest.lastCommitted(spark, path) == 3L)
+    // ...but batch ids are CHECKPOINT-scoped: a recreated checkpoint
+    // renumbers from 0, and its batches are NEW DATA the old watermark
+    // must never mute — a different lineage id with a LOW batch id
+    // appends (the silent-loss path a bare layout-scoped guard had)
+    val fresh = corpus.filter(col("id") < 50)
+      .withColumn("id", col("id") + 950000L)
+    assert(StreamingIndexIngest.appendBatch(fresh, "recreated-checkpoint", 0L,
+      model.usedBits, 2, path))
+    assert(ModelIO.loadIndex(path)(spark).count() == n.toLong + 150L)
+    assert(StreamingIndexIngest.lastCommitted(spark, path) == 0L)
     corpus.unpersist()
   }
 }

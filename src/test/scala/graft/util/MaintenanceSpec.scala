@@ -116,6 +116,41 @@ class MaintenanceSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("recoverCompaction: partial temps are dropped, complete temps apply oldest-first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Warehouse.dir(spark, "recover_order")
+    val path = s"$dir/layout"
+    Seq((1L, "base")).toDF("p", "v").write.mode("overwrite").partitionBy("p").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a phase-1 crash artifact: partition dir + junk, NO _SUCCESS marker —
+    // its rows must never reach the layout
+    val partial = new org.apache.hadoop.fs.Path(s"$dir/layout_compact_tmp_partial_0")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(partial, "p=1"))
+    val junk = fs.create(new org.apache.hadoop.fs.Path(partial, "p=1/part-junk.parquet"), true)
+    junk.write("not parquet".getBytes("UTF-8")); junk.close()
+    // two COMPLETE temps (Spark writes commit _SUCCESS) with conflicting
+    // contents for the same partition; explicit modification times make
+    // the ordering deterministic
+    val oldTmp = s"$dir/layout_compact_tmp_old_1"
+    val newTmp = s"$dir/layout_compact_tmp_new_2"
+    Seq((1L, "old")).toDF("p", "v").write.partitionBy("p").parquet(oldTmp)
+    Seq((1L, "new")).toDF("p", "v").write.partitionBy("p").parquet(newTmp)
+    fs.setTimes(new org.apache.hadoop.fs.Path(oldTmp), 1000000000L, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(newTmp), 2000000000L, -1)
+
+    val recovered = graft.util.Maintenance.recoverCompaction(spark, path, "p")
+    assert(recovered == Seq("1"))
+    // the NEWEST snapshot won, the partial temp's junk never landed
+    val vs = spark.read.parquet(path).filter(col("p") === 1L)
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(vs == Seq("new"), s"expected the newest temp's rows, got $vs")
+    assert(!fs.exists(partial) && !fs.exists(new org.apache.hadoop.fs.Path(oldTmp)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(newTmp)), "all temps must be consumed")
+    assert(!fs.exists(Maintenance.lockPath(path)), "recovery must release its lock")
+  }
+
   test("sidecar: round-trip, atomic overwrite, corrupted read fails fast") {
     val dir = Warehouse.dir(spark, "maint_sidecar")
     new java.io.File(dir).mkdirs()
