@@ -198,6 +198,45 @@ object IndexOps {
       queries, bins, normed, k, probe, plen, queryBatchRows)
   }
 
+  /** The per-prefix Fourier bounding-box aggregate shared by the
+    * query-time fallback (phase 0 over an in-memory corpus) and the
+    * BUILD-time stats `ModelIO.saveIndex`/`appendIndex` persist: one
+    * row per prefix with its member count and per-coefficient min/max
+    * of `approx`. min/max/count are order-independent and exact, and
+    * doubles round-trip parquet exactly, so stats computed at build
+    * time are BIT-IDENTICAL to a query-time scan of the same rows —
+    * which is what lets the persisted-stats path keep the j6 oracles
+    * hash-unchanged.
+    */
+  def boxTable(prepared: DataFrame): DataFrame = prepared
+    .select(col("prefix"), posexplode(col("approx")).as(Seq("coef", "v")))
+    .groupBy("prefix", "coef")
+    .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("cnt"))
+    .groupBy("prefix")
+    .agg(max("cnt").as("cnt"),
+      expr("transform(sort_array(collect_list(struct(coef, mn))), p -> p.mn)").as("mns"),
+      expr("transform(sort_array(collect_list(struct(coef, mx))), p -> p.mx)").as("mxs"))
+
+  /** Merge two [[boxTable]]-shaped frames (a layout's persisted stats
+    * and an appended batch's): counts add, boxes widen element-wise —
+    * min/max are associative, so save-then-append stats equal the
+    * one-shot aggregate bit-for-bit.
+    */
+  def mergeBoxTables(a: DataFrame, b: DataFrame): DataFrame = {
+    val both = a.select("prefix", "cnt", "mns", "mxs")
+      .union(b.select("prefix", "cnt", "mns", "mxs"))
+    val cnts = both.groupBy("prefix").agg(sum("cnt").as("cnt"))
+    val boxes = both
+      .select(col("prefix"), posexplode(expr("arrays_zip(mns, mxs)")).as(Seq("coef", "mm")))
+      .groupBy("prefix", "coef")
+      .agg(min("mm.mns").as("mn"), max("mm.mxs").as("mx"))
+      .groupBy("prefix")
+      .agg(
+        expr("transform(sort_array(collect_list(struct(coef, mn))), p -> p.mn)").as("mns"),
+        expr("transform(sort_array(collect_list(struct(coef, mx))), p -> p.mx)").as("mxs"))
+    cnts.join(boxes, "prefix").select("prefix", "cnt", "mns", "mxs")
+  }
+
   /** [[knnWithStats]] over a PERSISTED prefix-partitioned parquet layout
     * (the S10 at-rest form, `ModelIO.saveIndex` with the same
     * (prefixStart, prefixLen, base-256) packing): the member scans of
@@ -208,8 +247,15 @@ object IndexOps {
     * in-memory path: doubles round-trip parquet exactly, and both paths
     * share [[knnCore]].
     *
-    * @param prefixLen REQUIRED explicit depth — it must equal the depth
-    *                  the layout was written with.
+    * Phase 0 reads the layout's MAINTAINED box stats when the manifest
+    * carries them (`ModelIO.saveIndex` writes the [[boxTable]] as a
+    * stats table whose pointer commits atomically with the file list;
+    * `appendIndex` merge-updates it under the same commit): O(prefixes)
+    * metadata instead of a full one-column layout scan per call — the
+    * r9 verdict's last scale-hostile plan. Staleness is impossible by
+    * construction (stats pointer and file list are one atomic rename);
+    * a manifest WITHOUT the stats header (pre-stats layout) falls back
+    * to the query-time aggregate.
     */
   def knnOverLayout(
       path: String,
@@ -222,10 +268,11 @@ object IndexOps {
       queryBatchRows: Long = QueryBatchRows)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
     require(probe >= k, s"probe budget ($probe) must be >= k ($k)")
     require(prefixLen > 0, "layout-backed knn needs the depth the layout was written with")
-    val prepared = spark.read.parquet(path)
+    val prepared = graft.util.Maintenance.readLayout(spark, path)
       .select(col("id"), col("data"), col("word"), col("approx"),
         col("prefix").cast("long").as("prefix"))
-    knnCore(prepared, queries, bins, normed, k, probe, prefixLen, queryBatchRows)
+    knnCore(prepared, queries, bins, normed, k, probe, prefixLen, queryBatchRows,
+      precomputedBoxes = ModelIO.readBoxStats(spark, path))
   }
 
   /** The filter-and-refine engine shared by the in-memory and persisted
@@ -243,7 +290,9 @@ object IndexOps {
       k: Int,
       probe: Int,
       plen: Int,
-      queryBatchRows: Long)(implicit spark: SparkSession): (DataFrame, KnnStats) = {
+      queryBatchRows: Long,
+      precomputedBoxes: Option[Array[(Long, Long, Seq[Double], Seq[Double])]] = None)(
+      implicit spark: SparkSession): (DataFrame, KnnStats) = {
     def lbUdf(w: Column, qw: Column, qa: Column): Column = lbCol(w, qw, qa, bins, normed)
     // the same DC/symmetric-coefficient weighting lbDistance applies;
     // per coefficient the distance is to the [mn, mx] interval, which
@@ -277,24 +326,20 @@ object IndexOps {
       if (ps.isEmpty) prepared.filter(lit(false))
       else prepared.filter(col("prefix").isin(ps: _*))
 
-    // phase 0: per-prefix Fourier bounding boxes + member counts — one
-    // narrow distributed agg, then COLLECTED: ≤ α^prefixLen rows of 2·l
+    // phase 0: per-prefix Fourier bounding boxes + member counts — the
+    // layout's MAINTAINED stats when the caller resolved them (an
+    // O(prefixes) metadata read), else one narrow distributed agg over
+    // the corpus. Either way COLLECTED: ≤ α^prefixLen rows of 2·l
     // doubles, the same model-sized driver state as the fitted bin
-    // edges (persisted layouts carry these as parquet column stats; see
-    // ModelIO.saveIndex / a8_minmax_boxes). The probe plan and survivor
-    // sets over (prefix × query) are then pure driver arithmetic — the
-    // earlier all-DataFrame formulation spent ~2× the brute-scan's
-    // whole wall time scheduling eight tiny jobs at sf0.1.
-    val boxRows = prepared
-      .select(col("prefix"), posexplode(col("approx")).as(Seq("coef", "v")))
-      .groupBy("prefix", "coef")
-      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("cnt"))
-      .groupBy("prefix")
-      .agg(max("cnt").as("cnt"),
-        expr("transform(sort_array(collect_list(struct(coef, mn))), p -> p.mn)").as("mns"),
-        expr("transform(sort_array(collect_list(struct(coef, mx))), p -> p.mx)").as("mxs"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3)))
+    // edges. The probe plan and survivor sets over (prefix × query) are
+    // then pure driver arithmetic — the earlier all-DataFrame
+    // formulation spent ~2× the brute-scan's whole wall time scheduling
+    // eight tiny jobs at sf0.1.
+    val boxRows = precomputedBoxes.getOrElse {
+      boxTable(prepared)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3)))
+    }
     val qidType = queries.schema("qid").dataType
     def pairDF(rows: Array[(Long, Long, Long)]): DataFrame = {
       import org.apache.spark.sql.types._

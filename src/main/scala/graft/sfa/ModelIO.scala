@@ -264,12 +264,35 @@ object ModelIO {
     * `base` is the prefix-packing radix; 0 (default) = the tight
     * 1<<usedBits packing, while `IndexOps.knnOverLayout` layouts pass
     * 256 to match the k-NN engine's scalar prefix key.
+    *
+    * The layout is MANIFEST-COMMITTED ([[graft.util.Maintenance.readManifest]]):
+    * one atomically-replaced file publishes the data-file list AND the
+    * per-prefix box-stats pointer together, so (a) readers always
+    * resolve a complete committed snapshot — across a concurrent
+    * compaction they see the full pre- or post-compact file set, or
+    * fail loudly, never a silent subset — and (b) `knnOverLayout`'s
+    * phase 0 reads O(prefixes) maintained stats instead of aggregating
+    * the whole layout's `approx` column per call, with staleness
+    * impossible by construction (stats and rows are one rename).
     */
   def saveIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
       prefixStart: Int = 0, base: Int = 0): Unit =
     withMaintenanceLock(corpus.sparkSession, path, "save") {
+      val s = corpus.sparkSession
       writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Overwrite)
-      writeIndexMeta(corpus.sparkSession, path, usedBits, prefixLen, prefixStart, base)
+      writeIndexMeta(s, path, usedBits, prefixLen, prefixStart, base)
+      val files = graft.util.Maintenance.listDataFiles(s, path)
+      // stats from the just-written files' narrow (prefix, approx)
+      // columns — bit-identical to what a query-time scan would compute
+      // (doubles round-trip parquet exactly), far cheaper than
+      // re-running the corpus plan. Layouts WITHOUT an approx column
+      // (word-only indexes like s10's) carry no boxes — k-NN never runs
+      // over them, and knnOverLayout's fallback stays for such cases.
+      val headers =
+        if (!corpus.columns.contains("approx")) Map.empty[String, String]
+        else Map(BoxStatsHeader -> writeBoxStats(s, path, boxesOverFiles(s, path, files)))
+      graft.util.Maintenance.writeManifest(s, path,
+        graft.util.Maintenance.Manifest(headers, files))
     }
 
   /** Incremental bulk INSERT into an existing layout (the trie-insert
@@ -291,25 +314,160 @@ object ModelIO {
     * append racing a compaction fails fast instead of being lost.
     */
   def appendIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
-      prefixStart: Int = 0, base: Int = 0): Unit =
+      prefixStart: Int = 0, base: Int = 0): Unit = {
+    appendIndexBatch(corpus, usedBits, prefixLen, path, prefixStart, base, None)
+    ()
+  }
+
+  /** [[appendIndex]] with an optional EXACTLY-ONCE ingest key for
+    * streaming micro-batches: when `(streamId, batchId)` is given, the
+    * append is published under a per-lineage watermark header in the
+    * manifest — same atomic rename as the file list — and a batch at or
+    * below its lineage's recorded watermark is a no-op (returns false).
+    * Because the publish point IS the single manifest rename, a crash
+    * anywhere before it leaves only orphan files no later manifest
+    * adopts (appends commit `old ∪ created` from an under-lock
+    * before/after listing), and a crash after it is fully committed:
+    * there is NO window in which a replay can lose or duplicate rows —
+    * the two-commit residual `StreamingIndexIngest` documented in r9 is
+    * closed, not narrowed.
+    */
+  def appendIndexBatch(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
+      prefixStart: Int = 0, base: Int = 0,
+      ingestKey: Option[(String, Long)] = None): Boolean =
     withMaintenanceLock(corpus.sparkSession, path, "append") {
-      val existing = readIndexMeta(corpus.sparkSession, path)
-      existing.foreach { m =>
-        require(m == IndexMeta(usedBits, prefixLen, prefixStart, base),
-          s"append packing (usedBits=$usedBits, prefixLen=$prefixLen, " +
-            s"prefixStart=$prefixStart, base=$base) does not match the layout's " +
-            s"own metadata $m at $path — appending with a different packing " +
-            "would scatter records across wrong prefix directories")
+      val s = corpus.sparkSession
+      val mOld = graft.util.Maintenance.readManifest(s, path)
+      val replayed = ingestKey.exists { case (sid, bid) =>
+        mOld.flatMap(_.header(ingestHeader(sid))).flatMap(_.toLongOption).exists(bid <= _)
       }
-      writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Append)
-      // annotate a pre-metadata layout with the packing this append just
-      // asserted, so the NEXT append is checked too
-      if (existing.isEmpty)
-        writeIndexMeta(corpus.sparkSession, path, usedBits, prefixLen, prefixStart, base)
+      if (replayed) false
+      else {
+        val existing = readIndexMeta(s, path)
+        existing.foreach { m =>
+          require(m == IndexMeta(usedBits, prefixLen, prefixStart, base),
+            s"append packing (usedBits=$usedBits, prefixLen=$prefixLen, " +
+              s"prefixStart=$prefixStart, base=$base) does not match the layout's " +
+              s"own metadata $m at $path — appending with a different packing " +
+              "would scatter records across wrong prefix directories")
+        }
+        // a layout that MAINTAINS box stats cannot absorb approx-less
+        // rows: the boxes would silently stop covering the new members
+        // and the k-NN prune would turn unsound
+        require(corpus.columns.contains("approx") ||
+          mOld.forall(_.header(BoxStatsHeader).isEmpty),
+          s"layout $path maintains box stats but the appended batch has no " +
+            "'approx' column — the maintained boxes would no longer bound " +
+            "every member")
+        // created-set discipline: the manifest gains EXACTLY the files
+        // this write added (FS before/after diff under the lock), never
+        // a directory listing — a crashed earlier append's committed-
+        // but-unpublished orphans stay excluded forever
+        val fsBefore = graft.util.Maintenance.listDataFiles(s, path).toSet
+        writeIndex(corpus, usedBits, prefixLen, path, prefixStart, base, SaveMode.Append)
+        val created = graft.util.Maintenance.listDataFiles(s, path).filterNot(fsBefore)
+        // a pre-manifest layout adopts its full pre-append listing (that
+        // IS what its directory readers saw) and becomes committed
+        val baseFiles = mOld.map(_.files).getOrElse(fsBefore.toSeq.sorted)
+        val merged: Option[DataFrame] =
+          if (!corpus.columns.contains("approx")) None // word-only layout: no boxes
+          else mOld.flatMap(_.header(BoxStatsHeader)) match {
+            case Some(d) if created.nonEmpty => Some(IndexOps.mergeBoxTables(
+              s.read.parquet(new org.apache.hadoop.fs.Path(path, d).toString)
+                .select("prefix", "cnt", "mns", "mxs"),
+              boxesOverFiles(s, path, created)))
+            case Some(d) =>
+              Some(s.read.parquet(new org.apache.hadoop.fs.Path(path, d).toString)
+                .select("prefix", "cnt", "mns", "mxs"))
+            // pre-stats layout: one narrow full pass upgrades it
+            case None => Some(boxesOverFiles(s, path, baseFiles ++ created))
+          }
+        val statsDir = merged.map(writeBoxStats(s, path, _))
+        val headers = mOld.map(_.headers).getOrElse(Map.empty) ++
+          statsDir.map(BoxStatsHeader -> _) ++
+          ingestKey.toSeq.flatMap { case (sid, bid) =>
+            Seq(ingestHeader(sid) -> bid.toString, LastIngestHeader -> s"$sid:$bid")
+          }
+        graft.util.Maintenance.writeManifest(s, path,
+          graft.util.Maintenance.Manifest(headers, baseFiles ++ created))
+        // post-commit: the superseded stats table is garbage (a reader
+        // that pinned the OLD manifest may fail loudly mid-read — the
+        // documented compaction-class race, retry resolves the new
+        // snapshot)
+        mOld.flatMap(_.header(BoxStatsHeader)).filter(_ => statsDir.isDefined).foreach { d =>
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(path, d), true))
+          ()
+        }
+        // annotate a pre-metadata layout with the packing this append
+        // just asserted, so the NEXT append is checked too
+        if (existing.isEmpty)
+          writeIndexMeta(s, path, usedBits, prefixLen, prefixStart, base)
+        true
+      }
     }
 
   /** Packing parameters a [[saveIndex]] layout records about itself. */
   final case class IndexMeta(usedBits: Int, prefixLen: Int, prefixStart: Int, base: Int)
+
+  // ---- maintained box stats (manifest-committed) ------------------------
+
+  /** Manifest header naming the layout's current per-prefix box-stats
+    * directory (an `_`-prefixed subdir, invisible to data reads). The
+    * pointer commits in the SAME rename as the file list, so the stats
+    * can never be stale relative to the rows they describe.
+    */
+  private val BoxStatsHeader = "stats_dir"
+
+  /** Manifest header recording the most recent streaming publisher as
+    * `streamId:batchId` (observability; the per-lineage watermark
+    * headers below are what the replay guard reads).
+    */
+  private[graft] val LastIngestHeader = "last_ingest"
+
+  /** Per-lineage streaming watermark header: batch ids are
+    * CHECKPOINT-scoped, so each stream lineage carries its own key — a
+    * recreated checkpoint's renumbered batches are new data under a new
+    * key, and two streams feeding one layout cannot mute each other.
+    */
+  private[graft] def ingestHeader(streamId: String) = s"ingest.$streamId"
+
+  /** The maintained [[IndexOps.boxTable]] rows for `path`, resolved
+    * through the manifest — None when the layout predates the stats
+    * (callers fall back to the query-time aggregate). A manifest that
+    * NAMES a stats dir which cannot be read fails loudly: that state is
+    * impossible under the atomic commit, so it means out-of-band
+    * damage, and silently rescanning would hide it.
+    */
+  def readBoxStats(s: SparkSession,
+      path: String): Option[Array[(Long, Long, Seq[Double], Seq[Double])]] =
+    graft.util.Maintenance.readManifest(s, path)
+      .flatMap(_.header(BoxStatsHeader))
+      .map { d =>
+        s.read.parquet(new org.apache.hadoop.fs.Path(path, d).toString)
+          .select("prefix", "cnt", "mns", "mxs")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3)))
+      }
+
+  /** Narrow (prefix, approx) scan of exactly `files` → [[IndexOps.boxTable]]. */
+  private def boxesOverFiles(s: SparkSession, path: String, files: Seq[String]): DataFrame =
+    IndexOps.boxTable(
+      s.read.option("basePath", path)
+        .parquet(files.map(f => new org.apache.hadoop.fs.Path(path, f).toString): _*)
+        .select(col("prefix").cast("long").as("prefix"), col("approx")))
+
+  /** Write `boxes` as a fresh uniquely-named stats dir under `path`
+    * (unreferenced until a manifest commit points at it) and return the
+    * dir name. One file: the table is model-sized (≤ α^prefixLen rows).
+    */
+  private def writeBoxStats(s: SparkSession, path: String, boxes: DataFrame): String = {
+    val dir = s"_boxes_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    boxes.coalesce(1).write
+      .parquet(new org.apache.hadoop.fs.Path(path, dir).toString)
+    dir
+  }
 
   // ---- single-maintainer lock -----------------------------------------
 
@@ -400,6 +558,10 @@ object ModelIO {
       .compactPartitioned(spark, path, "prefix", maxFilesPerPrefix)
       .map(_.toLong)
 
+  /** Manifest-pinned read of the layout (committed snapshot, loud
+    * failure over silent subset across a concurrent compaction);
+    * pre-manifest layouts fall back to the plain directory read.
+    */
   def loadIndex(path: String)(implicit spark: SparkSession): DataFrame =
-    spark.read.parquet(path)
+    graft.util.Maintenance.readLayout(spark, path)
 }

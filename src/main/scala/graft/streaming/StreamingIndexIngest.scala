@@ -3,31 +3,36 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Continuous index ingestion — the streaming twin of the r9
-  * maintenance lifecycle (the reference motivates exactly this surface:
-  * "frequent model updates / streaming mining", README.md:239-241, over
-  * the trie's single-process insert, SFATrie.java:299-380): window
-  * records arriving on a stream are bulk-INSERTed into the persisted
-  * prefix-partitioned k-NN layout once per micro-batch via the SAME
-  * `ModelIO.appendIndex` the batch path uses — partition-wise files,
-  * packing fail-fast against the layout's sidecar, serialized by the
-  * single-maintainer lock (a micro-batch racing a compaction FAILS
-  * FAST, Structured Streaming retries the batch, no row is lost).
-  * Queries need no refresh step: `IndexOps.knnOverLayout` derives its
-  * per-prefix boxes from the layout at query time, so every record
-  * whose batch committed is immediately searchable.
+/** Continuous index ingestion — the streaming twin of the maintenance
+  * lifecycle (the reference motivates exactly this surface: "frequent
+  * model updates / streaming mining", README.md:239-241, over the
+  * trie's single-process insert, SFATrie.java:299-380): window records
+  * arriving on a stream are bulk-INSERTed into the persisted
+  * prefix-partitioned k-NN layout once per micro-batch via
+  * `ModelIO.appendIndexBatch` — partition-wise files, packing fail-fast
+  * against the layout's sidecar, serialized by the single-maintainer
+  * lock. A micro-batch racing a compaction FAILS FAST at the lock; the
+  * exception terminates the streaming query, and a restart from the
+  * checkpoint replays the batch (at-least-once delivery — foreachBatch
+  * does not retry in place). Queries need no refresh step: the append's
+  * manifest commit publishes rows and merged box stats atomically, so
+  * every record whose batch committed is immediately searchable.
   *
-  * Delivery semantics: foreachBatch is at-least-once — a batch REPLAYED
-  * after a restart would double-append. The ingest therefore records
-  * the last committed (streamId, batchId) pair in its own sidecar
-  * (write-then-rename, the shared [[graft.util.Maintenance]] pattern)
-  * and SKIPS ids at or below the watermark OF THE SAME LINEAGE — the
-  * standard idempotent-sink recipe, closing the restart/replay path
-  * without ever muting a NEW checkpoint's renumbered batches. Residual (documented, not hidden): a crash
-  * BETWEEN the append job and the marker commit can duplicate that one
-  * batch, because the parquet append is not atomic with the marker —
-  * if the source cannot guarantee effectively-once feeding across such
-  * a crash, dedup on `id` at read time.
+  * Delivery semantics: EXACTLY-ONCE. The publish point of an append is
+  * the layout manifest's single atomic rename, which carries (in one
+  * commit with the file list) a per-lineage watermark header
+  * `ingest.<streamId> = batchId`. A replayed batch at or below its own
+  * lineage's watermark is a no-op; a crash BEFORE the rename leaves
+  * only orphan files no later manifest adopts (appends publish
+  * `old ∪ created` from an under-lock before/after listing); a crash
+  * AFTER it is fully committed. The r9 design's residual — append and
+  * marker as two commits, able to duplicate one batch — is closed, not
+  * narrowed: there is no state between "not published" and "published
+  * with the watermark". Watermarks are keyed by the checkpoint's own
+  * lineage id, so a recreated checkpoint's renumbered batches are NEW
+  * data (never muted), and several streams feeding one layout keep
+  * independent watermarks (they serialize at the maintenance lock and
+  * cannot mute each other).
   */
 object StreamingIndexIngest {
 
@@ -35,42 +40,37 @@ object StreamingIndexIngest {
   final case class WindowRecord(
       id: Long, data: Seq[Double], word: Seq[Int], approx: Seq[Double])
 
-  private val CommitFile = "_graft_ingest_commit"
-
-  /** Highest micro-batch id already appended into `path` (−1 = none). */
+  /** Batch id of the most recent committed micro-batch of ANY lineage
+    * (−1 = none) — observability; the replay guard reads the
+    * per-lineage watermark headers, not this.
+    */
   def lastCommitted(s: SparkSession, path: String): Long =
-    committed(s, path).map(_._2).getOrElse(-1L)
+    graft.util.Maintenance.readManifest(s, path)
+      .flatMap(_.header(graft.sfa.ModelIO.LastIngestHeader))
+      .flatMap(_.split(":", 2).lastOption)
+      .flatMap(_.toLongOption)
+      .getOrElse(-1L)
 
-  /** (streamId, batchId) of the last committed micro-batch. */
-  private def committed(s: SparkSession, path: String): Option[(String, Long)] =
-    graft.util.Maintenance.readSidecar(s, path, CommitFile).flatMap { kv =>
-      for {
-        sid <- kv.get("streamId")
-        bid <- kv.get("batchId").flatMap(_.toLongOption)
-      } yield (sid, bid)
-    }
+  /** This lineage's committed watermark (−1 = none). */
+  def lastCommitted(s: SparkSession, path: String, streamId: String): Long =
+    graft.util.Maintenance.readManifest(s, path)
+      .flatMap(_.header(graft.sfa.ModelIO.ingestHeader(streamId)))
+      .flatMap(_.toLongOption)
+      .getOrElse(-1L)
 
-  /** Append one micro-batch (idempotent on replay): skipped ONLY when
-    * the watermark carries the SAME stream lineage (`streamId`) and an
-    * id at or above `batchId`. Micro-batch ids are CHECKPOINT-scoped —
-    * a recreated checkpoint renumbers from 0, so a layout-scoped bare
+  /** Append one micro-batch exactly-once: skipped ONLY when the
+    * manifest's watermark FOR THIS stream lineage (`streamId`) is at or
+    * above `batchId`. Micro-batch ids are CHECKPOINT-scoped — a
+    * recreated checkpoint renumbers from 0, so a layout-scoped bare
     * batch-id guard would silently drop whole batches of brand-new
     * data; keying the watermark by the stream's identity confines the
     * skip to genuine replays of one lineage. Returns whether the batch
     * was appended. Exposed for the spec's replay-guard gates.
     */
   def appendBatch(batch: DataFrame, streamId: String, batchId: Long,
-      usedBits: Int, prefixLen: Int, path: String): Boolean = {
-    val s = batch.sparkSession
-    if (committed(s, path).exists { case (sid, bid) => sid == streamId && batchId <= bid })
-      false
-    else {
-      graft.sfa.ModelIO.appendIndex(batch, usedBits, prefixLen, path)
-      graft.util.Maintenance.writeSidecar(s, path, CommitFile,
-        Seq("streamId" -> streamId, "batchId" -> batchId.toString))
-      true
-    }
-  }
+      usedBits: Int, prefixLen: Int, path: String): Boolean =
+    graft.sfa.ModelIO.appendIndexBatch(batch, usedBits, prefixLen, path,
+      ingestKey = Some((streamId, batchId)))
 
   /** The query id Structured Streaming persisted in `checkpoint`'s own
     * `metadata` file — minted when the checkpoint is created and stable

@@ -105,17 +105,165 @@ object Maintenance {
     * concurrent reader takes an unchecked fallback).
     */
   def writeSidecar(s: SparkSession, dir: String, name: String,
-      kv: Seq[(String, String)]): Unit = {
+      kv: Seq[(String, String)]): Unit =
+    writeTextAtomic(s, dir, name, kv.map { case (k, v) => s"$k=$v\n" }.mkString)
+
+  /** The write-then-rename-over primitive behind every sidecar and the
+    * manifest: stage under a dot-prefixed temp (invisible to parquet
+    * listings), then one FileContext overwrite-rename. The stream is
+    * closed and the staging file best-effort deleted on ANY failure —
+    * a failed commit leaves no leaked descriptor and no growing pile
+    * of .tmp files, only the previous committed content.
+    */
+  private def writeTextAtomic(s: SparkSession, dir: String, name: String,
+      content: String): Unit = {
     val p = new Path(dir, name)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new Path(dir, s".$name.tmp_${ProcessHandle.current().pid()}")
-    val out = fs.create(staging, true)
-    out.write(kv.map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
-    out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
-      .rename(staging, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val out = fs.create(staging, true)
+      try {
+        out.write(content.getBytes("UTF-8"))
+      } finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
+        .rename(staging, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(fs.delete(staging, false))
+        throw e
+    }
   }
+
+  // ---- manifest-committed layouts --------------------------------------
+
+  /** The layout's file MANIFEST: the committed list of data files plus
+    * key-value headers, replaced atomically (write-then-rename-over)
+    * per maintenance operation. This is what gives READERS a safe view
+    * across compaction — the r9 residual: a reader that lists the
+    * directory while `compactPartitioned`'s dynamic overwrite swaps
+    * partition directories can silently read a partially-swapped
+    * partition. A manifest-pinned reader instead resolves ONE committed
+    * snapshot: it either scans the complete pre-compact file set
+    * (failing LOUDLY with FileNotFound if the swap deleted a pinned
+    * file mid-scan — never returning a subset) or the complete
+    * post-compact set. The lakehouse-table commit mechanism (Delta/
+    * Iceberg metadata logs), cut down to one atomically-replaced file.
+    *
+    * The headers carry everything that must commit ATOMICALLY with the
+    * file list — the k-NN layouts' per-prefix box-stats directory
+    * pointer, the IVF layouts' centroid-table pointer, streaming
+    * ingestion's per-lineage batch watermarks — so derived state can
+    * never be stale relative to the rows: one rename publishes both.
+    *
+    * A second structural property: maintenance ops compute the
+    * manifest ADDITIVELY (old entries ∪ exactly the files this
+    * operation created, from an under-lock before/after listing), so a
+    * crashed operation's committed-but-unpublished parquet files are
+    * ORPHANS that no later manifest ever adopts — a replayed streaming
+    * batch or retried append can therefore never double-count them.
+    */
+  val ManifestFile = "_graft_manifest"
+
+  /** One committed layout snapshot: `files` are data-file paths
+    * RELATIVE to the layout root (sorted, canonical), `headers` the
+    * atomically co-committed metadata.
+    */
+  final case class Manifest(headers: Map[String, String], files: Seq[String]) {
+    def header(k: String): Option[String] = headers.get(k)
+  }
+
+  /** None for a layout without a manifest (pre-manifest layouts keep
+    * the plain directory-listing read). A PRESENT but unreadable
+    * manifest FAILS with the file named — silently falling back to a
+    * directory listing would reintroduce exactly the torn-view reads
+    * the manifest exists to prevent.
+    */
+  def readManifest(s: SparkSession, path: String): Option[Manifest] = {
+    val p = new Path(path, ManifestFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      val parsed = try {
+        scala.util.Try {
+          val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toSeq
+          val (hs, fsLines) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
+          Manifest(
+            hs.flatMap { l =>
+              l.drop(1).split("=", 2) match {
+                case Array(k, v) => Some(k -> v); case _ => None
+              }
+            }.toMap,
+            fsLines)
+        }
+      } finally in.close()
+      parsed match {
+        case scala.util.Success(m) => Some(m)
+        case scala.util.Failure(e) => throw new IllegalStateException(
+          s"layout manifest $p is unreadable (${e.getMessage}); a torn-view " +
+            "directory fallback would defeat the committed-snapshot contract — " +
+            "restore or regenerate the manifest", e)
+      }
+    }
+  }
+
+  /** Commit `m` as `path`'s manifest in one rename (headers first as
+    * `#k=v` lines, then the sorted file list — a canonical byte form,
+    * so identical snapshots are identical bytes).
+    */
+  def writeManifest(s: SparkSession, path: String, m: Manifest): Unit = {
+    onBeforeManifestCommit()
+    writeTextAtomic(s, path, ManifestFile,
+      (m.headers.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+        m.files.distinct.sorted).mkString("", "\n", "\n"))
+  }
+
+  /** Test seam: invoked immediately before a manifest commit — the one
+    * instant where an operation's data files are durable but
+    * UNPUBLISHED. Ingest/append specs crash here and prove a replay
+    * neither loses nor duplicates rows. No-op in production.
+    */
+  private[graft] var onBeforeManifestCommit: () => Unit = () => ()
+
+  /** Recursive data-file listing under `path` (or `path/sub`), returned
+    * RELATIVE to `path`: only `*.parquet`, skipping any `_`/`.`-prefixed
+    * path component (Spark job machinery, sidecars, stats directories,
+    * staging temps are all invisible to the data plane by convention).
+    */
+  def listDataFiles(s: SparkSession, path: String, sub: String = ""): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val start = if (sub.isEmpty) root else new Path(root, sub)
+    if (!fs.exists(start)) return Seq.empty
+    val rootUri = root.toUri.getPath
+    def hidden(name: String): Boolean = name.startsWith("_") || name.startsWith(".")
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (hidden(n)) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet"))
+          Seq(st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
+        else Seq.empty
+      }
+    walk(start)
+  }
+
+  /** Read the layout at `path` through its committed manifest when one
+    * exists (the safe-across-compaction view: one atomic snapshot,
+    * loud failure over silent subset), else a plain directory read
+    * (pre-manifest layouts keep their old semantics). The `basePath`
+    * option keeps partition-directory columns and their
+    * PartitionFilters pruning on the pinned file list.
+    */
+  def readLayout(s: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    readManifest(s, path) match {
+      case Some(m) if m.files.nonEmpty =>
+        s.read.option("basePath", path)
+          .parquet(m.files.map(f => new Path(path, f).toString): _*)
+      case _ => s.read.parquet(path)
+    }
 
   /** Selective small-file compaction for any append-grown layout
     * partitioned by `partCol` (k-NN word prefixes, IVF cells): every
@@ -143,23 +291,48 @@ object Maintenance {
       import org.apache.spark.sql.functions.col
       val root = new Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val heavy = fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-        .flatMap { d =>
-          val n = fs.listStatus(d.getPath)
-            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          if (n > maxFilesPerPartition)
-            Some(d.getPath.getName.stripPrefix(s"$partCol="))
-          else None
-        }
+      // the committed manifest, when present, is BOTH the fragmentation
+      // census and the phase-1 input: counting/reading the directory
+      // instead would adopt a crashed operation's orphan files into the
+      // compacted layout — resurrecting rows no reader has ever seen
+      val manifest = readManifest(s, path)
+      def partOf(rel: String): Option[String] = {
+        val first = rel.takeWhile(_ != '/')
+        if (first.startsWith(s"$partCol=") && first.length < rel.length)
+          Some(first.stripPrefix(s"$partCol=")) else None
+      }
+      val heavy = manifest match {
+        case Some(m) =>
+          m.files.flatMap(partOf).groupBy(identity)
+            .collect { case (p, fsIn) if fsIn.size > maxFilesPerPartition => p }
+            .toSeq.sorted
+        case None =>
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+            .flatMap { d =>
+              val n = fs.listStatus(d.getPath)
+                .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              if (n > maxFilesPerPartition)
+                Some(d.getPath.getName.stripPrefix(s"$partCol="))
+              else None
+            }
+      }
       if (heavy.nonEmpty) {
         val tmp = new Path(root.getParent,
           s"${root.getName}_compact_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-        // read the heavy partition DIRECTORIES directly (basePath keeps
-        // the partition column): no value matching against directory
-        // names, so escaped string values and the null partition behave
-        // — Spark's own partition codec handles both directions
-        val heavyPaths = heavy.map(h => new Path(root, s"$partCol=$h").toString)
+        // read the heavy partitions through the snapshot (manifest file
+        // list when present, else the partition DIRECTORIES — basePath
+        // keeps the partition column either way): no value matching
+        // against directory names, so escaped string values and the
+        // null partition behave — Spark's own partition codec handles
+        // both directions
+        val heavySet = heavy.toSet
+        val heavyPaths = manifest match {
+          case Some(m) =>
+            m.files.filter(f => partOf(f).exists(heavySet)).map(new Path(root, _).toString)
+          case None => heavy.map(h => new Path(root, s"$partCol=$h").toString)
+        }
         try
           s.read.option("basePath", path).parquet(heavyPaths: _*)
             .repartition(heavy.size, col(partCol)) // one output file per partition
@@ -169,10 +342,21 @@ object Maintenance {
         val key = "spark.sql.sources.partitionOverwriteMode"
         val prev = s.conf.getOption(key)
         s.conf.set(key, "dynamic")
-        try
+        try {
           s.read.parquet(tmp.toString)
             .write.mode("overwrite").partitionBy(partCol).parquet(path)
-        catch {
+          // publish the swapped snapshot BEFORE declaring the temp
+          // redundant: entries outside the heavy partitions are carried
+          // over, the heavy partitions' entries are replaced by the
+          // freshly-swapped directories' contents, headers (box stats,
+          // ingest watermarks) ride along unchanged — row-invariant ops
+          // never touch them. A failure in either step keeps temp+lock.
+          manifest.foreach { m =>
+            writeManifest(s, path, Manifest(m.headers,
+              m.files.filterNot(f => partOf(f).exists(heavySet)) ++
+                heavy.flatMap(h => listDataFiles(s, path, s"$partCol=$h"))))
+          }
+        } catch {
           case e: Throwable => throw KeepLock(new IllegalStateException(
             s"compaction write-back into $path failed mid-overwrite; the heavy " +
               s"partitions' rows survive at $tmp — run " +
@@ -183,7 +367,8 @@ object Maintenance {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
         }
-        // only after the overwrite committed is the copy redundant
+        // only after the overwrite AND the manifest committed is the
+        // copy redundant
         fs.delete(tmp, true)
         ()
       }
@@ -274,29 +459,63 @@ object Maintenance {
     // its run never started the write-back, the layout is intact, and
     // its rows are an incomplete copy that must never be applied
     partial.foreach(t => fs.delete(t.getPath, true))
-    val recovered = complete.sortBy(_.getModificationTime).flatMap { st =>
-      val tmp = st.getPath
-      val parts = fs.listStatus(tmp).toSeq
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partCol="))
-        .map(_.getPath.getName.stripPrefix(s"$partCol="))
-      if (parts.nonEmpty) {
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key, "dynamic")
-        try
-          s.read.option("basePath", tmp.toString)
-            .parquet(parts.map(p => new Path(tmp, s"$partCol=$p").toString): _*)
-            .repartition(parts.size, col(partCol))
-            .write.mode("overwrite").partitionBy(partCol).parquet(path)
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+    // the recovery write-back is itself a mid-overwrite mutation: a
+    // failure inside it must KEEP the lock (and the surviving temps),
+    // exactly like compactPartitioned's own write-back — releasing it
+    // here would let an append commit into a heavy partition and a
+    // RETRIED recovery silently erase those rows by re-applying the
+    // old temp. Under a dead holder's lock the same is achieved by the
+    // caller only deleting the lock after this body returns.
+    def keepLockOnFailure[T](body: => T): T =
+      if (underDeadLock) body
+      else try body catch {
+        case e: KeepLock => throw e
+        case e: Throwable => throw KeepLock(new IllegalStateException(
+          s"recovery write-back into $path failed mid-overwrite; the surviving " +
+            s"compaction temp dir(s) and the lock ${lockPath(path)} are kept — " +
+            "retry Maintenance.recoverCompaction once this failure is resolved", e))
       }
-      fs.delete(tmp, true)
-      parts
+    val recovered = keepLockOnFailure {
+      val applied = complete.sortBy(_.getModificationTime).flatMap { st =>
+        val tmp = st.getPath
+        val parts = fs.listStatus(tmp).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partCol="))
+          .map(_.getPath.getName.stripPrefix(s"$partCol="))
+        if (parts.nonEmpty) {
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val prev = s.conf.getOption(key)
+          s.conf.set(key, "dynamic")
+          try
+            s.read.option("basePath", tmp.toString)
+              .parquet(parts.map(p => new Path(tmp, s"$partCol=$p").toString): _*)
+              .repartition(parts.size, col(partCol))
+              .write.mode("overwrite").partitionBy(partCol).parquet(path)
+          finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+        fs.delete(tmp, true)
+        parts
+      }.distinct
+      // re-publish the committed snapshot for manifest-pinned readers:
+      // recovered partitions' entries replaced by their restored
+      // directories' contents, everything else (files AND headers —
+      // recovery is row-restoring, never row-changing) carried over
+      readManifest(s, path).foreach { m =>
+        val rec = applied.toSet
+        def partOf(rel: String): Option[String] = {
+          val first = rel.takeWhile(_ != '/')
+          if (first.startsWith(s"$partCol=") && first.length < rel.length)
+            Some(first.stripPrefix(s"$partCol=")) else None
+        }
+        writeManifest(s, path, Manifest(m.headers,
+          m.files.filterNot(f => partOf(f).exists(rec)) ++
+            applied.flatMap(p => listDataFiles(s, path, s"$partCol=$p"))))
+      }
+      applied
     }
-    recovered.distinct
+    recovered
   }
 
   /** None for a layout without the sidecar (pre-metadata layouts keep

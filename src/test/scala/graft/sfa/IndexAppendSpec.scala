@@ -35,9 +35,11 @@ class IndexAppendSpec extends SparkSpec {
     val path = graft.util.Warehouse.dir(spark, "append_spec_index")
 
     ModelIO.saveIndex(corpus.filter(col("id") < half), model.usedBits, prefixLen = 2, path)
+    // DATA files only: the maintained box-stats tables live in hidden
+    // `_boxes_*` dirs that appends legitimately supersede and drop
     val filesBefore = scala.collection.mutable.Map.empty[String, Long]
     java.nio.file.Files.walk(java.nio.file.Paths.get(path)).forEach { p =>
-      if (p.toString.endsWith(".parquet"))
+      if (p.toString.endsWith(".parquet") && p.getParent.getFileName.toString.startsWith("prefix="))
         filesBefore(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
     }
     assert(filesBefore.nonEmpty)
@@ -103,7 +105,8 @@ class IndexAppendSpec extends SparkSpec {
     def filesPerPrefix(): Map[String, Int] = {
       val m = scala.collection.mutable.Map.empty[String, Int]
       java.nio.file.Files.walk(java.nio.file.Paths.get(path)).forEach { p =>
-        if (p.toString.endsWith(".parquet")) {
+        if (p.toString.endsWith(".parquet") &&
+            p.getParent.getFileName.toString.startsWith("prefix=")) {
           val pfx = p.getParent.getFileName.toString
           m(pfx) = m.getOrElse(pfx, 0) + 1
         }

@@ -95,4 +95,62 @@ class StreamingIndexIngestSpec extends SparkSpec {
     assert(StreamingIndexIngest.lastCommitted(spark, path) == 0L)
     corpus.unpersist()
   }
+
+  test("a crash between the append's data write and its publish neither loses nor duplicates the batch") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val n = 1200
+    val walk = Loaders.randomWalk(n + W - 1, 20261011L)
+    val model = SFA.fitWindowing(Array((walk, 0.0)), W, L, Alpha,
+      normMean = false, lowerBounding = true)
+    val corpus = BulkLoad.windowRecords(spark, walk, 2, n / 2, W, L, model).cache()
+    val half = (n / 2).toLong
+    val path = graft.util.Warehouse.dir(spark, "stream_crash_index")
+    ModelIO.saveIndex(corpus.filter(col("id") < half), model.usedBits, prefixLen = 2, path)
+    val batch = corpus.filter(col("id") >= half)
+
+    // crash at the one instant the r9 design could double a batch: data
+    // files are durable, the publish (manifest rename, carrying the
+    // watermark header) never happens
+    graft.util.Maintenance.onBeforeManifestCommit =
+      () => throw new RuntimeException("simulated crash before publish")
+    val died = scala.util.Try(
+      StreamingIndexIngest.appendBatch(batch, "lineage-x", 0L, model.usedBits, 2, path))
+    graft.util.Maintenance.onBeforeManifestCommit = () => ()
+    assert(died.isFailure, "the simulated crash must propagate")
+    // unpublished: readers see exactly the pre-batch snapshot, the
+    // watermark never advanced, and the crashed write's files are
+    // orphans on disk that no manifest names
+    assert(ModelIO.loadIndex(path)(spark).count() == half)
+    assert(StreamingIndexIngest.lastCommitted(spark, path, "lineage-x") == -1L)
+    val manifestFiles = graft.util.Maintenance.readManifest(spark, path).get.files.toSet
+    val orphans = graft.util.Maintenance.listDataFiles(spark, path).filterNot(manifestFiles)
+    assert(orphans.nonEmpty, "fixture: the crashed write must have left durable files")
+
+    // the restart replays the batch: it lands EXACTLY ONCE (the orphans
+    // are never adopted), the watermark advances, and k-NN over the
+    // layout equals the brute scan of the true corpus
+    assert(StreamingIndexIngest.appendBatch(batch, "lineage-x", 0L, model.usedBits, 2, path))
+    val loaded = ModelIO.loadIndex(path)(spark)
+    assert(loaded.count() == n.toLong, s"replay must land the batch exactly once")
+    assert(StreamingIndexIngest.lastCommitted(spark, path, "lineage-x") == 0L)
+    // a second replay is a no-op
+    assert(!StreamingIndexIngest.appendBatch(batch, "lineage-x", 0L, model.usedBits, 2, path))
+    assert(ModelIO.loadIndex(path)(spark).count() == n.toLong)
+    val queries = BulkLoad.queryWindows(
+      spark, walk.slice(half.toInt + 30, half.toInt + 30 + 4 * W), 3, W, L, model)
+    val (gotDf, _) = IndexOps.knnOverLayout(
+      path, queries, model.bins, model.normMean, K, probe = 48, prefixLen = 2)(spark)
+    val got = gotDf.orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = IndexOps.knnScan(
+        loaded.select("id", "data"), queries.select("qid", "qdata"), K)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 3 * K)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 1e-9)
+    }
+    corpus.unpersist()
+  }
 }

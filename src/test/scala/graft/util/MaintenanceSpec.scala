@@ -88,7 +88,12 @@ class MaintenanceSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("prefix").parquet(tmp.toString)
     assert(fs.delete(new org.apache.hadoop.fs.Path(root, s"prefix=${heavy.head}"), true))
     fs.create(Maintenance.lockPath(path), false).close()
-    val damaged = ModelIO.loadIndex(path)(spark).count()
+    // the manifest-pinned read FAILS LOUDLY on the damaged layout — the
+    // committed-snapshot contract: a reader never silently sees a subset
+    val loud = scala.util.Try(ModelIO.loadIndex(path)(spark).count())
+    assert(loud.isFailure, "a manifest-pinned read of a half-swapped layout must fail, not subset")
+    // the raw directory view confirms rows are physically gone
+    val damaged = spark.read.parquet(path).count()
     assert(damaged < preRows, "the simulated crash must actually lose rows")
 
     val recovered = Maintenance.recoverCompaction(spark, path, "prefix")
