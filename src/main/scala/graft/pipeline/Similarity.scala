@@ -32,7 +32,19 @@ object Similarity {
     Bridge.column(graft.sfa.expr.LongDotExpr(Bridge.expression(a), Bridge.expression(b)))
   }
 
-  private[pipeline] def emb(s: SparkSession, dir: String): DataFrame =
+  /** The integer dot as a cross-package seam (the streaming IVF ingest
+    * derives member norms with exactly the batch kernel).
+    */
+  private[graft] def dotCol(a: Column, b: Column): Column = dot(a, b)
+
+  /** Cross-package seam for [[appendIvfLayout]] (the streaming IVF
+    * ingest's per-micro-batch append, with its exactly-once key).
+    */
+  private[graft] def appendIvf(members: DataFrame, loc: String,
+      ingestKey: Option[(String, Long)]): Boolean =
+    appendIvfLayout(members.sparkSession, members, loc, ingestKey)
+
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .withColumn("iv", expr("transform(embedding, v -> cast(round(cast(v as double) * 10000) as bigint))"))
       .withColumn("nrm2", dot(col("iv"), col("iv")))
@@ -283,7 +295,7 @@ object Similarity {
     * cn2): ties → smaller cell — THE assignment tie rule every consumer
     * (IVF, k-means, the oracles) shares, defined once.
     */
-  private[pipeline] def assignCells(base: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignCells(base: DataFrame, cent: DataFrame): DataFrame = {
     val byId = Window.partitionBy("id").orderBy(desc("score"), col("cell"))
     base.crossJoin(broadcast(cent))
       .withColumn("score", dot(col("iv"), col("cv")) / sqrt(col("cn2")))
@@ -293,7 +305,7 @@ object Similarity {
   }
 
   /** Element-wise integer centroid sums of assignment `m`'s groups. */
-  private[pipeline] def centroidSums(m: DataFrame, base: DataFrame): DataFrame =
+  private[graft] def centroidSums(m: DataFrame, base: DataFrame): DataFrame =
     m.join(base, "id")
       .select(col("cell"), posexplode(col("iv")).as(Seq("i", "x")))
       .groupBy("cell", "i").agg(sum("x").as("cx"))
@@ -301,7 +313,7 @@ object Similarity {
       .agg(expr("transform(sort_array(collect_list(struct(i, cx))), p -> p.cx)").as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
 
-  private[pipeline] def ivfCentroids(base: DataFrame, cells: Int): DataFrame = {
+  private[graft] def ivfCentroids(base: DataFrame, cells: Int): DataFrame = {
     val seeds = base.orderBy("id").limit(cells)
       .select(col("id").as("cell"), col("iv").as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
@@ -361,12 +373,22 @@ object Similarity {
   private val IvfCentroidsDir = "_centroids"
   private val IvfMetaFile = "_graft_ivf_meta"
 
+  /** Manifest header naming the layout's CURRENT centroid table dir —
+    * committed in the same atomic rename as the member file list, so a
+    * re-cluster ([[reclusterIvfLayout]]) swaps members and centroids as
+    * one snapshot: no reader can ever score probes against one
+    * generation's centroids while scanning the other's cells.
+    */
+  private val CentroidsHeader = "centroids_dir"
+
   /** Persist `members` (c_id, civ, cn) as the cell-partitioned IVF
     * layout assigned against `cent`, plus the centroid table itself and
     * the fail-fast sidecar — the embedding-side analogue of
-    * `ModelIO.saveIndex` (self-describing, maintenance-locked).
+    * `ModelIO.saveIndex` (self-describing, maintenance-locked,
+    * MANIFEST-COMMITTED: readers resolve one atomic snapshot of member
+    * files + centroid pointer, see `graft.util.Maintenance.readLayout`).
     */
-  private[pipeline] def saveIvfLayout(s: SparkSession, members: DataFrame,
+  private[graft] def saveIvfLayout(s: SparkSession, members: DataFrame,
       cent: DataFrame, loc: String): Unit =
     graft.util.Maintenance.withLock(s, loc, "save") {
       // cent is consumed three times (assignment broadcast, centroid
@@ -381,6 +403,9 @@ object Similarity {
         c.coalesce(1).write.mode("overwrite").parquet(s"$loc/$IvfCentroidsDir")
         graft.util.Maintenance.writeSidecar(s, loc, IvfMetaFile,
           Seq("cells" -> c.count().toString))
+        graft.util.Maintenance.writeManifest(s, loc, graft.util.Maintenance.Manifest(
+          Map(CentroidsHeader -> IvfCentroidsDir),
+          graft.util.Maintenance.listDataFiles(s, loc)))
       } finally { c.unpersist(); () }
     }
 
@@ -396,31 +421,63 @@ object Similarity {
     * disagree with the at-rest partitioning. Serialized per layout by
     * the shared maintenance lock (`graft.util.Maintenance`).
     */
-  private[pipeline] def appendIvfLayout(s: SparkSession, members: DataFrame,
-      loc: String): Unit =
+  private[graft] def appendIvfLayout(s: SparkSession, members: DataFrame,
+      loc: String, ingestKey: Option[(String, Long)] = None): Boolean =
     graft.util.Maintenance.withLock(s, loc, "append") {
-      val fs = new org.apache.hadoop.fs.Path(loc)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/$IvfCentroidsDir")))
-        throw new IllegalStateException(
-          s"$loc has no persisted centroid table ($IvfCentroidsDir) — appending " +
-            "against recomputed centroids would scatter members across wrong " +
-            "cells; write the layout with saveIvfLayout first")
-      val cent = s.read.parquet(s"$loc/$IvfCentroidsDir")
-      graft.util.Maintenance.readSidecar(s, loc, IvfMetaFile).foreach { m =>
-        val n = cent.count()
-        require(m.get("cells").contains(n.toString),
-          s"centroid table at $loc has $n cells but the sidecar records " +
-            s"${m.getOrElse("cells", "<absent>")} — the layout is inconsistent")
+      val mOld = graft.util.Maintenance.readManifest(s, loc)
+      val replayed = ingestKey.exists { case (sid, bid) =>
+        mOld.flatMap(_.header(graft.sfa.ModelIO.ingestHeader(sid)))
+          .flatMap(_.toLongOption).exists(bid <= _)
       }
-      assignCells(members.select(col("c_id").as("id"), col("civ").as("iv")), cent)
-        .withColumnRenamed("id", "c_id")
-        .join(members, "c_id")
-        .write.mode("append").partitionBy("cell").parquet(loc)
+      if (replayed) false
+      else {
+        val fs = new org.apache.hadoop.fs.Path(loc)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val centDir = mOld.flatMap(_.header(CentroidsHeader)).getOrElse(IvfCentroidsDir)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/$centDir")))
+          throw new IllegalStateException(
+            s"$loc has no persisted centroid table ($centDir) — appending " +
+              "against recomputed centroids would scatter members across wrong " +
+              "cells; write the layout with saveIvfLayout first")
+        val cent = s.read.parquet(s"$loc/$centDir")
+        graft.util.Maintenance.readSidecar(s, loc, IvfMetaFile).foreach { m =>
+          val n = cent.count()
+          require(m.get("cells").contains(n.toString),
+            s"centroid table at $loc has $n cells but the sidecar records " +
+              s"${m.getOrElse("cells", "<absent>")} — the layout is inconsistent")
+        }
+        // created-set discipline (see ModelIO.appendIndexBatch): the
+        // manifest gains exactly this write's files; a crashed earlier
+        // append's unpublished orphans stay excluded forever, which is
+        // also what makes the streaming ingestKey path exactly-once
+        val fsBefore = graft.util.Maintenance.listDataFiles(s, loc).toSet
+        assignCells(members.select(col("c_id").as("id"), col("civ").as("iv")), cent)
+          .withColumnRenamed("id", "c_id")
+          .join(members, "c_id")
+          .write.mode("append").partitionBy("cell").parquet(loc)
+        val created = graft.util.Maintenance.listDataFiles(s, loc).filterNot(fsBefore)
+        val baseFiles = mOld.map(_.files).getOrElse(fsBefore.toSeq.sorted)
+        val headers = mOld.map(_.headers)
+          .getOrElse(Map(CentroidsHeader -> IvfCentroidsDir)) ++
+          ingestKey.toSeq.flatMap { case (sid, bid) =>
+            Seq(graft.sfa.ModelIO.ingestHeader(sid) -> bid.toString,
+              graft.sfa.ModelIO.LastIngestHeader -> s"$sid:$bid")
+          }
+        graft.util.Maintenance.writeManifest(s, loc,
+          graft.util.Maintenance.Manifest(headers, baseFiles ++ created))
+        true
+      }
     }
 
-  private[pipeline] def loadIvfCentroids(s: SparkSession, loc: String): DataFrame =
-    s.read.parquet(s"$loc/$IvfCentroidsDir").select("cell", "cv", "cn2")
+  /** The layout's centroid table, resolved through the manifest's
+    * committed pointer (pre-manifest layouts fall back to the fixed
+    * `_centroids` dir).
+    */
+  private[graft] def loadIvfCentroids(s: SparkSession, loc: String): DataFrame = {
+    val dir = graft.util.Maintenance.readManifest(s, loc)
+      .flatMap(_.header(CentroidsHeader)).getOrElse(IvfCentroidsDir)
+    s.read.parquet(s"$loc/$dir").select("cell", "cv", "cn2")
+  }
 
   /** Selective small-file compaction of an append-grown IVF layout:
     * the shared two-phase compaction (`Maintenance.compactPartitioned`)
@@ -429,10 +486,93 @@ object Similarity {
     * sidecar) byte-untouched, same locked/recoverable failure contract
     * as the k-NN index's `ModelIO.compactIndex`.
     */
-  private[pipeline] def compactIvfLayout(s: SparkSession, loc: String,
+  private[graft] def compactIvfLayout(s: SparkSession, loc: String,
       maxFilesPerCell: Int = 4): Seq[Long] =
     graft.util.Maintenance.compactPartitioned(s, loc, "cell", maxFilesPerCell)
       .map(_.toLong)
+
+  /** Measured cell skew of the at-rest layout: max/mean of per-cell
+    * BYTES from the committed file list + a metadata stat per file —
+    * no data scan. Appends assign against FROZEN centroids (correct by
+    * design: recomputing would scatter existing members), so a corpus
+    * whose distribution drifts inflates some cells over many appends;
+    * this is the trigger a maintenance schedule watches, re-clustering
+    * ([[reclusterIvfLayout]]) when it crosses a threshold (3–5× is a
+    * reasonable default — probe cost is proportional to probed-cell
+    * bytes, so skew is directly the tail-latency multiplier).
+    */
+  private[graft] def ivfCellSkew(s: SparkSession, loc: String): Double = {
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = graft.util.Maintenance.readManifest(s, loc)
+      .map(_.files).getOrElse(graft.util.Maintenance.listDataFiles(s, loc))
+    val perCell = files
+      .filter(_.startsWith("cell="))
+      .groupBy(_.takeWhile(_ != '/'))
+      .map { case (_, fsIn) =>
+        fsIn.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen).sum
+      }
+    if (perCell.isEmpty) 1.0
+    else perCell.max.toDouble / (perCell.sum.toDouble / perCell.size)
+  }
+
+  /** Locked RE-CLUSTER of a drifted layout — the op that completes the
+    * IVF lifecycle (save → append* → compact* → re-cluster when
+    * [[ivfCellSkew]] crosses the schedule's threshold): one integer
+    * Lloyd step from the CURRENT persisted centroids over the full
+    * member set, members rewritten under the new assignment as NEW
+    * files beside the old, new centroid table written under a fresh
+    * generation dir, and ONE manifest rename swaps both — readers
+    * resolve either the complete old snapshot (old members + old
+    * centroids) or the complete new one, never a mix, and a crash
+    * before the rename leaves the layout untouched (the new files are
+    * unpublished orphans). Old files are dropped post-commit (a reader
+    * pinned to the old snapshot may then fail loudly — the documented
+    * compaction-class race). Cost: one full member rewrite — the deep
+    * clean, scheduled off the measured trigger, not per append.
+    */
+  private[graft] def reclusterIvfLayout(s: SparkSession, loc: String): Long =
+    graft.util.Maintenance.withLock(s, loc, "recluster") {
+      val mOld = graft.util.Maintenance.readManifest(s, loc).getOrElse(
+        throw new IllegalStateException(
+          s"$loc is not a manifest-committed IVF layout — save it with " +
+            "saveIvfLayout first; re-clustering an unversioned directory " +
+            "cannot give readers a safe snapshot"))
+      val members = graft.util.Maintenance.readLayout(s, loc)
+        .select(col("c_id"), col("civ"), col("cn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val base = members.select(col("c_id").as("id"), col("civ").as("iv"))
+        val centOld = loadIvfCentroids(s, loc)
+        val cent = centroidSums(assignCells(base, centOld), base)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cells = cent.count() // materialize before any write consumes it
+        val gen = s"_centroids_g${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        cent.coalesce(1).write.parquet(s"$loc/$gen")
+        val fsBefore = graft.util.Maintenance.listDataFiles(s, loc).toSet
+        assignCells(base, cent)
+          .withColumnRenamed("id", "c_id")
+          .join(members, "c_id")
+          .write.mode("append").partitionBy("cell").parquet(loc)
+        val created = graft.util.Maintenance.listDataFiles(s, loc).filterNot(fsBefore)
+        // the sidecar count must match the table the manifest is about
+        // to point at (appendIvfLayout cross-checks them)
+        graft.util.Maintenance.writeSidecar(s, loc, IvfMetaFile,
+          Seq("cells" -> cells.toString))
+        // THE swap: only the new generation's files + new centroid dir
+        graft.util.Maintenance.writeManifest(s, loc, graft.util.Maintenance.Manifest(
+          mOld.headers + (CentroidsHeader -> gen), created))
+        cent.unpersist()
+        // post-commit garbage: the old generation
+        val root = new org.apache.hadoop.fs.Path(loc)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        mOld.files.foreach(f =>
+          scala.util.Try(fsys.delete(new org.apache.hadoop.fs.Path(root, f), false)))
+        mOld.header(CentroidsHeader).filter(_ != gen).foreach(d =>
+          scala.util.Try(fsys.delete(new org.apache.hadoop.fs.Path(root, d), true)))
+        cells
+      } finally { members.unpersist(); () }
+    }
 
   private def ivfLayoutAnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -472,7 +612,9 @@ object Similarity {
       .filter(col("rn") <= IvfProbes)
       .select("q_id", "cell")
     val probed = probes.select("cell").distinct().collect().map(_.getLong(0))
-    val layout = s.read.parquet(loc)
+    // manifest-pinned member scan: the committed snapshot the centroid
+    // probes above belong to (one atomic view of cells + centroids)
+    val layout = graft.util.Maintenance.readLayout(s, loc)
       .filter(col("cell").isin(probed: _*)) // → PartitionFilters pruning
       .select(col("cell").cast("long").as("cell"), col("c_id"), col("civ"), col("cn"))
     // one cell per corpus vector ⇒ (q_id, c_id) pairs are already

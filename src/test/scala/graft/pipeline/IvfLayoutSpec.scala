@@ -93,4 +93,71 @@ class IvfLayoutSpec extends SparkSpec {
       assert(Similarity.loadIvfCentroids(spark, loc).count() == 8L)
     } finally { members.unpersist(); () }
   }
+
+  test("recluster: append-until-skewed, measured trigger, locked re-cluster rebalances without loss") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Similarity.emb(spark, dir)
+    val members = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("iv").as("civ"), col("nrm2").as("cn"))
+      .cache()
+    try {
+      val cent = Similarity.ivfCentroids(
+        members.select(col("c_id").as("id"), col("civ").as("iv")), 8)
+      val loc = graft.util.Warehouse.dir(spark, "ivf_recluster_spec")
+      Similarity.saveIvfLayout(spark, members, cent, loc)
+      val skew0 = Similarity.ivfCellSkew(spark, loc)
+
+      // drift: a burst of appends all shaped like ONE existing vector
+      // (tiny per-row jitter on the ×10⁴ integer scale keeps every
+      // vector in the seed's cell but defeats parquet's dictionary
+      // compression — the point is real BYTES crowding one cell) —
+      // every batch lands in the same cell (assignment against frozen
+      // centroids), so that cell's bytes balloon
+      val seedVec = members.orderBy("c_id").limit(1)
+        .select("civ", "cn").collect().head
+      val dupIv = seedVec.getSeq[Long](0).toArray
+      (1 to 6).foreach { b =>
+        val batch = (0 until 60).map { i =>
+          val jittered = dupIv.zipWithIndex.map { case (v, j) =>
+            v + ((b * 977L + i * 131L + j * 17L) % 13L) - 6L
+          }.toSeq
+          val n2 = jittered.map(x => x * x).sum
+          (1000000L + b * 1000L + i, jittered, n2)
+        }.toDF("c_id", "civ", "cn")
+        Similarity.appendIvfLayout(spark, batch, loc)
+      }
+      val skewGrown = Similarity.ivfCellSkew(spark, loc)
+      info(f"cell byte-skew: fresh=$skew0%.2f grown=$skewGrown%.2f")
+      assert(skewGrown > skew0 * 1.5,
+        s"fixture must actually skew the layout: $skew0 -> $skewGrown")
+      val preIds = spark.read.parquet(loc).select("c_id")
+        .collect().map(_.getLong(0)).toSet
+
+      val cells = Similarity.reclusterIvfLayout(spark, loc)
+      assert(cells > 0)
+      val skewAfter = Similarity.ivfCellSkew(spark, loc)
+      info(f"cell byte-skew after recluster=$skewAfter%.2f (cells=$cells)")
+      assert(skewAfter < skewGrown,
+        s"re-cluster must reduce the measured skew: $skewGrown -> $skewAfter")
+
+      // nothing lost, and the snapshot is coherent: membership equals
+      // the one-shot assignment under the NEW persisted centroids
+      val layout = graft.util.Maintenance.readLayout(spark, loc)
+      val postIds = layout.select("c_id").collect().map(_.getLong(0)).toSet
+      assert(postIds == preIds, "re-cluster lost or invented members")
+      val centNew = Similarity.loadIvfCentroids(spark, loc)
+      assert(centNew.count() == cells)
+      val oneShot = Similarity.assignCells(
+          layout.select(col("c_id").as("id"), col("civ").as("iv")), centNew)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val atRest = layout.select(col("c_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(atRest == oneShot, "at-rest cells disagree with the new centroids")
+      // appends keep working against the new generation
+      assert(Similarity.appendIvfLayout(spark,
+        Seq((2000000L, dupIv.toSeq, dupIv.map(x => x * x).sum)).toDF("c_id", "civ", "cn"), loc))
+      assert(graft.util.Maintenance.readLayout(spark, loc).count() == preIds.size + 1L)
+    } finally { members.unpersist(); () }
+  }
 }
