@@ -261,6 +261,11 @@ object Layout {
       // data — the overwrite clears the directory first)
       graft.util.Maintenance.writeSidecar(ev.sparkSession, loc, ZorderMetaFile,
         Seq("zdims" -> s"${dims._1},${dims._2}"))
+      // manifest-committed (the reader-safety + orphan-exclusion
+      // contract every maintained layout now carries)
+      graft.util.Maintenance.writeManifest(ev.sparkSession, loc,
+        graft.util.Maintenance.Manifest(Map.empty,
+          graft.util.Maintenance.listDataFiles(ev.sparkSession, loc)))
     }
 
   /** Incremental bulk INSERT into a z-ordered layout: the new batch
@@ -293,17 +298,80 @@ object Layout {
             "sidecar) — write it with writeZordered first; appending unsorted " +
             "data would silently break row-group skipping")
       }
+      val s = ev.sparkSession
+      val mOld = graft.util.Maintenance.readManifest(s, loc)
+      val fsBefore = graft.util.Maintenance.listDataFiles(s, loc).toSet
       writeZBatch(ev, loc, blockSize, dims, org.apache.spark.sql.SaveMode.Append)
+      val created = graft.util.Maintenance.listDataFiles(s, loc).filterNot(fsBefore)
+      graft.util.Maintenance.writeManifest(s, loc, graft.util.Maintenance.Manifest(
+        mOld.map(_.headers).getOrElse(Map.empty),
+        mOld.map(_.files).getOrElse(fsBefore.toSeq.sorted) ++ created))
+    }
+
+  /** Bounded compaction of an append-grown z-ordered layout — the r9
+    * gap ("appendZordered's only compaction analogue is a full
+    * re-sort"): data files smaller than `smallBytes` are merged into a
+    * few NEW globally-z-sorted files written BESIDE the existing ones,
+    * then one manifest rename swaps small-for-merged — readers resolve
+    * either complete snapshot, pre-existing large files stay
+    * byte-untouched, and cost is bounded by the small files' bytes, not
+    * the layout. Row-group skipping is preserved because the merged
+    * output is itself z-sorted (skipping is per row group; see
+    * [[appendZordered]]'s doc). A crash before the rename leaves the
+    * merged files as unpublished orphans (layout unchanged); the
+    * superseded small files are dropped post-commit (a reader pinned to
+    * the old snapshot may then fail loudly — the documented
+    * compaction-class race, never a silent subset). The full
+    * [[writeZordered]] re-sort remains the deep clean. Returns the
+    * number of small files merged (0 = nothing to do).
+    */
+  private[graft] def compactZordered(s: SparkSession, loc: String,
+      blockSize: Option[Long] = None, smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20): Int =
+    graft.util.Maintenance.withLock(s, loc, "compact") {
+      val m = graft.util.Maintenance.readManifest(s, loc).getOrElse(
+        throw new IllegalStateException(
+          s"$loc is not a manifest-committed z-ordered layout — write it with " +
+            "writeZordered first; compaction without a committed snapshot " +
+            "cannot give readers a safe view"))
+      val dims = graft.util.Maintenance.readSidecar(s, loc, ZorderMetaFile)
+        .flatMap(_.get("zdims")).map(_.split(",", 2)) match {
+        case Some(Array(d1, d2)) => (d1, d2)
+        case _ => throw new IllegalStateException(
+          s"$loc carries no z-dimension sidecar — cannot re-sort merged files")
+      }
+      val root = new org.apache.hadoop.fs.Path(loc)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val smalls = m.files.filter(f =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen < smallBytes)
+      if (smalls.size < 2) 0
+      else {
+        val totalBytes = smalls.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen).sum
+        val outParts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+        val fsBefore = graft.util.Maintenance.listDataFiles(s, loc).toSet
+        writeZBatch(
+          s.read.option("basePath", loc).parquet(smalls.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*),
+          loc, blockSize, dims, org.apache.spark.sql.SaveMode.Append, Some(outParts))
+        val created = graft.util.Maintenance.listDataFiles(s, loc).filterNot(fsBefore)
+        graft.util.Maintenance.writeManifest(s, loc, graft.util.Maintenance.Manifest(
+          m.headers, m.files.filterNot(smalls.toSet) ++ created))
+        // post-commit garbage: the merged-away small files
+        smalls.foreach(f => scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(root, f), false)))
+        smalls.size
+      }
     }
 
   private val ZorderMetaFile = "_graft_zorder_meta"
 
   private def writeZBatch(ev: DataFrame, loc: String, blockSize: Option[Long],
-      dims: (String, String), mode: org.apache.spark.sql.SaveMode): Unit = {
+      dims: (String, String), mode: org.apache.spark.sql.SaveMode,
+      parts: Option[Int] = None): Unit = {
     // partition count follows the session's shuffle parallelism (no
-    // fixed small number — at 100 TB the range exchange must fan out)
-    val z = ev.withColumn("z", zValue(col(dims._1), col(dims._2)))
-      .repartitionByRange(col("z"))
+    // fixed small number — at 100 TB the range exchange must fan out);
+    // compaction passes an explicit small count sized to its bytes
+    val zed = ev.withColumn("z", zValue(col(dims._1), col(dims._2)))
+    val z = parts.fold(zed.repartitionByRange(col("z")))(
+        p => zed.repartitionByRange(p, col("z")))
       .sortWithinPartitions("z")
       .drop("z")
     val w = z.write.mode(mode)
@@ -318,16 +386,20 @@ object Layout {
       val ev = Tables.load(s, dir, "events")
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .select("event_id", "user_id", "event_type", "cents")
-      // half-SAVED / half-APPENDED by design (same pattern as the IVF
-      // layout): the registered query itself exercises the append
-      // lifecycle, so its DuckDB oracle gates the grown layout every
-      // round — the rollup is order-independent, so results are
-      // identical to a one-shot write, and skipping stays per row group
-      // (each appended file is itself z-sorted)
+      // half-SAVED / quarter-APPENDED-twice / then COMPACTED by design
+      // (same pattern as the IVF layout): the registered query itself
+      // exercises the whole maintenance lifecycle, so its DuckDB oracle
+      // gates the grown-and-compacted layout every round — the rollup is
+      // order-independent, so results are identical to a one-shot write,
+      // and skipping stays per row group (appended AND merged files are
+      // themselves z-sorted)
       writeZordered(ev.filter(col("event_id") % 2 === 0), loc)
-      appendZordered(ev.filter(col("event_id") % 2 =!= 0), loc)
+      appendZordered(ev.filter(col("event_id") % 4 === 1), loc)
+      appendZordered(ev.filter(col("event_id") % 4 === 3), loc)
+      compactZordered(s, loc)
+      ()
     }
-    s.read.parquet(loc)
+    graft.util.Maintenance.readLayout(s, loc)
   }
 
   /** 2-D range rollup over the z-ordered layout. The box is derived

@@ -114,6 +114,55 @@ class ZorderLayoutSpec extends SparkSpec {
       val got = graft.SparkEntry.queries("layout_zorder_scan")(spark, dir).collect().toSeq
       val expect = Layout.zorderRollup(ev, uLo, uHi, cLo, cHi).collect().toSeq
       assert(got == expect)
+
+      // ---- bounded compaction over an append-heavy layout ---------------
+      // fragment with six tiny published appends
+      val preRows = spark.read.parquet(zLoc).count()
+      (0 until 6).foreach { i =>
+        Layout.appendZordered(
+          ev.filter(col("event_id") % 12 === i).limit(200), zLoc, blocks)
+      }
+      val rowsGrown = graft.util.Maintenance.readLayout(spark, zLoc).count()
+      def fileSizes(): Map[String, Long] =
+        graft.util.Maintenance.readManifest(spark, zLoc).get.files.map { f =>
+          f -> java.nio.file.Files.size(java.nio.file.Paths.get(zLoc, f))
+        }.toMap
+      val sizesBefore = fileSizes()
+      // threshold chosen so the original big files stay out of scope and
+      // every appended droplet is in it
+      val bigFiles = sizesBefore.filter { case (_, sz) => sz >= 8192L }.keySet
+      val smallCount = sizesBefore.size - bigFiles.size
+      assert(smallCount >= 6, s"fixture never fragmented: ${sizesBefore.values.toSeq.sorted}")
+      val bigStamps = bigFiles.map { f =>
+        f -> java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(zLoc, f)).toMillis
+      }
+      val merged = Layout.compactZordered(spark, zLoc, blocks, smallBytes = 8192L)
+      assert(merged == smallCount, s"expected all $smallCount small files merged, got $merged")
+      val sizesAfter = fileSizes()
+      assert(sizesAfter.size < sizesBefore.size, "compaction must reduce the file count")
+      bigStamps.foreach { case (f, ts) =>
+        val p = java.nio.file.Paths.get(zLoc, f)
+        assert(java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis == ts,
+          s"pre-existing large file rewritten by compaction: $f")
+      }
+      info(s"compaction merged $merged small files -> ${sizesAfter.size - bigFiles.size} " +
+        s"(layout: ${sizesBefore.size} -> ${sizesAfter.size} files)")
+      // no rows lost, and the 2-D skip is retained over the compacted
+      // layout (merged output is itself z-sorted)
+      assert(graft.util.Maintenance.readLayout(spark, zLoc).count() == rowsGrown)
+      assert(rowsGrown > preRows)
+      val (zReadC, zRowsC) = scanRows(zLoc)
+      // compaction is a physical re-arrangement: the rollup multiset is
+      // exactly the grown layout's (original rows + the appended slices)
+      val expectC = Layout.zorderRollup(
+          graft.util.Maintenance.readLayout(spark, zLoc), uLo, uHi, cLo, cHi)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(zRowsC.map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap == expectC)
+      info(s"rows read post-compaction: z-ordered=$zReadC shuffled control=$cRead")
+      assert(zReadC < cRead,
+        s"compacted z-layout must still skip vs the control: $zReadC vs $cRead")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
