@@ -518,6 +518,65 @@ object Maintenance {
     recovered
   }
 
+  /** One-call inspection of a layout whose maintainer CRASHED holding
+    * the lock WITHOUT leaving a compaction temp (a killed append, save,
+    * or streaming ingest — the state [[recoverCompaction]] rightly
+    * refuses, r9's last manual-only recovery path): validate that the
+    * committed snapshot is coherent and release the lock iff it is.
+    *
+    *  - a surviving `*_compact_tmp_*` dir → REFUSE: that is a failed
+    *    compaction write-back, [[recoverCompaction]]'s job;
+    *  - `_temporary` job residue (never-committed task files) is
+    *    deleted — it was invisible to readers and belongs to no
+    *    snapshot;
+    *  - with a manifest: every listed file must exist non-empty, and
+    *    every `*_dir` header (box stats, centroids) must name an
+    *    existing non-empty directory — the atomic-commit invariants;
+    *    a violation REFUSES (out-of-band damage needs a human);
+    *  - data files on disk but NOT in the manifest are the crashed
+    *    operation's unpublished orphans: reported back (and safe to
+    *    delete — no manifest will ever adopt them), never a refusal.
+    *
+    * Returns the orphan list of a released layout. The manifest commit
+    * being the single publish point is what makes this decidable: a
+    * crashed append either published (manifest names only good files)
+    * or didn't (its files are orphans) — there is no half-state.
+    */
+  def inspectAndRelease(s: SparkSession, path: String): Seq[String] = {
+    val lock = lockPath(path)
+    val root = new Path(path)
+    val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lock)) throw new IllegalStateException(
+      s"$path holds no maintenance lock — nothing to inspect/release")
+    val temps = fs.listStatus(root.getParent).toSeq
+      .filter(_.getPath.getName.startsWith(s"${root.getName}_compact_tmp_"))
+    if (temps.nonEmpty) throw new IllegalStateException(
+      s"$path has surviving compaction temp dir(s) ${temps.map(_.getPath.getName).mkString(", ")} — " +
+        "this is a failed compaction write-back; run recoverCompaction instead")
+    val jobResidue = new Path(root, "_temporary")
+    if (fs.exists(jobResidue)) { fs.delete(jobResidue, true); () }
+    val orphans = readManifest(s, path) match {
+      case Some(m) =>
+        m.files.foreach { f =>
+          val p = new Path(root, f)
+          if (!fs.exists(p) || fs.getFileStatus(p).getLen == 0) throw new IllegalStateException(
+            s"layout $path is NOT coherent: manifest-listed file $f is missing or empty — " +
+              "out-of-band damage; the lock stays until the layout is repaired")
+        }
+        m.headers.collect { case (k, v) if k.endsWith("_dir") => (k, v) }.foreach {
+          case (k, v) =>
+            val d = new Path(root, v)
+            if (!fs.exists(d) || fs.listStatus(d).isEmpty) throw new IllegalStateException(
+              s"layout $path is NOT coherent: manifest header $k names a missing or " +
+                s"empty directory $v — out-of-band damage; the lock stays")
+        }
+        listDataFiles(s, path).filterNot(m.files.toSet)
+      case None => Seq.empty // pre-manifest layout: nothing to validate against
+    }
+    fs.delete(lock, false)
+    orphans
+  }
+
   /** None for a layout without the sidecar (pre-metadata layouts keep
     * their unchecked caller contract). A PRESENT but unreadable sidecar
     * FAILS with the file named: silently skipping the check on

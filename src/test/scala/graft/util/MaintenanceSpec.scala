@@ -156,6 +156,77 @@ class MaintenanceSpec extends SparkSpec {
     assert(!fs.exists(Maintenance.lockPath(path)), "recovery must release its lock")
   }
 
+  test("inspectAndRelease: releases exactly when the layout is coherent") {
+    import graft.sfa.{BulkLoad, ModelIO, SFA}
+    import org.apache.spark.sql.functions._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val W = 16
+    val walk = graft.ts.Loaders.randomWalk(800 + W - 1, 20261012L)
+    val model = SFA.fitWindowing(Array((walk, 0.0)), W, 8, 8,
+      normMean = false, lowerBounding = true)
+    val corpus = BulkLoad.windowRecords(spark, walk, 2, 400, W, 8, model).cache()
+    val path = Warehouse.dir(spark, "inspect_spec_index")
+    ModelIO.saveIndex(corpus.filter(col("id") < 400), model.usedBits, prefixLen = 2, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // no lock -> nothing to release
+    intercept[IllegalStateException](Maintenance.inspectAndRelease(spark, path))
+
+    // manufacture a KILLED APPEND: durable-but-unpublished data files
+    // (orphans), _temporary job residue, and the held lock
+    Maintenance.onBeforeManifestCommit =
+      () => throw new RuntimeException("killed mid-append")
+    val died = scala.util.Try(ModelIO.appendIndex(
+      corpus.filter(col("id") >= 400), model.usedBits, 2, path))
+    Maintenance.onBeforeManifestCommit = () => ()
+    assert(died.isFailure)
+    fs.create(Maintenance.lockPath(path), false).close() // the crash left its lock
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, "_temporary/0"))
+    val preRows = ModelIO.loadIndex(path)(spark).count()
+    assert(preRows == 400L)
+
+    // coherent (the orphans don't damage the snapshot): released, the
+    // orphans reported, the residue cleaned
+    val orphans = Maintenance.inspectAndRelease(spark, path)
+    assert(orphans.nonEmpty, "the killed append's files must be reported as orphans")
+    assert(!fs.exists(Maintenance.lockPath(path)), "a coherent layout must be released")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_temporary")))
+    assert(ModelIO.loadIndex(path)(spark).count() == preRows)
+    // maintenance resumes: the retried append lands once
+    ModelIO.appendIndex(corpus.filter(col("id") >= 400), model.usedBits, 2, path)
+    assert(ModelIO.loadIndex(path)(spark).count() == 800L)
+
+    // a compaction temp -> refused (recoverCompaction's job), lock kept
+    fs.create(Maintenance.lockPath(path), false).close()
+    val tmp = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path).getParent, "inspect_spec_index_compact_tmp_x")
+    fs.mkdirs(tmp)
+    val e1 = intercept[IllegalStateException](Maintenance.inspectAndRelease(spark, path))
+    assert(e1.getMessage.contains("recoverCompaction"))
+    assert(fs.exists(Maintenance.lockPath(path)), "refusal must keep the lock")
+    fs.delete(tmp, true)
+
+    // real damage (a manifest-listed file missing) -> refused, lock kept
+    val victim = Maintenance.readManifest(spark, path).get.files.head
+    val victimPath = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), victim)
+    val bytes = {
+      val in = fs.open(victimPath)
+      val b = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, b, 65536, true)
+      b.toByteArray
+    }
+    fs.delete(victimPath, false)
+    val e2 = intercept[IllegalStateException](Maintenance.inspectAndRelease(spark, path))
+    assert(e2.getMessage.contains("NOT coherent"))
+    assert(fs.exists(Maintenance.lockPath(path)), "damage must keep the lock")
+    // restore -> releases
+    val out = fs.create(victimPath, true); out.write(bytes); out.close()
+    Maintenance.inspectAndRelease(spark, path)
+    assert(!fs.exists(Maintenance.lockPath(path)))
+    corpus.unpersist()
+  }
+
   test("sidecar: round-trip, atomic overwrite, corrupted read fails fast") {
     val dir = Warehouse.dir(spark, "maint_sidecar")
     new java.io.File(dir).mkdirs()
