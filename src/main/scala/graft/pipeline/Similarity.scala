@@ -596,6 +596,10 @@ object Similarity {
         val centFit = ivfCentroids(c.select(col("c_id").as("id"), col("civ").as("iv")), IvfCells)
         saveIvfLayout(s, c.filter(col("c_id") % 2 === 0), centFit, loc)
         appendIvfLayout(s, c.filter(col("c_id") % 2 =!= 0), loc)
+        // ... then COMPACTED (r10): membership and scores are untouched
+        // by the physical merge, so the DuckDB oracle now gates the
+        // whole save→append→compact lifecycle every round
+        compactIvfLayout(s, loc, maxFilesPerCell = 1)
         builtLayouts.add(loc)
       }
     }

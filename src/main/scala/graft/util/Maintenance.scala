@@ -162,6 +162,15 @@ object Maintenance {
     * crashed operation's committed-but-unpublished parquet files are
     * ORPHANS that no later manifest ever adopts — a replayed streaming
     * batch or retried append can therefore never double-count them.
+    *
+    * Scale envelope (stated, not hidden): the manifest is one text
+    * file of O(files) lines rewritten per maintenance op, and a pinned
+    * read builds a file index over that list — both linear in file
+    * count, the same driver-side budget as any static FileIndex over
+    * the directory. ~1M files ≈ tens of MB of manifest; beyond that a
+    * real deployment shards the log Delta/Iceberg-style (checkpointed
+    * segments), which changes the encoding, not this commit protocol.
+    * Compaction exists precisely to keep file counts bounded.
     */
   val ManifestFile = "_graft_manifest"
 
