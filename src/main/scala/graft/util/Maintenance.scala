@@ -586,6 +586,60 @@ object Maintenance {
     orphans
   }
 
+  /** What [[vacuumOrphans]] swept: unpublished data files, unreferenced
+    * generation dirs, job residue — all garbage by construction (no
+    * committed manifest references any of it).
+    */
+  final case class VacuumReport(dataFiles: Seq[String], dirs: Seq[String], bytes: Long)
+
+  /** Garbage-collect a manifest-committed layout — the VACUUM half of
+    * the commit protocol (orphan EXCLUSION is structural; this reclaims
+    * the bytes): under the maintenance lock, delete
+    *
+    *  - data files outside the committed manifest (crashed operations'
+    *    durable-but-unpublished writes — no manifest will ever adopt
+    *    them, see [[ManifestFile]]),
+    *  - superseded generation dirs (`_boxes_*` / `_centroids_*` not
+    *    referenced by any `*_dir` header — appends/re-clusters drop
+    *    their predecessors best-effort, this sweeps what a crash left),
+    *  - `_temporary` job residue.
+    *
+    * Safe against readers by the same argument as every post-commit
+    * delete: nothing swept is referenced by the CURRENT manifest, and a
+    * reader pinned to an older manifest was already exposed to the
+    * documented loud-failure race the moment that manifest was
+    * superseded. Safe against maintainers by the lock. Refuses a layout
+    * without a manifest — "everything the directory holds" IS such a
+    * layout's committed state, so nothing there is provably garbage.
+    */
+  def vacuumOrphans(s: SparkSession, path: String): VacuumReport =
+    withLock(s, path, "vacuum") {
+      val m = readManifest(s, path).getOrElse(throw new IllegalStateException(
+        s"$path has no committed manifest — a directory-committed layout has no " +
+          "provable garbage; write it through the maintained APIs first"))
+      val root = new Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      var bytes = 0L
+      val orphanFiles = listDataFiles(s, path).filterNot(m.files.toSet)
+      orphanFiles.foreach { f =>
+        val p = new Path(root, f)
+        bytes += fs.getFileStatus(p).getLen
+        fs.delete(p, false)
+      }
+      val referenced = m.headers.collect { case (k, v) if k.endsWith("_dir") => v }.toSet
+      val staleDirs = fs.listStatus(root).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !referenced(n) &&
+          (n.startsWith("_boxes_") || n.startsWith("_centroids") || n == "_temporary")
+      }.map(_.getPath.getName)
+      staleDirs.foreach { d =>
+        val p = new Path(root, d)
+        bytes += fs.getContentSummary(p).getLength
+        fs.delete(p, true)
+      }
+      VacuumReport(orphanFiles, staleDirs, bytes)
+    }
+
   /** None for a layout without the sidecar (pre-metadata layouts keep
     * their unchecked caller contract). A PRESENT but unreadable sidecar
     * FAILS with the file named: silently skipping the check on

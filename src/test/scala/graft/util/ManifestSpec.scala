@@ -136,4 +136,54 @@ class ManifestSpec extends SparkSpec {
     // a fresh resolve sees the complete post-compact snapshot
     assert(Maintenance.readLayout(spark, path).count() == pre)
   }
+
+  test("vacuumOrphans reclaims unpublished files and stale generation dirs, never committed state") {
+    import graft.sfa.{BulkLoad, ModelIO, SFA}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val W = 16
+    val walk = graft.ts.Loaders.randomWalk(800 + W - 1, 20261013L)
+    val model = SFA.fitWindowing(Array((walk, 0.0)), W, 8, 8,
+      normMean = false, lowerBounding = true)
+    val corpus = BulkLoad.windowRecords(spark, walk, 2, 400, W, 8, model).cache()
+    val path = Warehouse.dir(spark, "vacuum_spec_index")
+    ModelIO.saveIndex(corpus.filter(col("id") < 400), model.usedBits, prefixLen = 2, path)
+
+    // no-manifest layouts are refused (nothing there is provably garbage)
+    val bare = s"${Warehouse.dir(spark, "vacuum_bare")}/layout"
+    import spark.implicits._
+    Seq((1L, 0)).toDF("id", "p").write.partitionBy("p").parquet(bare)
+    intercept[IllegalStateException](Maintenance.vacuumOrphans(spark, bare))
+
+    // garbage: a crashed append's unpublished files + a stale stats dir
+    Maintenance.onBeforeManifestCommit =
+      () => throw new RuntimeException("killed mid-append")
+    assert(scala.util.Try(ModelIO.appendIndex(
+      corpus.filter(col("id") >= 400), model.usedBits, 2, path)).isFailure)
+    Maintenance.onBeforeManifestCommit = () => ()
+    val fsH = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staleDir = new org.apache.hadoop.fs.Path(path, "_boxes_stale_1")
+    fsH.mkdirs(staleDir)
+    val junk = fsH.create(new org.apache.hadoop.fs.Path(staleDir, "x.parquet"), true)
+    junk.write(Array.fill(64)(7.toByte)); junk.close()
+
+    val preRows = ModelIO.loadIndex(path)(spark).count()
+    val preBoxes = ModelIO.readBoxStats(spark, path).get.sortBy(_._1).toSeq
+    val report = Maintenance.vacuumOrphans(spark, path)
+    assert(report.dataFiles.nonEmpty, "the crashed append's files must be swept")
+    assert(report.dirs.contains("_boxes_stale_1"))
+    assert(report.bytes > 0)
+    // committed state untouched: rows, boxes, and the next maintenance op
+    assert(ModelIO.loadIndex(path)(spark).count() == preRows)
+    assert(ModelIO.readBoxStats(spark, path).get.sortBy(_._1).toSeq == preBoxes)
+    assert(Maintenance.listDataFiles(spark, path).toSet ==
+      Maintenance.readManifest(spark, path).get.files.toSet,
+      "post-vacuum the directory holds exactly the committed files")
+    // a second vacuum is a no-op
+    val again = Maintenance.vacuumOrphans(spark, path)
+    assert(again.dataFiles.isEmpty && again.dirs.isEmpty && again.bytes == 0)
+    ModelIO.appendIndex(corpus.filter(col("id") >= 400), model.usedBits, 2, path)
+    assert(ModelIO.loadIndex(path)(spark).count() == 800L)
+    corpus.unpersist()
+  }
 }
