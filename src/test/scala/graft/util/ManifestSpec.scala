@@ -137,6 +137,50 @@ class ManifestSpec extends SparkSpec {
     assert(Maintenance.readLayout(spark, path).count() == pre)
   }
 
+  test("a reader racing a stream of appends only ever sees committed snapshots, and never fails") {
+    import graft.sfa.{BulkLoad, ModelIO, SFA}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val W = 16
+    val walk = graft.ts.Loaders.randomWalk(1000 + W - 1, 20261014L)
+    val model = SFA.fitWindowing(Array((walk, 0.0)), W, 8, 8,
+      normMean = false, lowerBounding = true)
+    val corpus = BulkLoad.windowRecords(spark, walk, 2, 500, W, 8, model).cache()
+    corpus.count()
+    val path = Warehouse.dir(spark, "reader_race_index")
+    ModelIO.saveIndex(corpus.filter(col("id") < 400), model.usedBits, prefixLen = 2, path)
+
+    // append-only maintenance must be FULLY non-disruptive: data files
+    // are only ever added (the superseded artifact is the hidden boxes
+    // dir, which loadIndex never touches), and the manifest swap is one
+    // atomic rename — so a racing reader must always resolve some
+    // committed row count, never a torn one, and never fail
+    val published = (0 to 6).map(i => 400L + i * 100L).toSet
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    @volatile var readerError: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && readerError.isEmpty) {
+        try observed.add(ModelIO.loadIndex(path)(spark).count())
+        catch { case e: Throwable => readerError = Some(e) }
+      }
+    })
+    reader.start()
+    try {
+      (0 until 6).foreach { i =>
+        ModelIO.appendIndex(
+          corpus.filter(col("id") >= 400 + i * 100L && col("id") < 500 + i * 100L),
+          model.usedBits, 2, path)
+      }
+    } finally { stop = true; reader.join(60000) }
+    readerError.foreach(e => fail(s"racing reader failed: $e"))
+    val seen = observed.toArray.map(_.asInstanceOf[Long]).toSet
+    assert(seen.nonEmpty && seen.subsetOf(published),
+      s"reader observed non-committed counts: ${seen -- published}")
+    assert(ModelIO.loadIndex(path)(spark).count() == 1000L)
+    info(s"racing reader observed committed snapshots: ${seen.toSeq.sorted.mkString(", ")}")
+    corpus.unpersist()
+  }
+
   test("vacuumOrphans reclaims unpublished files and stale generation dirs, never committed state") {
     import graft.sfa.{BulkLoad, ModelIO, SFA}
     implicit val s: org.apache.spark.sql.SparkSession = spark
