@@ -342,11 +342,13 @@ object Layout {
       }
       val root = new org.apache.hadoop.fs.Path(loc)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val smalls = m.files.filter(f =>
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen < smallBytes)
+      // one recursive listing carries every length — never a per-file
+      // getFileStatus loop (10⁶ files would be 10⁶ NameNode RPCs)
+      val sizes = graft.util.Maintenance.dataFileSizes(s, loc)
+      val smalls = m.files.filter(f => sizes.get(f).exists(_ < smallBytes))
       if (smalls.size < 2) 0
       else {
-        val totalBytes = smalls.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen).sum
+        val totalBytes = smalls.map(sizes).sum
         val outParts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
         val fsBefore = graft.util.Maintenance.listDataFiles(s, loc).toSet
         writeZBatch(

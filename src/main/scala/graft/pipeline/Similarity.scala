@@ -502,16 +502,15 @@ object Similarity {
     * bytes, so skew is directly the tail-latency multiplier).
     */
   private[graft] def ivfCellSkew(s: SparkSession, loc: String): Double = {
-    val root = new org.apache.hadoop.fs.Path(loc)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // one recursive listing carries every length — never a per-file
+    // getFileStatus loop (10⁶ files would be 10⁶ NameNode RPCs)
+    val sizes = graft.util.Maintenance.dataFileSizes(s, loc)
     val files = graft.util.Maintenance.readManifest(s, loc)
-      .map(_.files).getOrElse(graft.util.Maintenance.listDataFiles(s, loc))
+      .map(_.files).getOrElse(sizes.keys.toSeq)
     val perCell = files
-      .filter(_.startsWith("cell="))
+      .filter(f => f.startsWith("cell=") && sizes.contains(f))
       .groupBy(_.takeWhile(_ != '/'))
-      .map { case (_, fsIn) =>
-        fsIn.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(root, f)).getLen).sum
-      }
+      .map { case (_, fsIn) => fsIn.map(sizes).sum }
     if (perCell.isEmpty) 1.0
     else perCell.max.toDouble / (perCell.sum.toDouble / perCell.size)
   }

@@ -259,6 +259,31 @@ object Maintenance {
     walk(start)
   }
 
+  /** Sizes of every data file under `path`, keyed by root-relative
+    * path — ONE recursive listing (each directory's listStatus carries
+    * lengths for free) instead of a per-file getFileStatus loop, which
+    * at 10⁶ files would be 10⁶ NameNode round-trips. Every consumer
+    * that needs file sizes (skew measurement, small-file selection,
+    * coherence checks) goes through this.
+    */
+  def dataFileSizes(s: SparkSession, path: String): Map[String, Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    val rootUri = root.toUri.getPath
+    def hidden(name: String): Boolean = name.startsWith("_") || name.startsWith(".")
+    def walk(p: Path): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (hidden(n)) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet"))
+          Seq(st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/") -> st.getLen)
+        else Seq.empty
+      }
+    walk(root).toMap
+  }
+
   /** Read the layout at `path` through its committed manifest when one
     * exists (the safe-across-compaction view: one atomic snapshot,
     * loud failure over silent subset), else a plain directory read
@@ -566,9 +591,9 @@ object Maintenance {
     if (fs.exists(jobResidue)) { fs.delete(jobResidue, true); () }
     val orphans = readManifest(s, path) match {
       case Some(m) =>
+        val sizes = dataFileSizes(s, path) // one listing, not a per-file RPC loop
         m.files.foreach { f =>
-          val p = new Path(root, f)
-          if (!fs.exists(p) || fs.getFileStatus(p).getLen == 0) throw new IllegalStateException(
+          if (!sizes.get(f).exists(_ > 0)) throw new IllegalStateException(
             s"layout $path is NOT coherent: manifest-listed file $f is missing or empty — " +
               "out-of-band damage; the lock stays until the layout is repaired")
         }
@@ -579,7 +604,7 @@ object Maintenance {
               s"layout $path is NOT coherent: manifest header $k names a missing or " +
                 s"empty directory $v — out-of-band damage; the lock stays")
         }
-        listDataFiles(s, path).filterNot(m.files.toSet)
+        sizes.keys.toSeq.filterNot(m.files.toSet)
       case None => Seq.empty // pre-manifest layout: nothing to validate against
     }
     fs.delete(lock, false)
@@ -620,11 +645,11 @@ object Maintenance {
       val root = new Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       var bytes = 0L
-      val orphanFiles = listDataFiles(s, path).filterNot(m.files.toSet)
+      val sizes = dataFileSizes(s, path) // one listing, not a per-file RPC loop
+      val orphanFiles = sizes.keys.toSeq.filterNot(m.files.toSet).sorted
       orphanFiles.foreach { f =>
-        val p = new Path(root, f)
-        bytes += fs.getFileStatus(p).getLen
-        fs.delete(p, false)
+        bytes += sizes(f)
+        fs.delete(new Path(root, f), false)
       }
       val referenced = m.headers.collect { case (k, v) if k.endsWith("_dir") => v }.toSet
       val staleDirs = fs.listStatus(root).toSeq.filter { st =>
