@@ -122,10 +122,23 @@ object IndexQ {
       // per-JVM build-once (the timePartitionedEvents rule): the memo
       // above is per-SESSION, so without the guard a second session in
       // this JVM would overwrite the layout a first session's lazily
-      // persisted reads still reference
+      // persisted reads still reference.
+      // half-SAVED / half-APPENDED / then COMPACTED by design (the
+      // IVF/Z-order pattern, r10): a member's prefix and the box stats
+      // depend only on its own word/approx (min/max/count merge
+      // exactly), so the build is bit-identical to a one-shot save and
+      // the j6 hash oracle (≡ brute scan) gates the whole maintenance
+      // lifecycle — appends, merged stats, compaction — every round
       graft.util.BuildOnce(path) {
-        ModelIO.saveIndex(corpus, usedBits = Words.binlog(Alpha), prefixLen = plen,
+        // corpus ids are the EVEN user_ids, so split on id mod 4
+        ModelIO.saveIndex(corpus.filter(col("id") % 4 === 0),
+          usedBits = Words.binlog(Alpha), prefixLen = plen,
           path, prefixStart = 2, base = 256)
+        ModelIO.appendIndex(corpus.filter(col("id") % 4 =!= 0),
+          usedBits = Words.binlog(Alpha), prefixLen = plen,
+          path, prefixStart = 2, base = 256)
+        ModelIO.compactIndex(path, maxFilesPerPrefix = 1)(s)
+        ()
       }
       val (df, stats) = IndexOps.knnOverLayout(path, queries, bins, normed = false,
         k = K, probe = KnnProbe, prefixLen = plen)

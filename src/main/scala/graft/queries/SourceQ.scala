@@ -318,7 +318,11 @@ object SourceQ {
         expr("transform(slice(data, 1, 4), x -> CAST(CASE WHEN x < 0 THEN 0 ELSE 1 END AS INT))"))
       .select(col("user_id").as("id"), col("data"), col("word"))
     val path = graft.util.Warehouse.dir(s, "s10_index")
-    ModelIO.saveIndex(corpus, usedBits = 1, prefixLen = 2, path)
+    // save/append split on id mod 4 (corpus ids are the even user_ids):
+    // per-prefix counts are arrangement-invariant, so the oracle gates
+    // the append path of a WORD-ONLY layout (no box stats) every round
+    ModelIO.saveIndex(corpus.filter(col("id") % 4 === 0), usedBits = 1, prefixLen = 2, path)
+    ModelIO.appendIndex(corpus.filter(col("id") % 4 =!= 0), usedBits = 1, prefixLen = 2, path)
     ModelIO.loadIndex(path)
       // partition-column inference types small prefixes int32; the
       // oracle emits BIGINT — align exactly rather than rely on the

@@ -32,7 +32,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * lineage id, so a recreated checkpoint's renumbered batches are NEW
   * data (never muted), and several streams feeding one layout keep
   * independent watermarks (they serialize at the maintenance lock and
-  * cannot mute each other).
+  * cannot mute each other). Residual (documented): one watermark header
+  * per lineage lives in the manifest for the layout's lifetime — a few
+  * bytes each; a layout fed by unboundedly many distinct checkpoints
+  * over years should prune dead lineages' keys during scheduled
+  * maintenance (dropping a key only re-opens replay for that one
+  * retired checkpoint).
   */
 object StreamingIndexIngest {
 

@@ -163,6 +163,16 @@ object Maintenance {
     * ORPHANS that no later manifest ever adopts — a replayed streaming
     * batch or retried append can therefore never double-count them.
     *
+    * Reader-safety scope (stated, not hidden): the committed-snapshot
+    * guarantee covers the INCREMENTAL ops — append, compact,
+    * re-cluster, streaming ingest, vacuum. A whole-layout SAVE in
+    * overwrite mode is a destructive REBUILD: Spark clears the
+    * directory (manifest included) before writing, so a reader racing
+    * a re-save of the same path sees a fail-loud window, not a
+    * snapshot. Rebuild-in-place is an offline op by nature; a live
+    * replacement is what [[Similarity.reclusterIvfLayout]]'s
+    * write-beside-then-swap pattern is for.
+    *
     * Scale envelope (stated, not hidden): the manifest is one text
     * file of O(files) lines rewritten per maintenance op, and a pinned
     * read builds a file index over that list — both linear in file
