@@ -158,6 +158,37 @@ class IvfLayoutSpec extends SparkSpec {
       assert(Similarity.appendIvfLayout(spark,
         Seq((2000000L, dupIv.toSeq, dupIv.map(x => x * x).sum)).toDF("c_id", "civ", "cn"), loc))
       assert(graft.util.Maintenance.readLayout(spark, loc).count() == preIds.size + 1L)
+
+      // ANN across the transition: probe+exact-rerank over the
+      // RE-CLUSTERED layout — returned cosines are the true cosines (the
+      // re-rank is exact by construction) and recall@3 vs the brute scan
+      // over the same members stays useful
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("iv").as("qiv"), col("nrm2").as("qn"))
+      val layoutNow = graft.util.Maintenance.readLayout(spark, loc)
+        .select(col("cell").cast("long").as("cell"), col("c_id"), col("civ"), col("cn"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("score"), col("cell"))
+      val probes = q.crossJoin(broadcast(Similarity.loadIvfCentroids(spark, loc)))
+        .withColumn("score", Similarity.dotCol(col("qiv"), col("cv")) / sqrt(col("cn2")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(byQ))
+        .filter(col("rn") <= 4).select("q_id", "cell")
+      def top3(cand: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+        cand.join(broadcast(q), "q_id")
+          .withColumn("cos", Similarity.dotCol(col("qiv"), col("civ")) /
+            (sqrt(col("qn")) * sqrt(col("cn"))))
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rk") <= 3).select("q_id", "c_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val annGot = top3(probes.join(layoutNow, "cell"))
+      val brute = top3(layoutNow.crossJoin(broadcast(q.select("q_id")))
+        .select(col("q_id"), col("c_id"), col("civ"), col("cn")))
+      val recall = annGot.intersect(brute).size.toDouble / brute.size
+      info(f"ANN recall@3 over the re-clustered layout (4/$cells%d cells probed): $recall%.2f")
+      assert(recall >= 0.5, f"re-clustered layout ANN recall collapsed: $recall%.2f")
     } finally { members.unpersist(); () }
   }
 }
