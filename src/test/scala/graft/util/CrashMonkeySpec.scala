@@ -45,6 +45,7 @@ class CrashMonkeySpec extends SparkSpec {
     ModelIO.saveIndex(batch(0), model.usedBits, prefixLen = 2, path)
     var expected = batchRows.toLong
     var ingestBid = -1L
+    var crashes = 0
 
     def checkInvariants(stage: String): Unit = {
       val rows = ModelIO.loadIndex(path)(spark).count()
@@ -60,6 +61,7 @@ class CrashMonkeySpec extends SparkSpec {
       val died = scala.util.Try(op)
       Maintenance.onBeforeManifestCommit = () => ()
       assert(died.isFailure, s"$opName was supposed to crash")
+      crashes += 1
       recover
       checkInvariants(s"$opName/post-crash")
     }
@@ -118,8 +120,10 @@ class CrashMonkeySpec extends SparkSpec {
     // the directory may still hold orphans from crashed ops; the
     // committed state must be exactly the model regardless
     val report = Maintenance.vacuumOrphans(spark, path)
-    info(s"schedule done: rows=$expected, vacuum swept ${report.dataFiles.size} " +
-      s"orphan files / ${report.dirs.size} dirs / ${report.bytes} bytes")
+    info(s"schedule done: rows=$expected, $crashes publish-point crashes injected, " +
+      s"final vacuum swept ${report.dataFiles.size} orphan files / " +
+      s"${report.dirs.size} dirs / ${report.bytes} bytes")
+    assert(crashes >= 3, s"only $crashes crashes fired - the schedule is near-vacuous")
     checkInvariants("final")
     assert(expected == n.toLong, "the schedule must have applied every batch")
 
