@@ -198,33 +198,54 @@ object Maintenance {
     * directory listing would reintroduce exactly the torn-view reads
     * the manifest exists to prevent.
     */
-  def readManifest(s: SparkSession, path: String): Option[Manifest] = {
-    val p = new Path(path, ManifestFile)
+  def readManifest(s: SparkSession, path: String): Option[Manifest] =
+    readTextRetrying(s, path, ManifestFile).map { lines =>
+      val (hs, fsLines) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
+      Manifest(
+        hs.flatMap { l =>
+          l.drop(1).split("=", 2) match {
+            case Array(k, v) => Some(k -> v); case _ => None
+          }
+        }.toMap,
+        fsLines)
+    }
+
+  /** Read a rename-committed text file, retrying a handful of times
+    * before declaring it unreadable. The retry is load-bearing on the
+    * LOCAL filesystem: Hadoop's ChecksumFs implements rename-over as
+    * TWO renames (data file, then its `.crc` sidecar), so a reader
+    * landing between them sees a transient checksum mismatch — the
+    * racing-reader gate (ManifestSpec) caught exactly this. A transient
+    * race resolves on re-read within milliseconds; real tamper/damage
+    * persists and still FAILS FAST after the retries (the fail-loud
+    * contract is unchanged — only its trigger now distinguishes
+    * "mid-rename" from "corrupt"). HDFS renames are one NameNode op and
+    * never take this path.
+    */
+  private def readTextRetrying(s: SparkSession, dir: String,
+      name: String): Option[Seq[String]] = {
+    val p = new Path(dir, name)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
-      val parsed = try {
-        scala.util.Try {
-          val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toSeq
-          val (hs, fsLines) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
-          Manifest(
-            hs.flatMap { l =>
-              l.drop(1).split("=", 2) match {
-                case Array(k, v) => Some(k -> v); case _ => None
-              }
-            }.toMap,
-            fsLines)
-        }
-      } finally in.close()
-      parsed match {
-        case scala.util.Success(m) => Some(m)
-        case scala.util.Failure(e) => throw new IllegalStateException(
-          s"layout manifest $p is unreadable (${e.getMessage}); a torn-view " +
-            "directory fallback would defeat the committed-snapshot contract — " +
-            "restore or regenerate the manifest", e)
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return None
+      val read = scala.util.Try {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null).toSeq
+        finally in.close()
+      }
+      read match {
+        case scala.util.Success(lines) => return Some(lines)
+        case scala.util.Failure(e) =>
+          attempt += 1
+          if (attempt >= 5) throw new IllegalStateException(
+            s"committed file $p is unreadable after $attempt attempts " +
+              s"(${e.getMessage}); a torn-view fallback would defeat the " +
+              "committed-snapshot contract — restore or regenerate it", e)
+          Thread.sleep(20L * attempt)
       }
     }
+    None // unreachable
   }
 
   /** Commit `m` as `path`'s manifest in one rename (headers first as
@@ -680,26 +701,10 @@ object Maintenance {
     * FAILS with the file named: silently skipping the check on
     * corruption would defeat the fail-fast.
     */
-  def readSidecar(s: SparkSession, dir: String, name: String): Option[Map[String, String]] = {
-    val p = new Path(dir, name)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
-      val parsed = try {
-        scala.util.Try {
-          Iterator.continually(in.readLine()).takeWhile(_ != null)
-            .flatMap { l =>
-              l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
-            }.toMap
-        }
-      } finally in.close()
-      parsed match {
-        case scala.util.Success(m) => Some(m)
-        case scala.util.Failure(e) => throw new IllegalStateException(
-          s"layout metadata sidecar $p is unreadable (${e.getMessage}); " +
-            "delete the sidecar to fall back to the unchecked contract", e)
-      }
+  def readSidecar(s: SparkSession, dir: String, name: String): Option[Map[String, String]] =
+    readTextRetrying(s, dir, name).map {
+      _.flatMap { l =>
+        l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
+      }.toMap
     }
-  }
 }
