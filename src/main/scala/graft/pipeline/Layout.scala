@@ -357,8 +357,10 @@ object Layout {
         val created = graft.util.Maintenance.listDataFiles(s, loc).filterNot(fsBefore)
         graft.util.Maintenance.writeManifest(s, loc, graft.util.Maintenance.Manifest(
           m.headers, m.files.filterNot(smalls.toSet) ++ created))
-        // post-commit garbage: the merged-away small files
-        smalls.foreach(f => scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(root, f), false)))
+        // the merged-away small files are NOT deleted here: a reader
+        // pinned to the pre-compact manifest keeps a fully-intact
+        // snapshot until `Maintenance.vacuumOrphans` sweeps them on the
+        // maintenance schedule
         smalls.size
       }
     }

@@ -562,13 +562,10 @@ object Similarity {
         graft.util.Maintenance.writeManifest(s, loc, graft.util.Maintenance.Manifest(
           mOld.headers + (CentroidsHeader -> gen), created))
         cent.unpersist()
-        // post-commit garbage: the old generation
-        val root = new org.apache.hadoop.fs.Path(loc)
-        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        mOld.files.foreach(f =>
-          scala.util.Try(fsys.delete(new org.apache.hadoop.fs.Path(root, f), false)))
-        mOld.header(CentroidsHeader).filter(_ != gen).foreach(d =>
-          scala.util.Try(fsys.delete(new org.apache.hadoop.fs.Path(root, d), true)))
+        // the old generation (member files + centroid dir) is NOT
+        // deleted here: a reader pinned to the pre-recluster manifest
+        // keeps a fully-intact snapshot until the scheduled
+        // `Maintenance.vacuumOrphans` sweeps the unreferenced generation
         cells
       } finally { members.unpersist(); () }
     }

@@ -390,16 +390,11 @@ object ModelIO {
           }
         graft.util.Maintenance.writeManifest(s, path,
           graft.util.Maintenance.Manifest(headers, baseFiles ++ created))
-        // post-commit: the superseded stats table is garbage (a reader
-        // that pinned the OLD manifest may fail loudly mid-read — the
-        // documented compaction-class race, retry resolves the new
-        // snapshot)
-        mOld.flatMap(_.header(BoxStatsHeader)).filter(_ => statsDir.isDefined).foreach { d =>
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(path, d), true))
-          ()
-        }
+        // the superseded stats generation is NOT deleted here: an append
+        // deletes nothing, so a reader that resolved the old manifest an
+        // instant ago keeps a fully-intact snapshot (boxes included) —
+        // `Maintenance.vacuumOrphans` is the one deleter of superseded
+        // generations, run on the maintenance schedule
         // annotate a pre-metadata layout with the packing this append
         // just asserted, so the NEXT append is checked too
         if (existing.isEmpty)

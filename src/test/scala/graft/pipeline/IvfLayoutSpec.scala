@@ -189,6 +189,17 @@ class IvfLayoutSpec extends SparkSpec {
       val recall = annGot.intersect(brute).size.toDouble / brute.size
       info(f"ANN recall@3 over the re-clustered layout (4/$cells%d cells probed): $recall%.2f")
       assert(recall >= 0.5, f"re-clustered layout ANN recall collapsed: $recall%.2f")
+
+      // re-cluster deleted nothing (snapshot isolation); vacuum sweeps
+      // the old generation, after which directory == manifest and the
+      // layout still answers identically
+      val preVac = graft.util.Maintenance.readLayout(spark, loc).count()
+      val swept = graft.util.Maintenance.vacuumOrphans(spark, loc)
+      assert(swept.dataFiles.nonEmpty && swept.dirs.exists(_.startsWith("_centroids")),
+        s"vacuum must sweep the superseded generation: $swept")
+      assert(graft.util.Maintenance.listDataFiles(spark, loc).toSet ==
+        graft.util.Maintenance.readManifest(spark, loc).get.files.toSet)
+      assert(graft.util.Maintenance.readLayout(spark, loc).count() == preVac)
     } finally { members.unpersist(); () }
   }
 }

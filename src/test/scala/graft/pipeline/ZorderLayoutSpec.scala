@@ -94,7 +94,11 @@ class ZorderLayoutSpec extends SparkSpec {
       val (cLo, cHi) = (cmn + (cmx - cmn) / 4, cmn + (cmx - cmn) / 2)
 
       def scanRows(loc: String): (Long, Seq[org.apache.spark.sql.Row]) = {
-        val q = Layout.zorderRollup(spark.read.parquet(loc), uLo, uHi, cLo, cHi)
+        // manifest-pinned when one exists (post-compaction the directory
+        // legitimately still holds the merged-away files until vacuum);
+        // the control layout has no manifest and falls back to the dir
+        val q = Layout.zorderRollup(
+          graft.util.Maintenance.readLayout(spark, loc), uLo, uHi, cLo, cHi)
         val rows = q.collect().toSeq
         val scan = q.queryExecution.executedPlan.collectLeaves()
           .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
@@ -163,6 +167,14 @@ class ZorderLayoutSpec extends SparkSpec {
       info(s"rows read post-compaction: z-ordered=$zReadC shuffled control=$cRead")
       assert(zReadC < cRead,
         s"compacted z-layout must still skip vs the control: $zReadC vs $cRead")
+      // compaction deleted nothing (snapshot isolation); vacuum is the
+      // deleter, after which directory and manifest coincide exactly
+      val swept = graft.util.Maintenance.vacuumOrphans(spark, zLoc)
+      assert(swept.dataFiles.size == merged,
+        s"vacuum must sweep exactly the merged-away files: ${swept.dataFiles.size} vs $merged")
+      assert(graft.util.Maintenance.listDataFiles(spark, zLoc).toSet ==
+        graft.util.Maintenance.readManifest(spark, zLoc).get.files.toSet)
+      assert(graft.util.Maintenance.readLayout(spark, zLoc).count() == rowsGrown)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
