@@ -319,9 +319,10 @@ object Layout {
     * output is itself z-sorted (skipping is per row group; see
     * [[appendZordered]]'s doc). A crash before the rename leaves the
     * merged files as unpublished orphans (layout unchanged); the
-    * superseded small files are dropped post-commit (a reader pinned to
-    * the old snapshot may then fail loudly — the documented
-    * compaction-class race, never a silent subset). The full
+    * superseded small files are NOT deleted here — they become
+    * tombstoned garbage `Maintenance.vacuumOrphans` sweeps on the
+    * maintenance schedule, and a vacuum retention window keeps them
+    * scannable for pinned readers until the window expires. The full
     * [[writeZordered]] re-sort remains the deep clean. Returns the
     * number of small files merged (0 = nothing to do).
     */

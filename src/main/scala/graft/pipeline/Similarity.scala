@@ -525,10 +525,12 @@ object Similarity {
     * resolve either the complete old snapshot (old members + old
     * centroids) or the complete new one, never a mix, and a crash
     * before the rename leaves the layout untouched (the new files are
-    * unpublished orphans). Old files are dropped post-commit (a reader
-    * pinned to the old snapshot may then fail loudly — the documented
-    * compaction-class race). Cost: one full member rewrite — the deep
-    * clean, scheduled off the measured trigger, not per append.
+    * unpublished orphans). The old generation is NOT deleted here: it
+    * becomes tombstoned garbage `Maintenance.vacuumOrphans` sweeps on
+    * the maintenance schedule, and a vacuum retention window keeps it
+    * scannable for pinned readers until the window expires. Cost: one
+    * full member rewrite — the deep clean, scheduled off the measured
+    * trigger, not per append.
     */
   private[graft] def reclusterIvfLayout(s: SparkSession, loc: String): Long =
     graft.util.Maintenance.withLock(s, loc, "recluster") {

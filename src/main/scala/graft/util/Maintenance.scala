@@ -186,9 +186,20 @@ object Maintenance {
 
   /** One committed layout snapshot: `files` are data-file paths
     * RELATIVE to the layout root (sorted, canonical), `headers` the
-    * atomically co-committed metadata.
+    * atomically co-committed metadata, `tombstones` the (dropTimeMs,
+    * path) retention log — every file or generation dir a PAST commit
+    * unreferenced, stamped with that commit's wall time. Tombstones are
+    * what lets [[vacuumOrphans]] honor a retention window: a reader
+    * pinned to any manifest committed within the last `minAgeMs` can
+    * only reference files that are either still live or tombstoned
+    * more recently than the window — never swept under it. They are
+    * maintained by [[writeManifest]] automatically and purged by
+    * vacuum once their path is gone, so the log stays bounded by the
+    * garbage actually outstanding (Delta's remove-action/retention
+    * mechanism, cut down to the one-file log).
     */
-  final case class Manifest(headers: Map[String, String], files: Seq[String]) {
+  final case class Manifest(headers: Map[String, String], files: Seq[String],
+      tombstones: Seq[(Long, String)] = Nil) {
     def header(k: String): Option[String] = headers.get(k)
   }
 
@@ -200,14 +211,21 @@ object Maintenance {
     */
   def readManifest(s: SparkSession, path: String): Option[Manifest] =
     readTextRetrying(s, path, ManifestFile).map { lines =>
-      val (hs, fsLines) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
+      val nonEmpty = lines.filter(_.nonEmpty)
+      val (hs, rest) = nonEmpty.partition(_.startsWith("#"))
+      val (ts, fsLines) = rest.partition(_.startsWith("!"))
       Manifest(
         hs.flatMap { l =>
           l.drop(1).split("=", 2) match {
             case Array(k, v) => Some(k -> v); case _ => None
           }
         }.toMap,
-        fsLines)
+        fsLines,
+        ts.flatMap { l =>
+          l.drop(1).split("\t", 2) match {
+            case Array(t, p) => t.toLongOption.map(_ -> p); case _ => None
+          }
+        })
     }
 
   /** Read a rename-committed text file, retrying a handful of times
@@ -249,13 +267,40 @@ object Maintenance {
   }
 
   /** Commit `m` as `path`'s manifest in one rename (headers first as
-    * `#k=v` lines, then the sorted file list — a canonical byte form,
-    * so identical snapshots are identical bytes).
+    * `#k=v` lines, then `!dropTimeMs\tpath` tombstones, then the sorted
+    * file list — a canonical byte form, so identical snapshots are
+    * identical bytes).
+    *
+    * Tombstone maintenance is AUTOMATIC at this choke point (every
+    * commit flows through here): the previous manifest's tombstones are
+    * carried forward, and every file — or `*_dir`-header generation
+    * dir — the previous manifest referenced but `m` does not gets a
+    * fresh tombstone stamped with this commit's wall time. Callers
+    * therefore never think about retention; [[vacuumOrphans]] is the
+    * only consumer (and passes `carryTombstones = false` to publish its
+    * purged log without re-adopting the entries it just retired).
     */
-  def writeManifest(s: SparkSession, path: String, m: Manifest): Unit = {
+  def writeManifest(s: SparkSession, path: String, m: Manifest,
+      carryTombstones: Boolean = true): Unit = {
+    val prev = if (carryTombstones) readManifest(s, path) else None
+    val now = System.currentTimeMillis()
+    val liveDirs = m.headers.collect { case (k, v) if k.endsWith("_dir") => v }.toSet
+    val live = m.files.toSet ++ liveDirs
+    val dropped = prev.toSeq.flatMap { p =>
+      val prevDirs = p.headers.collect { case (k, v) if k.endsWith("_dir") => v }
+      (p.files ++ prevDirs).filterNot(live)
+    }
+    val tombs = (prev.toSeq.flatMap(_.tombstones) ++ m.tombstones ++
+        dropped.map(now -> _))
+      .filterNot { case (_, p) => live(p) }
+      // dedupe per PATH (same-millisecond stamps collide on a
+      // ts-keyed map), keeping the most recent drop time
+      .groupBy(_._2).toSeq.map { case (p, ts) => ts.map(_._1).max -> p }
+      .sorted
     onBeforeManifestCommit()
     writeTextAtomic(s, path, ManifestFile,
       (m.headers.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+        tombs.map { case (t, p) => s"!$t\t$p" } ++
         m.files.distinct.sorted).mkString("", "\n", "\n"))
   }
 
@@ -644,9 +689,11 @@ object Maintenance {
 
   /** What [[vacuumOrphans]] swept: unpublished data files, unreferenced
     * generation dirs, job residue — all garbage by construction (no
-    * committed manifest references any of it).
+    * committed manifest references any of it) — plus what it RETAINED:
+    * tombstoned entries still inside the caller's retention window.
     */
-  final case class VacuumReport(dataFiles: Seq[String], dirs: Seq[String], bytes: Long)
+  final case class VacuumReport(dataFiles: Seq[String], dirs: Seq[String],
+      bytes: Long, retained: Seq[String] = Nil)
 
   /** Garbage-collect a manifest-committed layout — the VACUUM half of
     * the commit protocol (orphan EXCLUSION is structural; this reclaims
@@ -660,40 +707,66 @@ object Maintenance {
     *    their predecessors best-effort, this sweeps what a crash left),
     *  - `_temporary` job residue.
     *
-    * Safe against readers by the same argument as every post-commit
-    * delete: nothing swept is referenced by the CURRENT manifest, and a
-    * reader pinned to an older manifest was already exposed to the
-    * documented loud-failure race the moment that manifest was
-    * superseded. Safe against maintainers by the lock. Refuses a layout
-    * without a manifest — "everything the directory holds" IS such a
-    * layout's committed state, so nothing there is provably garbage.
+    * Safe against readers by RETENTION, not luck: `minAgeMs` is the
+    * window a superseded snapshot stays scannable. Every file (or
+    * generation dir) a commit unreferences carries a tombstone stamped
+    * with that commit's time ([[writeManifest]]); vacuum sweeps a
+    * tombstoned entry only once it has been dead longer than
+    * `minAgeMs`, then purges its tombstone. A reader that pinned ANY
+    * manifest within the last `minAgeMs` therefore keeps a fully-intact
+    * snapshot: everything it can reference is live or younger-dead
+    * than the window. Orphans with NO tombstone were never in any
+    * manifest (crashed operations' unpublished writes — invisible to
+    * every reader by construction) and are swept immediately at any
+    * age. With the default `minAgeMs = 0` every orphan sweeps — the
+    * quiesced-maintenance mode; a 24/7 deployment passes a window
+    * longer than its longest query, Delta-vacuum style. Safe against
+    * maintainers by the lock. Refuses a layout without a manifest —
+    * "everything the directory holds" IS such a layout's committed
+    * state, so nothing there is provably garbage.
     */
-  def vacuumOrphans(s: SparkSession, path: String): VacuumReport =
+  def vacuumOrphans(s: SparkSession, path: String,
+      minAgeMs: Long = 0L): VacuumReport =
     withLock(s, path, "vacuum") {
       val m = readManifest(s, path).getOrElse(throw new IllegalStateException(
         s"$path has no committed manifest — a directory-committed layout has no " +
           "provable garbage; write it through the maintained APIs first"))
       val root = new Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      val tombTs: Map[String, Long] =
+        m.tombstones.groupBy(_._2).map { case (p, ts) => p -> ts.map(_._1).max }
+      // inside the retention window iff tombstoned recently enough;
+      // never-tombstoned garbage was never published and has no readers
+      def retained(rel: String): Boolean =
+        tombTs.get(rel).exists(ts => now - ts < minAgeMs)
       var bytes = 0L
       val sizes = dataFileSizes(s, path) // one listing, not a per-file RPC loop
-      val orphanFiles = sizes.keys.toSeq.filterNot(m.files.toSet).sorted
+      val (keptFiles, orphanFiles) =
+        sizes.keys.toSeq.filterNot(m.files.toSet).sorted.partition(retained)
       orphanFiles.foreach { f =>
         bytes += sizes(f)
         fs.delete(new Path(root, f), false)
       }
       val referenced = m.headers.collect { case (k, v) if k.endsWith("_dir") => v }.toSet
-      val staleDirs = fs.listStatus(root).toSeq.filter { st =>
+      val (keptDirs, staleDirs) = fs.listStatus(root).toSeq.filter { st =>
         val n = st.getPath.getName
         st.isDirectory && !referenced(n) &&
           (n.startsWith("_boxes_") || n.startsWith("_centroids") || n == "_temporary")
-      }.map(_.getPath.getName)
+      }.map(_.getPath.getName).partition(retained)
       staleDirs.foreach { d =>
         val p = new Path(root, d)
         bytes += fs.getContentSummary(p).getLength
         fs.delete(p, true)
       }
-      VacuumReport(orphanFiles, staleDirs, bytes)
+      // purge tombstones that no longer protect anything on disk, so the
+      // log stays bounded by the garbage actually outstanding
+      val stillDead = (keptFiles ++ keptDirs).toSet
+      val liveTombs = m.tombstones.filter { case (_, p) => stillDead(p) }
+      if (liveTombs != m.tombstones)
+        writeManifest(s, path, m.copy(tombstones = liveTombs),
+          carryTombstones = false)
+      VacuumReport(orphanFiles, staleDirs, bytes, keptFiles ++ keptDirs)
     }
 
   /** None for a layout without the sidecar (pre-metadata layouts keep

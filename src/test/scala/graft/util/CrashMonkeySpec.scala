@@ -109,8 +109,21 @@ class CrashMonkeySpec extends SparkSpec {
             ModelIO.compactIndex(path, maxFilesPerPrefix = 2)(spark)
             ()
           }
-        case 1 => // vacuum (no publish point of its own)
-          Maintenance.vacuumOrphans(spark, path)
+        case 1 => // vacuum (no publish point of its own); half the time
+          // with a retention window, under which tombstoned state (the
+          // appends' superseded _boxes_ generations) must be RETAINED —
+          // only never-published crash residue may sweep
+          if (rng.nextBoolean()) Maintenance.vacuumOrphans(spark, path)
+          else {
+            // everything tombstoned in this test is seconds old, so
+            // nothing tombstoned may sweep under an hour-long window
+            val tombs = Maintenance.readManifest(spark, path).get
+              .tombstones.map(_._2).toSet
+            val r = Maintenance.vacuumOrphans(spark, path, minAgeMs = 3600L * 1000L)
+            val bad = (r.dataFiles ++ r.dirs).filter(tombs)
+            assert(bad.isEmpty,
+              s"a windowed vacuum swept inside the retention window: $bad")
+          }
           ()
         case _ => ()
       }

@@ -33,6 +33,14 @@ class ManifestSpec extends SparkSpec {
     Maintenance.writeManifest(spark, dir, Maintenance.Manifest(Map.empty, Seq("only.parquet")))
     val got2 = Maintenance.readManifest(spark, dir).get
     assert(got2.headers.isEmpty && got2.files == Seq("only.parquet"))
+    // ...except the retention log, which the commit choke point maintains
+    // AUTOMATICALLY: everything the new manifest unreferenced (both
+    // prior files and the stats_dir generation) is tombstoned with this
+    // commit's time, and the log round-trips
+    assert(got2.tombstones.map(_._2).sorted ==
+      Seq("_boxes_1", "p=1/a.parquet", "p=2/b.parquet"),
+      s"dropped entries must be auto-tombstoned: ${got2.tombstones}")
+    assert(got2.tombstones.forall(_._1 > 0L))
     // out-of-band tamper -> stale Hadoop checksum -> LOUD failure, not a
     // silent directory fallback
     java.nio.file.Files.writeString(
@@ -229,5 +237,66 @@ class ManifestSpec extends SparkSpec {
     ModelIO.appendIndex(corpus.filter(col("id") >= 400), model.usedBits, 2, path)
     assert(ModelIO.loadIndex(path)(spark).count() == 800L)
     corpus.unpersist()
+  }
+
+  test("vacuum retention window: superseded snapshots outlive the vacuum, crash residue does not") {
+    import spark.implicits._
+    val dir = Warehouse.dir(spark, "vacuum_retention")
+    val path = s"$dir/layout"
+    val HOUR = 3600L * 1000L
+
+    // generation 1: published files + a generation dir the header pins
+    (0 until 30).map(i => (i.toLong, i % 2)).toDF("id", "p")
+      .repartition(1).write.mode("overwrite").partitionBy("p").parquet(path)
+    val gen1 = Maintenance.listDataFiles(spark, path)
+    val fsH = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen1Dir = new org.apache.hadoop.fs.Path(path, "_boxes_gen1")
+    fsH.mkdirs(gen1Dir)
+    val g1 = fsH.create(new org.apache.hadoop.fs.Path(gen1Dir, "b.parquet"), true)
+    g1.write(Array.fill(32)(1.toByte)); g1.close()
+    Maintenance.writeManifest(spark, path,
+      Maintenance.Manifest(Map("stats_dir" -> "_boxes_gen1"), gen1))
+    val pinned = Maintenance.readLayout(spark, path) // plans over gen1
+
+    // generation 2 REPLACES generation 1 (the recluster/compact shape):
+    // new files + new generation dir committed, old ones auto-tombstoned
+    (100 until 160).map(i => (i.toLong, i % 2)).toDF("id", "p")
+      .repartition(1).write.mode("append").partitionBy("p").parquet(path)
+    val gen2 = Maintenance.listDataFiles(spark, path).filterNot(gen1.toSet)
+    assert(gen2.nonEmpty)
+    Maintenance.writeManifest(spark, path,
+      Maintenance.Manifest(Map("stats_dir" -> "_boxes_gen2"), gen2))
+    fsH.mkdirs(new org.apache.hadoop.fs.Path(path, "_boxes_gen2"))
+
+    // crash residue: durable but never published in ANY manifest
+    Seq((999L, 0)).toDF("id", "p").repartition(1)
+      .write.mode("append").partitionBy("p").parquet(path)
+    val residue = Maintenance.listDataFiles(spark, path)
+      .filterNot((gen1 ++ gen2).toSet)
+    assert(residue.nonEmpty)
+
+    // vacuum INSIDE the retention window: the never-published residue
+    // sweeps immediately (no reader can reference it), the tombstoned
+    // generation is RETAINED — so the pinned reader's snapshot is intact
+    val windowed = Maintenance.vacuumOrphans(spark, path, minAgeMs = HOUR)
+    assert(windowed.dataFiles.sorted == residue.sorted,
+      s"only crash residue may sweep inside the window: $windowed")
+    assert(windowed.retained.toSet == gen1.toSet + "_boxes_gen1",
+      s"the superseded generation must be retained: $windowed")
+    assert(pinned.count() == 30,
+      "a reader pinned to the superseded manifest must survive a windowed vacuum")
+    assert(Maintenance.readManifest(spark, path).get.tombstones.map(_._2).toSet ==
+      gen1.toSet + "_boxes_gen1", "retained entries keep their tombstones")
+
+    // vacuum PAST the window (retention 0): the dead generation sweeps
+    // and its tombstones purge — the log is bounded by outstanding garbage
+    val expired = Maintenance.vacuumOrphans(spark, path, minAgeMs = 0L)
+    assert(expired.dataFiles.sorted == gen1.sorted && expired.dirs == Seq("_boxes_gen1"))
+    assert(expired.retained.isEmpty)
+    assert(Maintenance.readManifest(spark, path).get.tombstones.isEmpty,
+      "swept entries' tombstones must purge")
+    assert(Maintenance.listDataFiles(spark, path).toSet == gen2.toSet)
+    assert(Maintenance.readLayout(spark, path).count() == 60)
   }
 }
