@@ -252,7 +252,7 @@ object Layout {
     * fixture-scale skipping measurements (ZorderLayoutSpec); production
     * keeps the default.
     */
-  private[pipeline] def writeZordered(ev: DataFrame, loc: String,
+  def writeZordered(ev: DataFrame, loc: String,
       blockSize: Option[Long] = None,
       dims: (String, String) = ("user_id", "cents")): Unit =
     graft.util.Maintenance.withLock(ev.sparkSession, loc, "save") {
@@ -281,10 +281,18 @@ object Layout {
     * at all) would silently break row-group skipping. Serialized per
     * layout by the shared maintenance lock. ZorderLayoutSpec measures
     * the skip over a half-saved/half-appended layout.
+    *
+    * `ingestKey = Some((streamId, batchId))` makes the append
+    * EXACTLY-ONCE for streaming callers, by the same mechanism as
+    * `ModelIO.appendIndexBatch` / `Similarity.appendIvfLayout`: the
+    * per-lineage watermark header commits in the SAME manifest rename
+    * as the file list, and a batch at or below its lineage's watermark
+    * is a no-op. Returns whether the batch was appended.
     */
-  private[pipeline] def appendZordered(ev: DataFrame, loc: String,
+  def appendZordered(ev: DataFrame, loc: String,
       blockSize: Option[Long] = None,
-      dims: (String, String) = ("user_id", "cents")): Unit =
+      dims: (String, String) = ("user_id", "cents"),
+      ingestKey: Option[(String, Long)] = None): Boolean =
     graft.util.Maintenance.withLock(ev.sparkSession, loc, "append") {
       graft.util.Maintenance.readSidecar(ev.sparkSession, loc, ZorderMetaFile) match {
         case Some(m) =>
@@ -300,12 +308,25 @@ object Layout {
       }
       val s = ev.sparkSession
       val mOld = graft.util.Maintenance.readManifest(s, loc)
-      val fsBefore = graft.util.Maintenance.listDataFiles(s, loc).toSet
-      writeZBatch(ev, loc, blockSize, dims, org.apache.spark.sql.SaveMode.Append)
-      val created = graft.util.Maintenance.listDataFiles(s, loc).filterNot(fsBefore)
-      graft.util.Maintenance.writeManifest(s, loc, graft.util.Maintenance.Manifest(
-        mOld.map(_.headers).getOrElse(Map.empty),
-        mOld.map(_.files).getOrElse(fsBefore.toSeq.sorted) ++ created))
+      val replayed = ingestKey.exists { case (sid, bid) =>
+        mOld.flatMap(_.header(graft.sfa.ModelIO.ingestHeader(sid)))
+          .flatMap(_.toLongOption).exists(bid <= _)
+      }
+      if (replayed) false
+      else {
+        val fsBefore = graft.util.Maintenance.listDataFiles(s, loc).toSet
+        writeZBatch(ev, loc, blockSize, dims, org.apache.spark.sql.SaveMode.Append)
+        val created = graft.util.Maintenance.listDataFiles(s, loc).filterNot(fsBefore)
+        val headers = mOld.map(_.headers).getOrElse(Map.empty[String, String]) ++
+          ingestKey.toSeq.flatMap { case (sid, bid) =>
+            Seq(graft.sfa.ModelIO.ingestHeader(sid) -> bid.toString,
+              graft.sfa.ModelIO.LastIngestHeader -> s"$sid:$bid")
+          }
+        graft.util.Maintenance.writeManifest(s, loc, graft.util.Maintenance.Manifest(
+          headers,
+          mOld.map(_.files).getOrElse(fsBefore.toSeq.sorted) ++ created))
+        true
+      }
     }
 
   /** Bounded compaction of an append-grown z-ordered layout — the r9
@@ -326,7 +347,7 @@ object Layout {
     * [[writeZordered]] re-sort remains the deep clean. Returns the
     * number of small files merged (0 = nothing to do).
     */
-  private[graft] def compactZordered(s: SparkSession, loc: String,
+  def compactZordered(s: SparkSession, loc: String,
       blockSize: Option[Long] = None, smallBytes: Long = 32L << 20,
       targetBytes: Long = 128L << 20): Int =
     graft.util.Maintenance.withLock(s, loc, "compact") {

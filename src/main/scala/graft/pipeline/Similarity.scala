@@ -313,7 +313,7 @@ object Similarity {
       .agg(expr("transform(sort_array(collect_list(struct(i, cx))), p -> p.cx)").as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
 
-  private[graft] def ivfCentroids(base: DataFrame, cells: Int): DataFrame = {
+  def ivfCentroids(base: DataFrame, cells: Int): DataFrame = {
     val seeds = base.orderBy("id").limit(cells)
       .select(col("id").as("cell"), col("iv").as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
@@ -388,7 +388,7 @@ object Similarity {
     * MANIFEST-COMMITTED: readers resolve one atomic snapshot of member
     * files + centroid pointer, see `graft.util.Maintenance.readLayout`).
     */
-  private[graft] def saveIvfLayout(s: SparkSession, members: DataFrame,
+  def saveIvfLayout(s: SparkSession, members: DataFrame,
       cent: DataFrame, loc: String): Unit =
     graft.util.Maintenance.withLock(s, loc, "save") {
       // cent is consumed three times (assignment broadcast, centroid
@@ -421,7 +421,7 @@ object Similarity {
     * disagree with the at-rest partitioning. Serialized per layout by
     * the shared maintenance lock (`graft.util.Maintenance`).
     */
-  private[graft] def appendIvfLayout(s: SparkSession, members: DataFrame,
+  def appendIvfLayout(s: SparkSession, members: DataFrame,
       loc: String, ingestKey: Option[(String, Long)] = None): Boolean =
     graft.util.Maintenance.withLock(s, loc, "append") {
       val mOld = graft.util.Maintenance.readManifest(s, loc)
@@ -473,7 +473,7 @@ object Similarity {
     * committed pointer (pre-manifest layouts fall back to the fixed
     * `_centroids` dir).
     */
-  private[graft] def loadIvfCentroids(s: SparkSession, loc: String): DataFrame = {
+  def loadIvfCentroids(s: SparkSession, loc: String): DataFrame = {
     val dir = graft.util.Maintenance.readManifest(s, loc)
       .flatMap(_.header(CentroidsHeader)).getOrElse(IvfCentroidsDir)
     s.read.parquet(s"$loc/$dir").select("cell", "cv", "cn2")
@@ -486,7 +486,7 @@ object Similarity {
     * sidecar) byte-untouched, same locked/recoverable failure contract
     * as the k-NN index's `ModelIO.compactIndex`.
     */
-  private[graft] def compactIvfLayout(s: SparkSession, loc: String,
+  def compactIvfLayout(s: SparkSession, loc: String,
       maxFilesPerCell: Int = 4): Seq[Long] =
     graft.util.Maintenance.compactPartitioned(s, loc, "cell", maxFilesPerCell)
       .map(_.toLong)
@@ -501,7 +501,7 @@ object Similarity {
     * reasonable default — probe cost is proportional to probed-cell
     * bytes, so skew is directly the tail-latency multiplier).
     */
-  private[graft] def ivfCellSkew(s: SparkSession, loc: String): Double = {
+  def ivfCellSkew(s: SparkSession, loc: String): Double = {
     // one recursive listing carries every length — never a per-file
     // getFileStatus loop (10⁶ files would be 10⁶ NameNode RPCs)
     val sizes = graft.util.Maintenance.dataFileSizes(s, loc)
@@ -532,7 +532,7 @@ object Similarity {
     * full member rewrite — the deep clean, scheduled off the measured
     * trigger, not per append.
     */
-  private[graft] def reclusterIvfLayout(s: SparkSession, loc: String): Long =
+  def reclusterIvfLayout(s: SparkSession, loc: String): Long =
     graft.util.Maintenance.withLock(s, loc, "recluster") {
       val mOld = graft.util.Maintenance.readManifest(s, loc).getOrElse(
         throw new IllegalStateException(
