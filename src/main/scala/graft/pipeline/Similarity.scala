@@ -480,11 +480,12 @@ object Similarity {
   }
 
   /** Selective small-file compaction of an append-grown IVF layout:
-    * the shared two-phase compaction (`Maintenance.compactPartitioned`)
-    * over the cell partitions — over-fragmented cells rewritten to one
-    * file each, everything else (light cells, the centroid table, the
-    * sidecar) byte-untouched, same locked/recoverable failure contract
-    * as the k-NN index's `ModelIO.compactIndex`.
+    * the shared merge-beside-and-swap compaction
+    * (`Maintenance.compactPartitioned`) over the cell partitions —
+    * over-fragmented cells merged to one new file each, everything
+    * else (light cells, the centroid table, the sidecar)
+    * byte-untouched, same locked snapshot-isolated contract as the
+    * k-NN index's `ModelIO.compactIndex`.
     */
   def compactIvfLayout(s: SparkSession, loc: String,
       maxFilesPerCell: Int = 4): Seq[Long] =

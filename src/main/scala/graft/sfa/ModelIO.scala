@@ -476,11 +476,11 @@ object ModelIO {
     * trie insert/merge is single-process by construction
     * (SFATrie.java:299-380). A competing maintainer fails FAST with the
     * holder's identity instead of corrupting the layout; queries never
-    * take the lock (reads are safe against append, and compaction is
-    * the documented stop-the-scans window). A maintainer that CRASHED
-    * leaves its lock behind on purpose: the next maintainer must
-    * inspect the layout (and any surviving `*_compact_tmp_*` dir — see
-    * [[compactIndex]]) before deleting the lock file. Lock placement is
+    * take the lock (every read resolves a committed manifest snapshot,
+    * safe across append AND compaction). A maintainer whose process
+    * was KILLED leaves its lock behind on purpose:
+    * `Maintenance.inspectAndRelease` validates the committed snapshot
+    * and releases exactly when coherent. Lock placement is
     * a SIBLING of the layout dir so `saveIndex`'s whole-directory
     * overwrite cannot delete the lock that guards it. Atomicity caveat
     * as for the sidecar: create-if-absent is atomic on local/HDFS
@@ -535,14 +535,16 @@ object ModelIO {
     * more than `maxFilesPerPrefix` parquet files are rewritten to one
     * file each, every other prefix's files stay byte-untouched. The
     * rewrite never reads and overwrites the same path in one job — the
-    * heavy rows round-trip through a sibling temp dir, then DYNAMIC
-    * partition overwrite replaces exactly the heavy prefix directories.
-    * Cost is bounded by the heavy prefixes' bytes, not the layout size,
-    * so routine compaction after appends touches only what fragmented;
-    * at extreme scale call it per prefix-batch (filter the returned
-    * list). Returns the compacted prefixes. Runs under the
-    * single-maintainer lock (see [[maintenanceLockPath]]); on a failed
-    * write-back the temp copy AND the lock survive for recovery.
+    * heavy prefixes' rows are merged into new files written BESIDE the
+    * old ones and one manifest rename swaps them — snapshot-isolated:
+    * pinned readers keep the pre-compact snapshot until a vacuum
+    * outside the retention window, and a crash at any point leaves the
+    * layout unchanged (merged files are unpublished orphans; just
+    * retry). Cost is bounded by the heavy prefixes' bytes, not the
+    * layout size, so routine compaction after appends touches only
+    * what fragmented; at extreme scale call it per prefix-batch
+    * (filter the returned list). Returns the compacted prefixes. Runs
+    * under the single-maintainer lock (see [[maintenanceLockPath]]).
     * IndexAppendSpec pins file counts, untouched-light-prefix bytes,
     * k-NN exactness across the whole append→compact lifecycle, and the
     * fail-fast of an append interleaved into the compaction window.

@@ -20,13 +20,6 @@ import org.apache.hadoop.fs.Path
   */
 object Maintenance {
 
-  /** Thrown (wrapped) by a maintenance body when the layout may be
-    * mid-mutation and the lock must OUTLIVE the failure, so the next
-    * maintainer fails fast into recovery instead of compounding the
-    * damage. [[withLock]] unwraps and rethrows `cause`.
-    */
-  final case class KeepLock(cause: Throwable) extends RuntimeException(cause)
-
   /** The lock file guarding `path` — a SIBLING of the layout dir so a
     * whole-directory overwrite of the layout cannot delete the lock
     * that guards it.
@@ -39,9 +32,11 @@ object Maintenance {
   /** Run `body` holding `path`'s single-maintainer lock. A competing
     * maintainer fails FAST (IllegalStateException naming the holder)
     * instead of corrupting the layout; queries never take the lock. A
-    * maintainer that CRASHED leaves its lock behind on purpose: the
-    * next maintainer must inspect the layout (and any surviving temp
-    * dir) before deleting the lock file.
+    * maintainer whose PROCESS was killed leaves its lock behind on
+    * purpose: [[inspectAndRelease]] validates the committed snapshot
+    * and releases exactly when it is coherent. An in-process failure
+    * releases the lock with the exception — every operation's
+    * pre-publish state is orphans-only, so a retry is always safe.
     */
   def withLock[T](s: SparkSession, path: String, op: String)(body: => T): T = {
     val lock = lockPath(path)
@@ -57,8 +52,8 @@ object Maintenance {
       throw new IllegalStateException(
         s"cannot $op layout $path: another maintainer holds the lock " +
           s"$lock ($holder). Maintenance is serialized per layout; if the " +
-          "holder crashed, inspect the layout (and any surviving temp dir) " +
-          "before deleting the lock file.", cause)
+          "holder crashed, run Maintenance.inspectAndRelease to validate " +
+          "and release it.", cause)
     }
     // Acquire = create-if-absent. On the LOCAL filesystem Hadoop's
     // create(overwrite=false) is check-then-act (exists() + truncating
@@ -87,15 +82,8 @@ object Maintenance {
         scala.util.Try(fs.delete(lock, false))
         throw e
     }
-    var keepLock = false
     try body
-    catch {
-      case e: KeepLock =>
-        keepLock = true
-        throw e.cause
-    } finally {
-      if (!keepLock) { fs.delete(lock, false); () }
-    }
+    finally { fs.delete(lock, false); () }
   }
 
   /** Commit `kv` as the sidecar `dir/name` via write-then-rename: a
@@ -140,15 +128,15 @@ object Maintenance {
   /** The layout's file MANIFEST: the committed list of data files plus
     * key-value headers, replaced atomically (write-then-rename-over)
     * per maintenance operation. This is what gives READERS a safe view
-    * across compaction — the r9 residual: a reader that lists the
-    * directory while `compactPartitioned`'s dynamic overwrite swaps
-    * partition directories can silently read a partially-swapped
+    * across maintenance — the r9 residual was a reader listing the
+    * directory mid-compaction and silently reading a partially-swapped
     * partition. A manifest-pinned reader instead resolves ONE committed
-    * snapshot: it either scans the complete pre-compact file set
-    * (failing LOUDLY with FileNotFound if the swap deleted a pinned
-    * file mid-scan — never returning a subset) or the complete
-    * post-compact set. The lakehouse-table commit mechanism (Delta/
-    * Iceberg metadata logs), cut down to one atomically-replaced file.
+    * snapshot, and because every incremental op (append, compact,
+    * re-cluster, ingest) only ever ADDS files and swaps the manifest,
+    * that snapshot stays physically intact until a scheduled
+    * [[vacuumOrphans]] outside the retention window sweeps it. The
+    * lakehouse-table commit mechanism (Delta/Iceberg metadata logs),
+    * cut down to one atomically-replaced file.
     *
     * The headers carry everything that must commit ATOMICALLY with the
     * file list — the k-NN layouts' per-prefix box-stats directory
@@ -375,267 +363,95 @@ object Maintenance {
       case _ => s.read.parquet(path)
     }
 
-  /** Selective small-file compaction for any append-grown layout
-    * partitioned by `partCol` (k-NN word prefixes, IVF cells): every
-    * partition directory holding more than `maxFilesPerPartition`
-    * parquet files is rewritten to ONE file, every other partition's
-    * files stay byte-untouched. Two-phase under the maintenance lock:
+  /** Selective small-file compaction for any append-grown
+    * MANIFEST-COMMITTED layout partitioned by `partCol` (k-NN word
+    * prefixes, IVF cells): every partition holding more than
+    * `maxFilesPerPartition` committed parquet files gets its rows
+    * merged into ~one NEW file written BESIDE the old ones (same
+    * partition dirs, new unique filenames); one manifest rename then
+    * swaps old-for-merged. Every other partition's files stay
+    * byte-untouched. This makes compaction SNAPSHOT-ISOLATED like
+    * every other incremental op — the in-place dynamic-overwrite
+    * design it replaces was the protocol's one exception:
     *
-    *  1. copy the heavy partitions' rows OUT to a unique sibling temp
-    *     dir (layout untouched; a failure here drops the partial temp
-    *     and releases the lock);
-    *  2. DYNAMIC partition overwrite back into the layout. A failure
-    *     here may already have cleared some heavy partition dirs,
-    *     making the temp the ONLY copy of those rows: the temp AND the
-    *     lock survive, both named in the raised error, so the rows are
-    *     recoverable and the next maintainer fails fast into recovery.
+    *  - a reader pinned to any recent manifest keeps a fully-intact
+    *    snapshot: the superseded small files become tombstoned garbage
+    *    only [[vacuumOrphans]] deletes, retention-windowed;
+    *  - a crash at ANY point before the manifest rename leaves the
+    *    layout unchanged and the merged files as unpublished orphans
+    *    no later manifest adopts — retrying (or ignoring the crash) is
+    *    always safe, so no recovery procedure exists because none is
+    *    needed; the lock releases with the failure;
+    *  - the fragmentation census AND the merge input are the COMMITTED
+    *    file list, never a directory census — a crashed operation's
+    *    orphans are never resurrected into the compacted layout (and
+    *    no value matching against directory names: escaped string
+    *    values and the null partition ride Spark's own partition
+    *    codec in both directions).
     *
-    * Cost is bounded by the heavy partitions' bytes, not the layout
-    * size; at extreme scale run it per partition-batch. Root-level
-    * sidecar files are untouched (dynamic overwrite only replaces the
-    * rewritten partition dirs). Returns the compacted partition values.
+    * Refuses a layout without a manifest: with old and new files
+    * coexisting in the same dirs, only a committed file list tells
+    * readers which to scan. Cost is bounded by the heavy partitions'
+    * bytes — read once, written once (the copy-out + overwrite design
+    * paid the write twice); at extreme scale run it per
+    * partition-batch. Headers (box stats, ingest watermarks) ride
+    * along unchanged — row-invariant ops never touch them. Returns
+    * the compacted partition values.
     */
   def compactPartitioned(s: SparkSession, path: String, partCol: String,
       maxFilesPerPartition: Int): Seq[String] =
     withLock(s, path, "compact") {
       import org.apache.spark.sql.functions.col
       val root = new Path(path)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      // the committed manifest, when present, is BOTH the fragmentation
-      // census and the phase-1 input: counting/reading the directory
-      // instead would adopt a crashed operation's orphan files into the
-      // compacted layout — resurrecting rows no reader has ever seen
-      val manifest = readManifest(s, path)
+      val m = readManifest(s, path).getOrElse(throw new IllegalStateException(
+        s"$path has no committed manifest — compaction merges beside the old " +
+          "files and swaps them in one manifest rename, which needs a committed " +
+          "file list for readers to resolve; write the layout through the " +
+          "maintained save APIs first"))
       def partOf(rel: String): Option[String] = {
         val first = rel.takeWhile(_ != '/')
         if (first.startsWith(s"$partCol=") && first.length < rel.length)
           Some(first.stripPrefix(s"$partCol=")) else None
       }
-      val heavy = manifest match {
-        case Some(m) =>
-          m.files.flatMap(partOf).groupBy(identity)
-            .collect { case (p, fsIn) if fsIn.size > maxFilesPerPartition => p }
-            .toSeq.sorted
-        case None =>
-          if (!fs.exists(root)) Seq.empty
-          else fs.listStatus(root).toSeq
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-            .flatMap { d =>
-              val n = fs.listStatus(d.getPath)
-                .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-              if (n > maxFilesPerPartition)
-                Some(d.getPath.getName.stripPrefix(s"$partCol="))
-              else None
-            }
-      }
+      val heavy = m.files.flatMap(partOf).groupBy(identity)
+        .collect { case (p, fsIn) if fsIn.size > maxFilesPerPartition => p }
+        .toSeq.sorted
       if (heavy.nonEmpty) {
-        val tmp = new Path(root.getParent,
-          s"${root.getName}_compact_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-        // read the heavy partitions through the snapshot (manifest file
-        // list when present, else the partition DIRECTORIES — basePath
-        // keeps the partition column either way): no value matching
-        // against directory names, so escaped string values and the
-        // null partition behave — Spark's own partition codec handles
-        // both directions
         val heavySet = heavy.toSet
-        val heavyPaths = manifest match {
-          case Some(m) =>
-            m.files.filter(f => partOf(f).exists(heavySet)).map(new Path(root, _).toString)
-          case None => heavy.map(h => new Path(root, s"$partCol=$h").toString)
-        }
-        try
-          s.read.option("basePath", path).parquet(heavyPaths: _*)
-            .repartition(heavy.size, col(partCol)) // one output file per partition
-            .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
-        catch { case e: Throwable => fs.delete(tmp, true); throw e }
+        val heavyFiles = m.files.filter(f => partOf(f).exists(heavySet))
         onCompactBeforeWriteBack()
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key, "dynamic")
-        try {
-          s.read.parquet(tmp.toString)
-            .write.mode("overwrite").partitionBy(partCol).parquet(path)
-          // publish the swapped snapshot BEFORE declaring the temp
-          // redundant: entries outside the heavy partitions are carried
-          // over, the heavy partitions' entries are replaced by the
-          // freshly-swapped directories' contents, headers (box stats,
-          // ingest watermarks) ride along unchanged — row-invariant ops
-          // never touch them. A failure in either step keeps temp+lock.
-          manifest.foreach { m =>
-            writeManifest(s, path, Manifest(m.headers,
-              m.files.filterNot(f => partOf(f).exists(heavySet)) ++
-                heavy.flatMap(h => listDataFiles(s, path, s"$partCol=$h"))))
-          }
-        } catch {
-          case e: Throwable => throw KeepLock(new IllegalStateException(
-            s"compaction write-back into $path failed mid-overwrite; the heavy " +
-              s"partitions' rows survive at $tmp — run " +
-              s"Maintenance.recoverCompaction(spark, \"$path\", \"$partCol\") once " +
-              s"this maintainer is dead (it restores the rows, then releases the " +
-              s"lock ${lockPath(path)})", e))
-        } finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
-        // only after the overwrite AND the manifest committed is the
-        // copy redundant
-        fs.delete(tmp, true)
-        ()
+        val before = listDataFiles(s, path).toSet
+        s.read.option("basePath", path)
+          .parquet(heavyFiles.map(new Path(root, _).toString): _*)
+          .repartition(heavy.size, col(partCol)) // ~one output file per partition
+          .write.mode("append").partitionBy(partCol).parquet(path)
+        val created = listDataFiles(s, path).filterNot(before)
+        // THE swap: heavy partitions' old entries out, merged files in,
+        // headers carried; writeManifest auto-tombstones the dropped
+        // files for the vacuum retention window
+        writeManifest(s, path, Manifest(m.headers,
+          m.files.filterNot(f => partOf(f).exists(heavySet)) ++ created))
       }
       heavy
     }
 
-  /** Test seam: invoked between compaction's copy-out and write-back,
-    * i.e. inside the window where an unserialized append would be
-    * lost. IndexAppendSpec interleaves an append here and proves it
-    * fails fast. No-op in production.
+  /** Test seam: invoked between compaction's fragmentation census and
+    * its merge+publish, i.e. inside the window where an unserialized
+    * append's files would be silently dropped from the swapped
+    * manifest. IndexAppendSpec interleaves an append here and proves
+    * it fails fast at the lock; ManifestSpec reads here and proves the
+    * full pre-compact snapshot. No-op in production.
     */
   private[graft] var onCompactBeforeWriteBack: () => Unit = () => ()
 
-  /** Recover a layout from a compaction that failed mid-write-back —
-    * the one-call form of the manual procedure [[compactPartitioned]]'s
-    * error names (restore the temp's rows, then delete the lock):
-    * re-applies the dynamic partition overwrite from the surviving
-    * COMPLETE `*_compact_tmp_*` dir(s), then deletes the temp(s) and
-    * releases the lock. Safety properties, each one a distinct crash
-    * class:
+  /** One-call inspection of a layout whose maintainer's PROCESS was
+    * KILLED holding the lock (a killed append, save, compaction, or
+    * streaming ingest): validate that the committed snapshot is
+    * coherent and release the lock iff it is. Every operation's
+    * pre-publish state is orphans-only (nothing ever deletes before
+    * its manifest commit), so there is exactly one recovery procedure
+    * for every crash class — this one.
     *
-    *  - Only temps carrying Spark's `_SUCCESS` job-commit marker are
-    *    re-applied: a process KILLED during the phase-1 copy-out (no
-    *    in-process cleanup ran) leaves a PARTIAL temp whose rows must
-    *    never overwrite complete layout partitions — such temps are
-    *    deleted instead (their run never touched the layout; phase 2
-    *    only starts after phase 1 commits).
-    *  - Multiple complete temps (repeated failed compactions) are
-    *    applied OLDEST-FIRST by modification time, so the newest
-    *    snapshot of any shared partition lands last.
-    *  - Recovery itself runs under the maintenance lock: if the crashed
-    *    holder's lock is still present, recovery proceeds under it (the
-    *    caller contract below); if an operator already deleted the
-    *    lock, recovery ACQUIRES it atomically first — otherwise a
-    *    concurrent append could commit into a heavy partition mid-
-    *    overwrite and be silently erased.
-    *  - IDEMPOTENT: each complete temp holds the COMPLETE compacted
-    *    contents of every heavy partition its run selected, so
-    *    re-running the overwrite (or retrying recovery) lands exactly
-    *    the state compaction intended.
-    *
-    * Returns the recovered partition values (empty when there is
-    * nothing to recover).
-    *
-    * Caller contract: only invoke once the failed maintainer is KNOWN
-    * dead (its error propagated / its job is gone). A lock with NO temp
-    * dir is refused: appends and saves leave no temp, so that state is
-    * a maintainer crashed mid-operation — the layout needs inspection,
-    * not a blind overwrite.
-    */
-  def recoverCompaction(s: SparkSession, path: String, partCol: String): Seq[String] = {
-    val lock = lockPath(path)
-    val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(lock)) {
-      // dead holder's lock (caller contract): recover under it, then release
-      val r = recoverCompactionBody(s, path, partCol, underDeadLock = true)
-      fs.delete(lock, false)
-      r
-    } else
-      // lock already removed out-of-band: take it atomically so no
-      // append can land inside the recovery overwrite window
-      withLock(s, path, "recover")(
-        recoverCompactionBody(s, path, partCol, underDeadLock = false))
-  }
-
-  private def recoverCompactionBody(s: SparkSession, path: String,
-      partCol: String, underDeadLock: Boolean): Seq[String] = {
-    import org.apache.spark.sql.functions.col
-    val root = new Path(path)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val temps = fs.listStatus(root.getParent).toSeq
-      .filter(_.getPath.getName.startsWith(s"${root.getName}_compact_tmp_"))
-    if (temps.isEmpty) {
-      // a foreign lock with no temp is NOT a failed write-back (appends
-      // and saves leave no temp): a maintainer crashed mid-operation —
-      // refuse, the layout needs inspection, not a blind overwrite (and
-      // the lock must stay). With no lock and no temp there is simply
-      // nothing to recover.
-      if (underDeadLock) throw new IllegalStateException(
-        s"$path holds a maintenance lock but no compaction temp dir — this is " +
-          "not a failed write-back (those always leave their temp); a maintainer " +
-          "crashed mid-operation, inspect the layout before deleting the lock")
-      return Seq.empty
-    }
-    val (complete, partial) = temps.partition(t =>
-      fs.exists(new Path(t.getPath, "_SUCCESS")))
-    // a temp without the job-commit marker is a phase-1 crash artifact:
-    // its run never started the write-back, the layout is intact, and
-    // its rows are an incomplete copy that must never be applied
-    partial.foreach(t => fs.delete(t.getPath, true))
-    // the recovery write-back is itself a mid-overwrite mutation: a
-    // failure inside it must KEEP the lock (and the surviving temps),
-    // exactly like compactPartitioned's own write-back — releasing it
-    // here would let an append commit into a heavy partition and a
-    // RETRIED recovery silently erase those rows by re-applying the
-    // old temp. Under a dead holder's lock the same is achieved by the
-    // caller only deleting the lock after this body returns.
-    def keepLockOnFailure[T](body: => T): T =
-      if (underDeadLock) body
-      else try body catch {
-        case e: KeepLock => throw e
-        case e: Throwable => throw KeepLock(new IllegalStateException(
-          s"recovery write-back into $path failed mid-overwrite; the surviving " +
-            s"compaction temp dir(s) and the lock ${lockPath(path)} are kept — " +
-            "retry Maintenance.recoverCompaction once this failure is resolved", e))
-      }
-    val recovered = keepLockOnFailure {
-      val applied = complete.sortBy(_.getModificationTime).flatMap { st =>
-        val tmp = st.getPath
-        val parts = fs.listStatus(tmp).toSeq
-          .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partCol="))
-          .map(_.getPath.getName.stripPrefix(s"$partCol="))
-        if (parts.nonEmpty) {
-          val key = "spark.sql.sources.partitionOverwriteMode"
-          val prev = s.conf.getOption(key)
-          s.conf.set(key, "dynamic")
-          try
-            s.read.option("basePath", tmp.toString)
-              .parquet(parts.map(p => new Path(tmp, s"$partCol=$p").toString): _*)
-              .repartition(parts.size, col(partCol))
-              .write.mode("overwrite").partitionBy(partCol).parquet(path)
-          finally prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None => s.conf.unset(key)
-          }
-        }
-        fs.delete(tmp, true)
-        parts
-      }.distinct
-      // re-publish the committed snapshot for manifest-pinned readers:
-      // recovered partitions' entries replaced by their restored
-      // directories' contents, everything else (files AND headers —
-      // recovery is row-restoring, never row-changing) carried over
-      readManifest(s, path).foreach { m =>
-        val rec = applied.toSet
-        def partOf(rel: String): Option[String] = {
-          val first = rel.takeWhile(_ != '/')
-          if (first.startsWith(s"$partCol=") && first.length < rel.length)
-            Some(first.stripPrefix(s"$partCol=")) else None
-        }
-        writeManifest(s, path, Manifest(m.headers,
-          m.files.filterNot(f => partOf(f).exists(rec)) ++
-            applied.flatMap(p => listDataFiles(s, path, s"$partCol=$p"))))
-      }
-      applied
-    }
-    recovered
-  }
-
-  /** One-call inspection of a layout whose maintainer CRASHED holding
-    * the lock WITHOUT leaving a compaction temp (a killed append, save,
-    * or streaming ingest — the state [[recoverCompaction]] rightly
-    * refuses, r9's last manual-only recovery path): validate that the
-    * committed snapshot is coherent and release the lock iff it is.
-    *
-    *  - a surviving `*_compact_tmp_*` dir → REFUSE: that is a failed
-    *    compaction write-back, [[recoverCompaction]]'s job;
     *  - `_temporary` job residue (never-committed task files) is
     *    deleted — it was invisible to readers and belongs to no
     *    snapshot;
@@ -658,11 +474,6 @@ object Maintenance {
     val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(lock)) throw new IllegalStateException(
       s"$path holds no maintenance lock — nothing to inspect/release")
-    val temps = fs.listStatus(root.getParent).toSeq
-      .filter(_.getPath.getName.startsWith(s"${root.getName}_compact_tmp_"))
-    if (temps.nonEmpty) throw new IllegalStateException(
-      s"$path has surviving compaction temp dir(s) ${temps.map(_.getPath.getName).mkString(", ")} — " +
-        "this is a failed compaction write-back; run recoverCompaction instead")
     val jobResidue = new Path(root, "_temporary")
     if (fs.exists(jobResidue)) { fs.delete(jobResidue, true); () }
     val orphans = readManifest(s, path) match {

@@ -78,9 +78,17 @@ class IvfLayoutSpec extends SparkSpec {
       assert(again.subsetOf(oneShot))
 
       // compaction over the append-grown cells: fragmented cells collapse
-      // to one file, membership unchanged, centroids + sidecar survive
+      // to one COMMITTED file (merge-beside — the superseded files stay
+      // on disk as tombstoned garbage until vacuum), membership
+      // unchanged, centroids + sidecar survive
       val compacted = Similarity.compactIvfLayout(spark, loc, maxFilesPerCell = 1)
       assert(compacted.nonEmpty, "save+append must fragment at least one cell")
+      val committed = graft.util.Maintenance.readManifest(spark, loc).get.files
+        .groupBy(_.takeWhile(_ != '/')).view.mapValues(_.size).toMap
+      compacted.foreach(c => assert(committed(s"cell=$c") == 1,
+        s"cell=$c still holds ${committed.get(s"cell=$c")} committed files"))
+      // vacuum reclaims the merged-away files; then the DIRECTORY agrees
+      assert(graft.util.Maintenance.vacuumOrphans(spark, loc).dataFiles.nonEmpty)
       compacted.foreach { c =>
         val n = java.nio.file.Files.list(java.nio.file.Paths.get(loc, s"cell=$c"))
           .toArray.count(_.toString.endsWith(".parquet"))

@@ -126,17 +126,25 @@ class IndexAppendSpec extends SparkSpec {
 
     val compacted = ModelIO.compactIndex(path, maxFilesPerPrefix = maxFiles)(spark)
     assert(compacted.nonEmpty)
-    val after = filesPerPrefix()
-    // every heavy prefix collapsed to one file, light prefixes untouched
-    compacted.foreach(p => assert(after(s"prefix=$p") == 1, s"prefix=$p: ${after.toSeq}"))
+    // every heavy prefix collapsed to one COMMITTED file (merge-beside:
+    // the superseded small files stay on disk as tombstoned garbage
+    // until vacuum), light prefixes' entries untouched
+    val committed = graft.util.Maintenance.readManifest(spark, path).get.files
+      .groupBy(_.takeWhile(_ != '/')).view.mapValues(_.size).toMap
+    compacted.foreach(p => assert(committed(s"prefix=$p") == 1,
+      s"prefix=$p: ${committed.toSeq.sorted}"))
     lightStamps.foreach { case (f, ts) =>
       val p = java.nio.file.Paths.get(f)
       assert(java.nio.file.Files.exists(p) &&
         java.nio.file.Files.getLastModifiedTime(p).toMillis == ts,
         s"light prefix file rewritten: $f")
     }
-    // compaction's dynamic partition overwrite must leave the root-level
-    // metadata sidecar in place
+    // the vacuum reclaims the superseded small files: now the DIRECTORY
+    // also holds one file per compacted prefix
+    assert(graft.util.Maintenance.vacuumOrphans(spark, path).dataFiles.nonEmpty)
+    val after = filesPerPrefix()
+    compacted.foreach(p => assert(after(s"prefix=$p") == 1, s"prefix=$p: ${after.toSeq}"))
+    // compaction must leave the root-level metadata sidecar in place
     assert(ModelIO.readIndexMeta(spark, path)
       .contains(ModelIO.IndexMeta(model.usedBits, 2, 0, 0)))
     // no rows lost or duplicated, and k-NN over the compacted layout is

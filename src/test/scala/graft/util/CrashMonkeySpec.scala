@@ -100,11 +100,12 @@ class CrashMonkeySpec extends SparkSpec {
       rng.nextInt(4) match {
         case 0 => // compaction (row-invariant)
           if (rng.nextBoolean() && anyHeavy) {
-            // a compaction crash at the publish point keeps temp + lock
-            // (KeepLock); recoverCompaction is the documented one-call
+            // a compaction crash at the publish point leaves the layout
+            // unchanged (the merged files are unpublished orphans) and
+            // releases the lock; the documented recovery is RETRY
             crashThenRecover(s"compact#$i")(
               ModelIO.compactIndex(path, maxFilesPerPrefix = 2)(spark): Unit)(
-              Maintenance.recoverCompaction(spark, path, "prefix"): Unit)
+              ModelIO.compactIndex(path, maxFilesPerPrefix = 2)(spark): Unit)
           } else {
             ModelIO.compactIndex(path, maxFilesPerPrefix = 2)(spark)
             ()

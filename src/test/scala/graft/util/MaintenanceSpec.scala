@@ -53,7 +53,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(Maintenance.lockPath(path).toUri.getPath).exists)
   }
 
-  test("recoverCompaction restores a failed write-back: rows back, temp and lock released") {
+  test("a compaction crash before publish leaves the layout unchanged; retry lands it; pinned readers survive") {
     import graft.sfa.{BulkLoad, ModelIO, SFA}
     import org.apache.spark.sql.functions._
     implicit val s: org.apache.spark.sql.SparkSession = spark
@@ -68,92 +68,52 @@ class MaintenanceSpec extends SparkSpec {
     (1 to 2).foreach(i => ModelIO.appendIndex(
       extra.withColumn("id", col("id") + lit(i * 10000L)), model.usedBits, 2, path))
     val preRows = ModelIO.loadIndex(path)(spark).count()
+    val preFiles = Maintenance.readManifest(spark, path).get.files.toSet
 
-    // manufacture EXACTLY the state a mid-overwrite crash leaves behind:
-    // a complete phase-1 temp copy of the heavy prefixes, one heavy
-    // prefix directory already cleared from the layout, and the lock
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val heavy = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("prefix="))
-      .filter(d => fs.listStatus(d.getPath)
-        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > 2)
-      .map(_.getPath.getName.stripPrefix("prefix="))
-    assert(heavy.nonEmpty, "fixture never fragmented")
-    val tmp = new org.apache.hadoop.fs.Path(root.getParent,
-      s"${root.getName}_compact_tmp_sim_1")
-    spark.read.option("basePath", path)
-      .parquet(heavy.map(h => s"$path/prefix=$h"): _*)
-      .repartition(heavy.size, col("prefix"))
-      .write.mode("overwrite").partitionBy("prefix").parquet(tmp.toString)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(root, s"prefix=${heavy.head}"), true))
-    fs.create(Maintenance.lockPath(path), false).close()
-    // the manifest-pinned read FAILS LOUDLY on the damaged layout — the
-    // committed-snapshot contract: a reader never silently sees a subset
-    val loud = scala.util.Try(ModelIO.loadIndex(path)(spark).count())
-    assert(loud.isFailure, "a manifest-pinned read of a half-swapped layout must fail, not subset")
-    // the raw directory view confirms rows are physically gone
-    val damaged = spark.read.parquet(path).count()
-    assert(damaged < preRows, "the simulated crash must actually lose rows")
+    // a reader pinned BEFORE the compaction: merge-beside + manifest
+    // swap must keep its snapshot scannable through crash, retry, and
+    // successful compaction (snapshot isolation — the old in-place
+    // overwrite design deleted its files here)
+    val pinned = ModelIO.loadIndex(path)(spark)
 
-    val recovered = Maintenance.recoverCompaction(spark, path, "prefix")
-    assert(recovered.toSet == heavy.toSet)
-    assert(ModelIO.loadIndex(path)(spark).count() == preRows, "recovery must restore every row")
-    heavy.foreach { h =>
-      val n = fs.listStatus(new org.apache.hadoop.fs.Path(root, s"prefix=$h"))
-        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      assert(n == 1, s"prefix=$h holds $n files after recovery")
-    }
-    assert(!fs.exists(tmp) && !fs.exists(Maintenance.lockPath(path)))
-    // idempotent: nothing left to recover
-    assert(Maintenance.recoverCompaction(spark, path, "prefix").isEmpty)
-    // and maintenance works again post-recovery
+    // crash at the publish point: merged files durable but UNPUBLISHED
+    Maintenance.onBeforeManifestCommit =
+      () => throw new RuntimeException("killed at the compaction publish point")
+    val died = scala.util.Try(ModelIO.compactIndex(path, maxFilesPerPrefix = 2)(spark))
+    Maintenance.onBeforeManifestCommit = () => ()
+    assert(died.isFailure, "fixture: the compaction was supposed to crash")
+    // layout unchanged (same committed files, same rows), the merged
+    // files are orphans, and the lock released with the failure — the
+    // documented recovery for a pre-publish compaction crash is RETRY,
+    // no dedicated procedure exists because none is needed
+    assert(Maintenance.readManifest(spark, path).get.files.toSet == preFiles)
+    assert(ModelIO.loadIndex(path)(spark).count() == preRows)
+    assert(!new java.io.File(Maintenance.lockPath(path).toUri.getPath).exists,
+      "an in-process compaction failure must release the lock")
+    assert(Maintenance.listDataFiles(spark, path).filterNot(preFiles).nonEmpty,
+      "the crashed compaction must leave its merged files as orphans")
+
+    // retry: the merge lands, one manifest rename swaps old-for-merged
+    val compacted = ModelIO.compactIndex(path, maxFilesPerPrefix = 2)(spark)
+    assert(compacted.nonEmpty, "fixture never fragmented")
+    assert(ModelIO.loadIndex(path)(spark).count() == preRows)
+    val byPrefix = Maintenance.readManifest(spark, path).get.files
+      .groupBy(_.takeWhile(_ != '/'))
+    assert(byPrefix.forall(_._2.size <= 2),
+      s"compaction left a heavy prefix: ${byPrefix.view.mapValues(_.size).toMap}")
+    // the pinned pre-compact reader still scans its COMPLETE snapshot
+    // (its files are tombstoned, not deleted)
+    assert(pinned.count() == preRows,
+      "a reader pinned across compaction must keep its snapshot")
+    // vacuum reclaims the superseded + crashed files; committed state intact
+    val report = Maintenance.vacuumOrphans(spark, path)
+    assert(report.dataFiles.nonEmpty)
+    assert(ModelIO.loadIndex(path)(spark).count() == preRows)
+    // and maintenance works again post-compaction
     ModelIO.appendIndex(extra.withColumn("id", col("id") + lit(30000L)),
       model.usedBits, 2, path)
     assert(ModelIO.loadIndex(path)(spark).count() == preRows + 150L)
-
-    // a lock with NO temp is NOT a failed write-back: refuse
-    fs.create(Maintenance.lockPath(path), false).close()
-    intercept[IllegalStateException] {
-      Maintenance.recoverCompaction(spark, path, "prefix")
-    }
-    fs.delete(Maintenance.lockPath(path), false)
     corpus.unpersist()
-  }
-
-  test("recoverCompaction: partial temps are dropped, complete temps apply oldest-first") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val dir = Warehouse.dir(spark, "recover_order")
-    val path = s"$dir/layout"
-    Seq((1L, "base")).toDF("p", "v").write.mode("overwrite").partitionBy("p").parquet(path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a phase-1 crash artifact: partition dir + junk, NO _SUCCESS marker —
-    // its rows must never reach the layout
-    val partial = new org.apache.hadoop.fs.Path(s"$dir/layout_compact_tmp_partial_0")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(partial, "p=1"))
-    val junk = fs.create(new org.apache.hadoop.fs.Path(partial, "p=1/part-junk.parquet"), true)
-    junk.write("not parquet".getBytes("UTF-8")); junk.close()
-    // two COMPLETE temps (Spark writes commit _SUCCESS) with conflicting
-    // contents for the same partition; explicit modification times make
-    // the ordering deterministic
-    val oldTmp = s"$dir/layout_compact_tmp_old_1"
-    val newTmp = s"$dir/layout_compact_tmp_new_2"
-    Seq((1L, "old")).toDF("p", "v").write.partitionBy("p").parquet(oldTmp)
-    Seq((1L, "new")).toDF("p", "v").write.partitionBy("p").parquet(newTmp)
-    fs.setTimes(new org.apache.hadoop.fs.Path(oldTmp), 1000000000L, -1)
-    fs.setTimes(new org.apache.hadoop.fs.Path(newTmp), 2000000000L, -1)
-
-    val recovered = graft.util.Maintenance.recoverCompaction(spark, path, "p")
-    assert(recovered == Seq("1"))
-    // the NEWEST snapshot won, the partial temp's junk never landed
-    val vs = spark.read.parquet(path).filter(col("p") === 1L)
-      .select("v").collect().map(_.getString(0)).toSeq
-    assert(vs == Seq("new"), s"expected the newest temp's rows, got $vs")
-    assert(!fs.exists(partial) && !fs.exists(new org.apache.hadoop.fs.Path(oldTmp)) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(newTmp)), "all temps must be consumed")
-    assert(!fs.exists(Maintenance.lockPath(path)), "recovery must release its lock")
   }
 
   test("inspectAndRelease: releases exactly when the layout is coherent") {
@@ -197,17 +157,8 @@ class MaintenanceSpec extends SparkSpec {
     ModelIO.appendIndex(corpus.filter(col("id") >= 400), model.usedBits, 2, path)
     assert(ModelIO.loadIndex(path)(spark).count() == 800L)
 
-    // a compaction temp -> refused (recoverCompaction's job), lock kept
-    fs.create(Maintenance.lockPath(path), false).close()
-    val tmp = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(path).getParent, "inspect_spec_index_compact_tmp_x")
-    fs.mkdirs(tmp)
-    val e1 = intercept[IllegalStateException](Maintenance.inspectAndRelease(spark, path))
-    assert(e1.getMessage.contains("recoverCompaction"))
-    assert(fs.exists(Maintenance.lockPath(path)), "refusal must keep the lock")
-    fs.delete(tmp, true)
-
     // real damage (a manifest-listed file missing) -> refused, lock kept
+    fs.create(Maintenance.lockPath(path), false).close()
     val victim = Maintenance.readManifest(spark, path).get.files.head
     val victimPath = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), victim)
     val bytes = {

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   *    outside the manifest (a crashed operation's orphans) are
   *    invisible to readers AND never adopted by compaction;
   *  - reader visibility across compaction: a read planned at the
-  *    compaction seam sees the FULL pre-compact snapshot; a reader
-  *    pinned to the pre-compact manifest whose files the swap then
-  *    deletes fails LOUDLY — at no point can any reader silently
-  *    observe a subset.
+  *    compaction seam sees the FULL pre-compact snapshot, and a reader
+  *    pinned to the pre-compact manifest keeps its complete snapshot
+  *    through the swap (merge-beside + manifest rename deletes
+  *    nothing) — at no point can any reader silently observe a subset.
   */
 class ManifestSpec extends SparkSpec {
 
@@ -93,7 +93,7 @@ class ManifestSpec extends SparkSpec {
       "compaction adopted a crashed operation's orphan rows")
   }
 
-  test("reader visibility across compaction: full snapshot at the seam, loud failure after the swap") {
+  test("reader visibility across compaction: full snapshot at the seam AND through the swap") {
     import spark.implicits._
     val dir = Warehouse.dir(spark, "manifest_visibility")
     val path = s"$dir/layout"
@@ -131,16 +131,12 @@ class ManifestSpec extends SparkSpec {
     assert(seamCount == pre,
       s"a read at the compaction seam saw $seamCount rows, not the full snapshot $pre")
 
-    // post-swap: the pinned reader's files are gone — LOUD failure or
-    // the complete old snapshot; NEVER a silent subset
-    scala.util.Try(pinned.count()) match {
-      case scala.util.Success(n) => assert(n == pre,
-        s"pinned reader silently saw a subset: $n of $pre")
-      case scala.util.Failure(e) =>
-        val s = e.toString + Option(e.getMessage).getOrElse("")
-        assert(s.contains("FILE_NOT_EXIST") || s.contains("does not exist") ||
-          s.contains("FileNotFound"), s"unexpected failure class: $e")
-    }
+    // post-compact: merge-beside + manifest swap means the pinned
+    // reader's files still exist (tombstoned for the vacuum, not
+    // deleted) — it must scan its COMPLETE snapshot; only a vacuum
+    // outside the retention window may later fail it loudly
+    assert(pinned.count() == pre,
+      "a reader pinned across compaction must keep its complete snapshot")
     // a fresh resolve sees the complete post-compact snapshot
     assert(Maintenance.readLayout(spark, path).count() == pre)
   }
