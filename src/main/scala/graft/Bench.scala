@@ -111,65 +111,26 @@ object Bench {
       if (t2 >= 0) { spent += t2; best(name) = math.min(t1, t2) }
     }
     // ---- extra tracked items (not registered queries) -------------------
-    // Layout-backed bulk k-NN at BulkLoadSpec's always-on scale (200k
-    // windows): bulk MFT transform → prefix-partitioned layout write →
-    // partition-pruned exact k-NN. Exactness at this very scale is
-    // BulkLoadSpec's gate (k-NN ≡ brute scan, PartitionFilters pinned).
-    def bulkKnnBody(): Unit = {
-      import graft.sfa.{BulkLoad, IndexOps, ModelIO, SFA}
-      val (w, l) = (32, 8)
-      val (nChunks, chunkSize) = (4, 50000)
-      val walk = graft.ts.Loaders.randomWalk(nChunks * chunkSize + w - 1, 20260812L)
-      val model = SFA.fitWindowing(Array((walk, 0.0)), w, l, 8,
-        normMean = false, lowerBounding = true)
-      val corpus = BulkLoad.windowRecords(spark, walk, nChunks, chunkSize, w, l, model)
-      val path = graft.util.Warehouse.dir(spark, "bench_bulk_knn")
-      ModelIO.saveIndex(corpus, model.usedBits, prefixLen = 2, path)
-      val queries = BulkLoad.queryWindows(
-        spark, graft.ts.Loaders.randomWalk(4 * w, 777L), 3, w, l, model)
-      val (df, _) = IndexOps.knnOverLayout(
-        path, queries, model.bins, model.normMean, k = 5, probe = 64, prefixLen = 2)(spark)
-      df.write.format("noop").mode("overwrite").save()
-    }
-
-    // Streaming state-path wall times over a 100k-event MemoryStream (4
-    // micro-batches each, so GroupState crosses batch boundaries): the 14
-    // streaming twins are correctness-pinned ≡ batch by their specs, but a
-    // throughput regression in flatMapGroupsWithState state handling would
-    // be invisible without a tracked number. Inputs are built once outside
-    // the timed region; the stream drive (source → stateful op → noop
-    // sink, checkpoint included) is what's measured.
+    // Bodies live in BenchBodies (shared with DevBench so local
+    // micro-benchmarks drive EXACTLY this load; see its doc). The bulk
+    // k-NN item runs BulkLoadSpec's always-on 200k-window scale; the two
+    // streaming items drive the 100k-event MemoryStream fixtures (4
+    // micro-batches each, so GroupState crosses batch boundaries) — the
+    // 14 streaming twins are correctness-pinned ≡ batch by their specs,
+    // but a throughput regression in flatMapGroupsWithState state
+    // handling would be invisible without a tracked number. Inputs are
+    // built once outside the timed region; the stream drive (source →
+    // stateful op → noop sink, checkpoint included) is what's measured.
     // THE shared bench-scale fixture (StreamFixtures): the same load the
     // bounded-state gate (StreamingStateSizeSpec) pins, by construction
     lazy val streamWordModel = graft.streaming.StreamFixtures.wordModel
     lazy val streamPointEvents = graft.streaming.StreamFixtures.wordPointEvents
     lazy val streamDocEvents = graft.streaming.StreamFixtures.dedupDocEvents
-    def streamingWordsBody(): Unit = {
-      import spark.implicits._
-      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.StreamingWords.PointEvent]
-      val q = graft.streaming.StreamingWords.wordStream(input.toDS(), streamWordModel)(spark)
-        .writeStream.format("noop").outputMode("append").start()
-      try {
-        streamPointEvents.grouped(graft.streaming.StreamFixtures.ChunkSize).foreach { chunk =>
-          input.addData(chunk); q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-    def streamingDedupBody(): Unit = {
-      import spark.implicits._
-      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.StreamingDedup.DocEvent]
-      val q = graft.streaming.StreamingDedup.dedupStream(input.toDS())(spark)
-        .writeStream.format("noop").outputMode("append").start()
-      try {
-        streamDocEvents.grouped(graft.streaming.StreamFixtures.ChunkSize).foreach { chunk =>
-          input.addData(chunk); q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
+    def bulkKnnBody(): Unit = BenchBodies.bulkKnnBody(spark)
+    def streamingWordsBody(): Unit =
+      BenchBodies.streamingWordsBody(spark, streamWordModel, streamPointEvents)
+    def streamingDedupBody(): Unit =
+      BenchBodies.streamingDedupBody(spark, streamDocEvents)
 
     // Every extra item runs the SAME first+min protocol as the registered
     // queries (two runs, both estimators reported, via the shared

@@ -24,15 +24,21 @@ object IndexQ {
   private val K = 3
   private val KnnProbe = 10
 
-  /** (user_id, data) fixed-length z-normed slices. */
-  private[queries] def slices(s: SparkSession, dir: String): DataFrame = {
-    val ser = graft.sfa.SFAOps.seriesOf(Tables.load(s, dir, "events"))
-    val sliceUdf = udf { (data: Seq[Double]) =>
-      Loaders.znorm(data.take(SliceLen).toArray)
+  /** (user_id, data) fixed-length z-normed slices — a session-shared
+    * stage ([[graft.util.Pipelines.cachedDF]]): s10 consumes it three
+    * times per call (save half, append half) and [[preparedBuild]] once,
+    * and each un-cached consumer re-ran the events scan + series shuffle
+    * + znorm per job. Same policy as the SFA series stage.
+    */
+  private[queries] def slices(s: SparkSession, dir: String): DataFrame =
+    graft.util.Pipelines.cachedDF(s, s"index.slices:$dir") {
+      val ser = graft.sfa.SFAOps.seriesOf(Tables.load(s, dir, "events"))
+      val sliceUdf = udf { (data: Seq[Double]) =>
+        Loaders.znorm(data.take(SliceLen).toArray)
+      }
+      ser.filter(size(col("data")) >= SliceLen)
+        .select(col("user_id"), sliceUdf(col("data")).as("data"))
     }
-    ser.filter(size(col("data")) >= SliceLen)
-      .select(col("user_id"), sliceUdf(col("data")).as("data"))
-  }
 
   private def approxUdf = udf { (data: Seq[Double]) =>
     Fourier.transformWindow(data.toArray, 0, SliceLen, L, normMean = false, lowerBounding = true)

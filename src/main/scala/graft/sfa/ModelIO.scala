@@ -526,6 +526,13 @@ object ModelIO {
     corpus
       .withColumn("prefix",
         expr(s"aggregate(slice(word, ${prefixStart + 1}, $prefixLen), 0L, (acc, s) -> acc * $b + s)"))
+      // cluster the write by the partition column (AQE REBALANCE: sized
+      // to the advisory partition bytes, skew-split when a prefix is
+      // hot): without it every upstream task writes a file into every
+      // prefix it touches — tasks × prefixes tiny files per write, paid
+      // back on every subsequent listing and scan. The Iceberg
+      // write.distribution-mode=hash idea, expressed in plain parquet.
+      .hint("rebalance", org.apache.spark.sql.functions.col("prefix"))
       .write.mode(mode).partitionBy("prefix").parquet(path)
   }
 

@@ -25,10 +25,29 @@ object StreamingDedup {
   final case class DupEvent(doc_id: Long, h: String, keeper: Long, copy_idx: Long)
   final case class DupState(keeper: Long, copies: Long)
 
-  /** Lowercase md5 hex — identical to Spark SQL's `md5()`. */
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Lowercase md5 hex — identical to Spark SQL's `md5()`. Table-driven
+    * hex over a thread-cached digest instance: this runs once per EVENT
+    * on the hot state path, where the idiomatic per-byte
+    * `"%02x".format` costs more than the MD5 itself (locale lookup +
+    * boxing + format parse per byte).
+    */
   def digest(text: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(text.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      out(2 * i) = hexDigits(b >>> 4)
+      out(2 * i + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Attach the stateful dedup to a document stream. Within one
@@ -43,14 +62,25 @@ object StreamingDedup {
       .groupByKey(d => digest(d.text))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (h: String, events: Iterator[DocEvent], state: GroupState[DupState]) => {
-          var st = state.getOption.getOrElse(DupState(-1L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[DupEvent]
-          events.toSeq.sortBy(_.doc_id).foreach { d =>
-            val keeper = if (st.copies == 0L) d.doc_id else st.keeper
-            st = DupState(keeper, st.copies + 1L)
-            out += DupEvent(d.doc_id, h, keeper, st.copies)
+          // hot path: one state fold per group per micro-batch — sort the
+          // group's events in place and fold with primitive locals (the
+          // per-event case-class state allocation was measurable at the
+          // bench's 100k-event load)
+          val arr = events.toArray
+          if (arr.length > 1) arr.sortInPlaceBy(_.doc_id)
+          val st0 = state.getOption.getOrElse(DupState(-1L, 0L))
+          var keeper = st0.keeper
+          var copies = st0.copies
+          val out = new Array[DupEvent](arr.length)
+          var i = 0
+          while (i < arr.length) {
+            val d = arr(i)
+            if (copies == 0L) keeper = d.doc_id
+            copies += 1L
+            out(i) = DupEvent(d.doc_id, h, keeper, copies)
+            i += 1
           }
-          state.update(st)
+          state.update(DupState(keeper, copies))
           out.iterator
         })
   }
