@@ -498,9 +498,11 @@ object Dedup {
     // star round is distincts + checkpoints) — small-fit scope, no-op
     // at real scale where AQE matters
     graft.util.Pipelines.smallFitScope(s, d.count()) {
-      val res = Pipelines.tracked(s, componentsBody(s, dir, d))
-      res.count()
-      res
+      // keyed session cache (the knnEdges precedent), not just
+      // tracked(): ccLabels checkpoints each star round, so two runs'
+      // plans never canonicalize equal and the persist is unreachable
+      // on re-run — every re-run re-ran all O(log n) rounds
+      Pipelines.cachedDF(s, s"dedup.cc:$dir") { componentsBody(s, dir, d) }
     }
   }
 

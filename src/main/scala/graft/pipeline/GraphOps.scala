@@ -145,13 +145,18 @@ object GraphOps {
     * edge CTEs.
     */
   private def components(s: SparkSession, dir: String): DataFrame =
+    // keyed session cache (the knnEdges precedent), not just tracked():
+    // ccLabels checkpoints each star round, so two runs' plans can never
+    // canonicalize equal and a plain persist is unreachable on re-run —
+    // without the key every re-run re-ran all O(log n) rounds
     scoped(s, dir) {
-      val nodes = emb(s, dir).select(col("vec_id").as("doc_id"))
-      val edges = symEdges(s, dir).filter(col("u") < col("v"))
-        .select(col("u").as("a"), col("v").as("b"))
-      Dedup.ccLabels(nodes, edges)
-        .select(col("doc_id").as("vec_id"), col("comp"))
-        .orderBy("vec_id")
+      Pipelines.cachedDF(s, s"graph.cc:$dir") {
+        val nodes = emb(s, dir).select(col("vec_id").as("doc_id"))
+        val edges = symEdges(s, dir).filter(col("u") < col("v"))
+          .select(col("u").as("a"), col("v").as("b"))
+        Dedup.ccLabels(nodes, edges)
+          .select(col("doc_id").as("vec_id"), col("comp"))
+      }.orderBy("vec_id")
     }
 
   // ---- oracle fragments -------------------------------------------------

@@ -206,7 +206,16 @@ object Stats {
     * no word are pruned; with a shared vocabulary that prunes nothing and
     * matches the scan exactly). All distances are exact integers.
     */
-  private def nnBag(s: SparkSession, dir: String): DataFrame = {
+  private def nnBag(s: SparkSession, dir: String): DataFrame =
+    // session-shared result stage (the graph_knn precedent): the dense
+    // path builds a fresh dictionary broadcast + vector UDF per call, so
+    // its plans can never canonicalize equal across re-runs — without
+    // the keyed cache every re-run re-ran the whole block-nested-loop
+    // 1-NN against warm inputs
+    graft.util.Pipelines.cachedDF(s, s"j1.nnbag:$dir") { nnBagBody(s, dir) }
+      .orderBy("test_id")
+
+  private def nnBagBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ONE cached tokenize→bag pass feeds everything downstream
     // (vocabulary stats, the plan choice, and the chosen plan's input) —
@@ -257,7 +266,6 @@ object Stats {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang").as("pred_lang"))
     nn.join(docs, nn("rid") === docs("doc_id"))
       .select(col("tid").as("test_id"), col("rid").as("nn_id"), col("dist"), col("pred_lang"))
-      .orderBy("test_id")
   }
 
   /** Dense-vocab 1-NN path: asymmetric distance Σ_{i: t_i>0} (t_i−r_i)²

@@ -20,6 +20,36 @@ package graft.sfa
   */
 object Fourier {
 
+  /** Per-(w, coefs) twiddle tables for [[rawWindowDft]]:
+    * `table(k)(2j / 2j+1) = cos/sin(arg·j)` with `arg = -2π·k/w` — the
+    * EXACT expression the inline loop evaluated, precomputed once per
+    * JVM instead of twice per (window, k, j). The direct DFT is the CPU
+    * core of every word pipeline (one call per sliding window), and the
+    * trig dominated it; a table lookup yields bit-identical sums because
+    * the values and the summation order are unchanged. Bounded: one
+    * entry per distinct (windowSize, coefs) pair a process ever uses
+    * (grids use a handful), each entry coefs × 2w doubles; very large
+    * transforms (padded whole-series DFTs) skip the cache below rather
+    * than pin megabyte tables.
+    */
+  private val twiddleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private val TwiddleCacheMaxW = 4096
+
+  private def twiddles(w: Int, coefs: Int): Array[Array[Double]] =
+    twiddleCache.computeIfAbsent((w, coefs), _ => Array.tabulate(coefs) { k =>
+      val arg = -2.0 * math.Pi * k / w
+      val t = new Array[Double](2 * w)
+      var j = 0
+      while (j < w) {
+        val a = arg * j
+        t(2 * j) = math.cos(a)
+        t(2 * j + 1) = math.sin(a)
+        j += 1
+      }
+      t
+    })
+
   /** Raw interleaved DFT values of `data[from until from+w)` (zero-padded
     * when the series is shorter), slots `0 until len`, slot 1 zeroed.
     * No offset cut, no norming, no sign flips — the "first window" state
@@ -29,18 +59,29 @@ object Fourier {
     val out = new Array[Double](len)
     val n = math.min(w, math.max(0, data.length - from))
     val coefs = (math.min(len, w) + 1) / 2
+    val tw = if (w <= TwiddleCacheMaxW) twiddles(w, coefs) else null
     var k = 0
     while (k < coefs) {
       var re = 0.0
       var im = 0.0
       var j = 0
-      val arg = -2.0 * math.Pi * k / w
-      while (j < n) {
-        val a = arg * j
-        val x = data(from + j)
-        re += x * math.cos(a)
-        im += x * math.sin(a)
-        j += 1
+      if (tw != null) {
+        val t = tw(k)
+        while (j < n) {
+          val x = data(from + j)
+          re += x * t(2 * j)
+          im += x * t(2 * j + 1)
+          j += 1
+        }
+      } else {
+        val arg = -2.0 * math.Pi * k / w
+        while (j < n) {
+          val a = arg * j
+          val x = data(from + j)
+          re += x * math.cos(a)
+          im += x * math.sin(a)
+          j += 1
+        }
       }
       if (2 * k < len && 2 * k < w) out(2 * k) = re
       if (2 * k + 1 < len && 2 * k + 1 < w) out(2 * k + 1) = im

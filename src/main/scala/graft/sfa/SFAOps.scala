@@ -62,14 +62,28 @@ object SFAOps {
     * DFT, keep `l` values. Output: (user_id, win, coef, v) with `v`
     * unrounded (rounding is applied by callers per use).
     */
+  /** Stable UDF instances per parameter tuple: Catalyst canonicalizes a
+    * ScalaUDF by its function REFERENCE, so a `udf {}` closure built per
+    * call makes otherwise-identical plans compare unequal — every re-run
+    * of a query whose stages are persisted (`tracked`/`cachedDF`) missed
+    * the CacheManager entry and re-ran the whole word pipeline. One
+    * instance per (kernel, params) makes re-runs plan-identical; entries
+    * are bounded by the distinct parameter tuples a process uses.
+    */
+  private val udfMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Any), org.apache.spark.sql.expressions.UserDefinedFunction]
+  private def memoUdf(kernel: String, params: Any)(
+      build: => org.apache.spark.sql.expressions.UserDefinedFunction) =
+    udfMemo.getOrElseUpdate((kernel, params), build)
+
   def disjointApprox(
       series: DataFrame,
       windowSize: Int,
       l: Int,
       normMean: Boolean,
       extraKeys: Seq[String] = Nil): DataFrame = {
-    val udfApprox = udf { (data: Seq[Double]) =>
-      disjointKernel(data, windowSize, l, normMean)
+    val udfApprox = memoUdf("disjoint", (windowSize, l, normMean)) {
+      udf { (data: Seq[Double]) => disjointKernel(data, windowSize, l, normMean) }
     }
     val keep = (extraKeys :+ "user_id").map(col)
     series
@@ -88,9 +102,11 @@ object SFAOps {
     * in the SAME grouped aggregate — one plan, no per-config driver loop.
     */
   def equiDepthBins(approx: DataFrame, alphabetSize: Int, extraKeys: Seq[String] = Nil): DataFrame = {
-    val edgesUdf = udf { (vals: Seq[Double]) =>
-      SFA.equiDepthEdges(vals.sorted.toArray, alphabetSize)
-        .zipWithIndex.collect { case (e, p) if e != Double.MaxValue => (p, e) }
+    val edgesUdf = memoUdf("equiDepthEdges", alphabetSize) {
+      udf { (vals: Seq[Double]) =>
+        SFA.equiDepthEdges(vals.sorted.toArray, alphabetSize)
+          .zipWithIndex.collect { case (e, p) if e != Double.MaxValue => (p, e) }
+      }
     }
     val keys = (extraKeys :+ "coef").map(col)
     approx
@@ -157,8 +173,8 @@ object SFAOps {
       l: Int,
       normMean: Boolean,
       extraKeys: Seq[String] = Nil): DataFrame = {
-    val udfApprox = udf { (data: Seq[Double]) =>
-      slidingKernel(data, windowSize, l, normMean)
+    val udfApprox = memoUdf("sliding", (windowSize, l, normMean)) {
+      udf { (data: Seq[Double]) => slidingKernel(data, windowSize, l, normMean) }
     }
     val keep = (extraKeys :+ "user_id").map(col)
     series
@@ -176,8 +192,8 @@ object SFAOps {
       windowSize: Int,
       l: Int,
       normMean: Boolean): DataFrame = {
-    val udfApprox = udf { (data: Seq[Double]) =>
-      slidingKernel(data, windowSize, l, normMean)
+    val udfApprox = memoUdf("sliding", (windowSize, l, normMean)) {
+      udf { (data: Seq[Double]) => slidingKernel(data, windowSize, l, normMean) }
     }
     series
       .filter(size(col("data")) >= windowSize)
@@ -250,8 +266,8 @@ object SFAOps {
       explode(array(windows.map(w => lit(w.toLong)): _*)).as("w"))
     // disjointApprox with the window length as data — the SAME kernel as
     // the per-w form, so parity is by construction
-    val udfDisjoint = udf { (data: Seq[Double], w: Long) =>
-      disjointKernel(data, w.toInt, l, normMean = false)
+    val udfDisjoint = memoUdf("gridDisjoint", l) {
+      udf { (data: Seq[Double], w: Long) => disjointKernel(data, w.toInt, l, normMean = false) }
     }
     val disjoint = fanned
       .select(col("w"), col("user_id"),
@@ -261,8 +277,8 @@ object SFAOps {
     val bins = equiDepthBins(disjoint, alphabetSize, Seq("w"))
     // slidingApproxDirect with the window length as data — the SAME
     // kernel (1/σ scaling, short-series exclusion) as the per-w form
-    val udfSliding = udf { (data: Seq[Double], w: Long) =>
-      slidingKernel(data, w.toInt, l, normMean = false)
+    val udfSliding = memoUdf("gridSliding", l) {
+      udf { (data: Seq[Double], w: Long) => slidingKernel(data, w.toInt, l, normMean = false) }
     }
     val sliding = fanned
       .filter(size(col("data")) >= col("w"))
