@@ -164,7 +164,15 @@ object Curation {
     * boilerplate WITHIN otherwise-unique documents.
     */
   private def dupSpans(s: SparkSession, dir: String): DataFrame =
-    dupSpansOf(docs(s, dir), grams(s, dir))
+    dupSpansOf(docs(s, dir), grams(s, dir), Some(dupStartsCached(s, dir)))
+
+  /** Session-shared dup-gram start positions: coverage (measure),
+    * removal (act) and the export manifest all fold over the SAME
+    * per-doc start arrays — un-cached, each of the three re-ran the
+    * dup-gram join + collect_set per call.
+    */
+  private def dupStartsCached(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"curation.dupstarts:$dir")(dupStarts(grams(s, dir)))
 
   /** Per-doc SORTED dup-gram start positions — the one definition of
     * "duplicated span" that coverage (measure) and removal (act) both
@@ -207,8 +215,9 @@ object Curation {
        |                           'cov', acc.cov + least(x - acc.prev, $GramN)),
        |  acc -> acc.cov)""".stripMargin)
 
-  private[pipeline] def dupSpansOf(d: DataFrame, gramsDf: DataFrame): DataFrame = {
-    val covered = dupStarts(gramsDf)
+  private[pipeline] def dupSpansOf(d: DataFrame, gramsDf: DataFrame,
+      starts: Option[DataFrame] = None): DataFrame = {
+    val covered = starts.getOrElse(dupStarts(gramsDf))
       .select(col("doc_id"), coveredExpr.as("covered"))
     d.select(col("doc_id"),
         size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_tokens"))
@@ -248,11 +257,12 @@ object Curation {
     * a different plan.
     */
   private def spanRemoval(s: SparkSession, dir: String): DataFrame =
-    spanRemovalOf(docs(s, dir), grams(s, dir))
+    spanRemovalOf(docs(s, dir), grams(s, dir), Some(dupStartsCached(s, dir)))
 
-  private[pipeline] def spanRemovalOf(d: DataFrame, gramsDf: DataFrame): DataFrame =
+  private[pipeline] def spanRemovalOf(d: DataFrame, gramsDf: DataFrame,
+      starts: Option[DataFrame] = None): DataFrame =
     d.select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("ws"))
-      .join(dupStarts(gramsDf), Seq("doc_id"), "left")
+      .join(starts.getOrElse(dupStarts(gramsDf)), Seq("doc_id"), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
       .withColumn("kept",
         expr(s"filter(ws, (w, i) -> NOT exists(starts, x -> x <= i AND i < x + $GramN))"))
@@ -338,7 +348,23 @@ object Curation {
     * counts are exact integers.
     */
   private def funnel(s: SparkSession, dir: String): DataFrame =
-    funnelOf(docs(s, dir), grams(s, dir))
+    funnelOf(docs(s, dir), grams(s, dir), Some(stageCache(s, dir)))
+
+  /** Session-shared funnel-stage survivor frames: `curation_funnel` and
+    * `curation_export` consume the SAME four stages (by design — one
+    * definition), but un-cached each ran the whole dedup → bloom →
+    * quality → sampling chain per call, and the bloom build makes the
+    * plans non-canonicalizable across calls (fresh filter per run), so
+    * no plain persist could ever be reached on a re-run.
+    */
+  private def stageCache(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (s1, s2, s3, s4) = funnelStages(docs(s, dir), grams(s, dir))
+    (Pipelines.cachedDF(s, s"curation.s1:$dir")(s1),
+      Pipelines.cachedDF(s, s"curation.s2:$dir")(s2),
+      Pipelines.cachedDF(s, s"curation.s3:$dir")(s3),
+      Pipelines.cachedDF(s, s"curation.s4:$dir")(s4))
+  }
 
   /** The four funnel-stage survivor sets (doc_id frames), factored so
     * the funnel report and the export manifest share ONE definition of
@@ -370,8 +396,9 @@ object Curation {
     (s1, s2, s3, s4)
   }
 
-  private[pipeline] def funnelOf(d: DataFrame, g: DataFrame): DataFrame = {
-    val (s1, s2, s3, s4) = funnelStages(d, g)
+  private[pipeline] def funnelOf(d: DataFrame, g: DataFrame,
+      cached: Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = None): DataFrame = {
+    val (s1, s2, s3, s4) = cached.getOrElse(funnelStages(d, g))
     def stage(i: Long, name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(i).as("stage"), lit(name).as("name"), col("n_docs"))
@@ -430,11 +457,14 @@ object Curation {
     * beyond the ones the components already pay.
     */
   private def curationExport(s: SparkSession, dir: String): DataFrame =
-    curationExportOf(docs(s, dir), grams(s, dir))
+    curationExportOf(docs(s, dir), grams(s, dir), Some(stageCache(s, dir)),
+      Some(dupStartsCached(s, dir)))
 
-  private[pipeline] def curationExportOf(d: DataFrame, g: DataFrame): DataFrame = {
-    val (_, _, _, s4) = funnelStages(d, g)
-    spanRemovalOf(d, g).join(s4, "doc_id")
+  private[pipeline] def curationExportOf(d: DataFrame, g: DataFrame,
+      cached: Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = None,
+      starts: Option[DataFrame] = None): DataFrame = {
+    val (_, _, _, s4) = cached.getOrElse(funnelStages(d, g))
+    spanRemovalOf(d, g, starts).join(s4, "doc_id")
       .join(d.select("doc_id", "lang", "source"), "doc_id")
       .select("doc_id", "lang", "source", "n_tokens", "removed", "clean_fp")
       .orderBy("doc_id")

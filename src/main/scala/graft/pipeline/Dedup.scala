@@ -215,7 +215,15 @@ object Dedup {
     * candidate docs first, so the quadratic intersection work is gated
     * by the LSH prefilter. The candidate-pair count is logged.
     */
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    // keyed session cache (the j1 precedent): the candidate count and
+    // the ad-hoc band cache/unpersist inside the build make re-run plans
+    // non-reusable — without the key every re-run re-ran the signature
+    // aggregation, banding self-join and verify stage
+    Pipelines.cachedDF(s, s"dedup.minhash:$dir") { minhashLshBody(s, dir) }
+      .orderBy("a", "b")
+
+  private def minhashLshBody(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     // one min-aggregate per hash slot instead of a 32× posexplode: the
     // per-doc signature falls out of a single groupBy(doc_id) whose
@@ -261,7 +269,6 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
       .withColumn("jac", graft.util.Rnd.jround(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"), 6))
       .select("a", "b", "jac")
-      .orderBy("a", "b")
   }
 
   private val minhashSql = {

@@ -1224,14 +1224,15 @@ object Similarity {
   private def semantic(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Pipelines.smallFitScope(s, e.count()) {
-      val pairs = dupPairs(s, dir).select("a", "b")
-      val res = Pipelines.tracked(s,
+      // keyed session cache, not tracked(): ccLabels checkpoints each
+      // star round, so re-run plans never canonicalize equal and a
+      // plain persist is unreachable — every re-run re-ran all rounds
+      Pipelines.cachedDF(s, s"sim.cc:$dir") {
+        val pairs = dupPairs(s, dir).select("a", "b")
         Dedup.ccLabels(e.select(col("vec_id").as("doc_id")), pairs)
           .withColumn("keeper", when(col("comp") === col("doc_id"), 1L).otherwise(0L))
           .select(col("doc_id").as("vec_id"), col("comp"), col("keeper"))
-          .orderBy("vec_id"))
-      res.count()
-      res
+      }.orderBy("vec_id")
     }
   }
 

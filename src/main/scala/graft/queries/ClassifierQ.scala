@@ -38,16 +38,15 @@ object ClassifierQ {
 
   private def j2(s: SparkSession, dir: String): DataFrame = {
     val bags = SfaQ.slidingBags(s, dir)
-    // tf-idf fit + scoring at fixture input size is plan-depth-bound
-    // (every shuffle of the 10-stage chain is its own AQE-scheduled
-    // job): small-fit scope + a tracked result, the m2 pattern — no-op
-    // at real scale, and a re-run in a live session reuses the
-    // materialized result instead of re-running the chain
-    graft.util.Pipelines.smallFitScope(s, SfaQ.series(s, dir).count()) {
-      val res = graft.util.Pipelines.tracked(s, j2Body(bags))
-      res.count()
-      res
-    }
+    // tracked result: the chain has no UDFs, so a re-run in a live
+    // session canonicalizes equal and reuses the materialized scoring.
+    // Deliberately NOT small-fit-scoped: the class pick ranks by a raw
+    // double score sum, and changing the shuffle/AQE shape changes its
+    // summation order — the one thing an optimization round must not do
+    // (the o4 lesson).
+    val res = graft.util.Pipelines.tracked(s, j2Body(bags))
+    res.count()
+    res
   }
 
   private def j2Body(bags: DataFrame): DataFrame = {

