@@ -298,9 +298,15 @@ object GridQ {
     // oracle's per-branch global aggregates
     import s.implicits._
     val histDim = Seq("EQUI_DEPTH", "EQUI_WIDTH").toDF("hist")
-    histDim.join(counts, Seq("hist"), "left")
+    // tracked: all-builtin expressions over cached stages, so a re-run
+    // canonicalizes equal and reuses the materialized grid instead of
+    // re-running both quantizers (outputs are integer counts —
+    // partitioning-invariant)
+    val res = graft.util.Pipelines.tracked(s, histDim.join(counts, Seq("hist"), "left")
       .na.fill(0L, Seq("n_words", "n_windows"))
-      .orderBy("hist")
+      .orderBy("hist"))
+    res.count()
+    res
   }
 
   private def m4Sql: String = {
@@ -369,10 +375,14 @@ object GridQ {
     // NULL, total 0, acc NULL) like the oracle's per-branch aggregate
     import s.implicits._
     val snapDim = M5Snaps.map(_.toLong).toDF("snap")
-    snapDim.join(graded, Seq("snap"), "left")
+    // tracked: the whole cascade re-ran its 1-NN join per re-run
+    // otherwise (acc derives from integer counts — partitioning-safe)
+    val res = graft.util.Pipelines.tracked(s, snapDim.join(graded, Seq("snap"), "left")
       .withColumn("total", coalesce(col("total"), lit(0L)))
       .withColumn("acc", jround(col("correct").cast("double") / col("total"), 6))
-      .orderBy("snap")
+      .orderBy("snap"))
+    res.count()
+    res
   }
 
   private def m5Branch(snap: Int): String = {
