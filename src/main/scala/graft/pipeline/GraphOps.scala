@@ -89,7 +89,13 @@ object GraphOps {
     // gate): checkpoint each round at real scale, one deep plan inside
     // the small-fit scope — NOT a session-conf read at plan-build time
     val barrier = emb(s, dir).count() > Pipelines.SmallFitThreshold
-    scoped(s, dir)(pagerankBody(s, dir, barrier))
+    // keyed session cache AROUND the tracked body: re-building the
+    // 3-iteration join tree costs ~2.5 s of driver-side analysis +
+    // canonicalization per call even when the data is cached (measured);
+    // returning the memoized frame skips the plan rebuild outright
+    Pipelines.cachedDF(s, s"graph.pr:$dir") {
+      scoped(s, dir)(pagerankBody(s, dir, barrier))
+    }
   }
 
   private[pipeline] def pagerankBody(s: SparkSession, dir: String, barrier: Boolean): DataFrame = {
@@ -120,7 +126,11 @@ object GraphOps {
   }
 
   private def triangles(s: SparkSession, dir: String): DataFrame =
-    scoped(s, dir)(trianglesBody(s, dir))
+    // keyed like pagerank: the wedge-join tree's per-call rebuild cost
+    // dominates its warm re-run
+    Pipelines.cachedDF(s, s"graph.tri:$dir") {
+      scoped(s, dir)(trianglesBody(s, dir))
+    }
 
   private def trianglesBody(s: SparkSession, dir: String): DataFrame = {
     val und = symEdges(s, dir).filter(col("u") < col("v"))

@@ -95,7 +95,15 @@ object TextOps {
     */
   private val LangProfileK = 20
 
-  private def langid(s: SparkSession, dir: String): DataFrame = {
+  private def langid(s: SparkSession, dir: String): DataFrame =
+    // keyed session cache (the f12/j1 fit-query precedent): the language
+    // profiles are a model fitted on the training split, and the build
+    // collects the language list — plans never canonicalize equal across
+    // re-runs, so without the key every re-run re-ran fit + classify
+    graft.util.Pipelines.cachedDF(s, s"text.langid:$dir") { langidBody(s, dir) }
+      .orderBy("doc_id")
+
+  private def langidBody(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = withTokens(docs(s, dir))
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
@@ -124,7 +132,6 @@ object TextOps {
     docs(s, dir).select(col("doc_id"), col("lang")).join(pred, "doc_id")
       .withColumn("hit", (col("pred") === col("lang")).cast("long"))
       .select("doc_id", "pred", "hit")
-      .orderBy("doc_id")
   }
 
   private val langidSql =
