@@ -217,6 +217,53 @@ object IndexOps {
       expr("transform(sort_array(collect_list(struct(coef, mn))), p -> p.mn)").as("mns"),
       expr("transform(sort_array(collect_list(struct(coef, mx))), p -> p.mx)").as("mxs"))
 
+  /** [[boxTable]] collected to the driver in ONE aggregation: the
+    * distributed part stops at the (prefix, coef) grouped min/max/count
+    * — at most prefixes × coefficients rows — and the per-prefix array
+    * assembly (previously a SECOND shuffle of collect_list/sort_array)
+    * runs on those collected rows instead. Values are bit-identical to
+    * collecting [[boxTable]]: same min/max/count over the same rows,
+    * assembly order = coef ascending (exactly the sort_array struct
+    * order). This is the shape every consumer actually wants — both the
+    * save-time stats writer and the query-time fallback collect the
+    * table anyway — so the second exchange was pure scheduling cost.
+    */
+  def boxRows(prepared: DataFrame): Array[(Long, Long, Seq[Double], Seq[Double])] =
+    prepared
+      .select(col("prefix"), posexplode(col("approx")).as(Seq("coef", "v")))
+      .groupBy("prefix", "coef")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      .map { case (p, rows) =>
+        val byCoef = rows.sortBy(_.getInt(1))
+        (p, byCoef.map(_.getLong(4)).max,
+          byCoef.map(_.getDouble(2)).toSeq, byCoef.map(_.getDouble(3)).toSeq)
+      }
+
+  /** Driver-side merge of two [[boxRows]]-shaped tables (the append
+    * path's persisted-stats update): counts add, boxes widen
+    * element-wise. min/max use Spark SQL's double total order
+    * (java.lang.Double.compare: NaN greatest, -0.0 < 0.0), so the
+    * result is bit-identical to the [[mergeBoxTables]] aggregate it
+    * replaces — on tables of at most α^prefixLen rows the distributed
+    * union/explode/re-aggregate was three exchanges of driver-sized
+    * data.
+    */
+  def mergeBoxRows(
+      a: Array[(Long, Long, Seq[Double], Seq[Double])],
+      b: Array[(Long, Long, Seq[Double], Seq[Double])])
+      : Array[(Long, Long, Seq[Double], Seq[Double])] = {
+    def mn(x: Double, y: Double) = if (java.lang.Double.compare(x, y) <= 0) x else y
+    def mx(x: Double, y: Double) = if (java.lang.Double.compare(x, y) >= 0) x else y
+    (a ++ b).groupBy(_._1).toArray.sortBy(_._1).map { case (p, rows) =>
+      rows.reduce { (l, r) =>
+        (p, l._2 + r._2,
+          l._3.lazyZip(r._3).map(mn).toSeq, l._4.lazyZip(r._4).map(mx).toSeq)
+      }
+    }
+  }
+
   /** Merge two [[boxTable]]-shaped frames (a layout's persisted stats
     * and an appended batch's): counts add, boxes widen element-wise —
     * min/max are associative, so save-then-append stats equal the
@@ -335,11 +382,7 @@ object IndexOps {
     // then pure driver arithmetic — the earlier all-DataFrame
     // formulation spent ~2× the brute-scan's whole wall time scheduling
     // eight tiny jobs at sf0.1.
-    val boxRows = precomputedBoxes.getOrElse {
-      boxTable(prepared)
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3)))
-    }
+    val boxRows = precomputedBoxes.getOrElse(IndexOps.boxRows(prepared))
     val qidType = queries.schema("qid").dataType
     def pairDF(rows: Array[(Long, Long, Long)]): DataFrame = {
       import org.apache.spark.sql.types._

@@ -290,7 +290,7 @@ object ModelIO {
       // over them, and knnOverLayout's fallback stays for such cases.
       val headers =
         if (!corpus.columns.contains("approx")) Map.empty[String, String]
-        else Map(BoxStatsHeader -> writeBoxStats(s, path, boxesOverFiles(s, path, files)))
+        else Map(BoxStatsHeader -> writeBoxStats(s, path, boxRowsOverFiles(s, path, files)))
       graft.util.Maintenance.writeManifest(s, path,
         graft.util.Maintenance.Manifest(headers, files))
     }
@@ -369,18 +369,19 @@ object ModelIO {
         // a pre-manifest layout adopts its full pre-append listing (that
         // IS what its directory readers saw) and becomes committed
         val baseFiles = mOld.map(_.files).getOrElse(fsBefore.toSeq.sorted)
-        val merged: Option[DataFrame] =
+        val merged: Option[Array[(Long, Long, Seq[Double], Seq[Double])]] =
           if (!corpus.columns.contains("approx")) None // word-only layout: no boxes
           else mOld.flatMap(_.header(BoxStatsHeader)) match {
-            case Some(d) if created.nonEmpty => Some(IndexOps.mergeBoxTables(
-              s.read.parquet(new org.apache.hadoop.fs.Path(path, d).toString)
-                .select("prefix", "cnt", "mns", "mxs"),
-              boxesOverFiles(s, path, created)))
-            case Some(d) =>
-              Some(s.read.parquet(new org.apache.hadoop.fs.Path(path, d).toString)
-                .select("prefix", "cnt", "mns", "mxs"))
+            // the persisted table and the created-files aggregate are
+            // both driver-sized (≤ α^prefixLen rows); the merge runs on
+            // the driver (IndexOps.mergeBoxRows, bit-identical to the
+            // old mergeBoxTables aggregate) instead of as a three-
+            // exchange distributed job over model-sized data
+            case Some(d) if created.nonEmpty => Some(IndexOps.mergeBoxRows(
+              readStatsRows(s, path, d), boxRowsOverFiles(s, path, created)))
+            case Some(d) => Some(readStatsRows(s, path, d))
             // pre-stats layout: one narrow full pass upgrades it
-            case None => Some(boxesOverFiles(s, path, baseFiles ++ created))
+            case None => Some(boxRowsOverFiles(s, path, baseFiles ++ created))
           }
         val statsDir = merged.map(writeBoxStats(s, path, _))
         val headers = mOld.map(_.headers).getOrElse(Map.empty) ++
@@ -439,27 +440,48 @@ object ModelIO {
       path: String): Option[Array[(Long, Long, Seq[Double], Seq[Double])]] =
     graft.util.Maintenance.readManifest(s, path)
       .flatMap(_.header(BoxStatsHeader))
-      .map { d =>
-        s.read.parquet(new org.apache.hadoop.fs.Path(path, d).toString)
-          .select("prefix", "cnt", "mns", "mxs")
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3)))
-      }
+      .map(readStatsRows(s, path, _))
 
-  /** Narrow (prefix, approx) scan of exactly `files` → [[IndexOps.boxTable]]. */
-  private def boxesOverFiles(s: SparkSession, path: String, files: Seq[String]): DataFrame =
-    IndexOps.boxTable(
+  private def readStatsRows(s: SparkSession, path: String,
+      dir: String): Array[(Long, Long, Seq[Double], Seq[Double])] =
+    s.read.parquet(new org.apache.hadoop.fs.Path(path, dir).toString)
+      .select("prefix", "cnt", "mns", "mxs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3)))
+
+  /** Narrow (prefix, approx) scan of exactly `files` → the collected
+    * per-prefix box table ([[IndexOps.boxRows]]: one distributed
+    * aggregation, array assembly on the driver).
+    */
+  private def boxRowsOverFiles(s: SparkSession, path: String,
+      files: Seq[String]): Array[(Long, Long, Seq[Double], Seq[Double])] =
+    IndexOps.boxRows(
       s.read.option("basePath", path)
         .parquet(files.map(f => new org.apache.hadoop.fs.Path(path, f).toString): _*)
         .select(col("prefix").cast("long").as("prefix"), col("approx")))
 
   /** Write `boxes` as a fresh uniquely-named stats dir under `path`
     * (unreferenced until a manifest commit points at it) and return the
-    * dir name. One file: the table is model-sized (≤ α^prefixLen rows).
+    * dir name. One file: the table is model-sized (≤ α^prefixLen rows),
+    * already on the driver, so the write is a single trivial job with
+    * no input scan or exchange.
     */
-  private def writeBoxStats(s: SparkSession, path: String, boxes: DataFrame): String = {
+  private def writeBoxStats(s: SparkSession, path: String,
+      boxes: Array[(Long, Long, Seq[Double], Seq[Double])]): String = {
     val dir = s"_boxes_${ProcessHandle.current().pid()}_${System.nanoTime()}"
-    boxes.coalesce(1).write
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("prefix",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("mns", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("mxs", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    s.createDataFrame(
+      java.util.Arrays.asList(boxes.map(b =>
+        org.apache.spark.sql.Row(b._1, b._2, b._3, b._4)): _*), schema)
+      .coalesce(1).write
       .parquet(new org.apache.hadoop.fs.Path(path, dir).toString)
     dir
   }
@@ -523,17 +545,24 @@ object ModelIO {
   private def writeIndex(corpus: DataFrame, usedBits: Int, prefixLen: Int, path: String,
       prefixStart: Int, base: Int, mode: SaveMode): Unit = {
     val b = if (base > 0) base else 1 << usedBits
-    corpus
+    val packed = corpus
       .withColumn("prefix",
         expr(s"aggregate(slice(word, ${prefixStart + 1}, $prefixLen), 0L, (acc, s) -> acc * $b + s)"))
-      // cluster the write by the partition column (AQE REBALANCE: sized
-      // to the advisory partition bytes, skew-split when a prefix is
-      // hot): without it every upstream task writes a file into every
-      // prefix it touches — tasks × prefixes tiny files per write, paid
-      // back on every subsequent listing and scan. The Iceberg
-      // write.distribution-mode=hash idea, expressed in plain parquet.
-      .hint("rebalance", org.apache.spark.sql.functions.col("prefix"))
-      .write.mode(mode).partitionBy("prefix").parquet(path)
+    // cluster the write by the partition column (AQE REBALANCE: sized
+    // to the advisory partition bytes, skew-split when a prefix is
+    // hot): without it every upstream task writes a file into every
+    // prefix it touches — tasks × prefixes tiny files per write, paid
+    // back on every subsequent listing and scan. The Iceberg
+    // write.distribution-mode=hash idea, expressed in plain parquet.
+    // The hint is a silent no-op when AQE is off (e.g. a caller writing
+    // inside a small-fit scope), which would quietly reintroduce the
+    // tasks × prefixes dust — fall back to an explicit hash repartition
+    // by prefix there (one file per prefix: clustered, not skew-split).
+    val clustered =
+      if (corpus.sparkSession.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+        packed.hint("rebalance", org.apache.spark.sql.functions.col("prefix"))
+      else packed.repartition(org.apache.spark.sql.functions.col("prefix"))
+    clustered.write.mode(mode).partitionBy("prefix").parquet(path)
   }
 
   /** Selective small-file compaction for an append-grown layout
