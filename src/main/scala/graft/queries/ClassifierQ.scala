@@ -156,13 +156,17 @@ object ClassifierQ {
       .select(col("user_id").as("test_id"), col("data").as("qdata"))
     val train = ser.filter(col("user_id") % 2 === 0)
       .select(col("user_id").as("train_id"), col("data"))
-    val shotgunUdf = udf { (q: Seq[Double], t: Seq[Double]) =>
-      graft.sfa.Shotgun.distance(q.toArray, t.toArray, W)
-    }
+    // native codegen kernel (graft.sfa.expr.ShotgunDistExpr): the same
+    // Shotgun.distance call, minus the per-pair boxed Seq[Double]
+    // conversions a ScalaUDF pays on BOTH full series inside the cross
+    // join — j4 was the registry's slowest query purely on that boundary
+    import org.apache.spark.sql.graft.Bridge
+    val shotgunDist = Bridge.column(graft.sfa.expr.ShotgunDistExpr(
+      Bridge.expression(col("qdata")), Bridge.expression(col("data")), W))
     val byDist = Window.partitionBy("test_id")
       .orderBy(col("dist").asc, col("train_id").asc)
     test.crossJoin(train)
-      .withColumn("dist", graft.util.Rnd.jround(shotgunUdf(col("qdata"), col("data")), 6))
+      .withColumn("dist", graft.util.Rnd.jround(shotgunDist, 6))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1)
       .select(col("test_id"), col("train_id").as("nn_id"), col("dist"))

@@ -116,4 +116,32 @@ class ExprPropsSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: ShotgunDistExpr ≡ Shotgun.distance, interpreted and codegen") {
+    import spark.implicits._
+    val w = 8
+    val cases = (0 until 120).map { i =>
+      // lengths straddle the window: shorter-than-w queries take the
+      // truncated-window path, longer series exercise the sliding scan
+      val nq = w / 2 + rnd.nextInt(3 * w)
+      val nt = w + rnd.nextInt(4 * w)
+      (i.toLong,
+        Seq.fill(nq)(rnd.nextDouble() * 20 - 10),
+        Seq.fill(nt)(rnd.nextDouble() * 20 - 10))
+    }
+    def ref(q: Seq[Double], t: Seq[Double]): Double =
+      Shotgun.distance(q.toArray, t.toArray, w)
+    cases.foreach { case (_, q, t) =>
+      val got = graft.sfa.expr.ShotgunDistExpr(
+        litArr(q, DoubleType), litArr(t, DoubleType), w).eval(null)
+      assert(got == ref(q, t))
+    }
+    val df = cases.toDF("id", "q", "t")
+    val expCol = org.apache.spark.sql.graft.Bridge.column(graft.sfa.expr.ShotgunDistExpr(
+      org.apache.spark.sql.graft.Bridge.expression(col("q")),
+      org.apache.spark.sql.graft.Bridge.expression(col("t")), w))
+    val got = df.select(col("id"), expCol.as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (id, q, t) => assert(got(id) == ref(q, t), s"case $id") }
+  }
 }
