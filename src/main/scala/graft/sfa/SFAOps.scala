@@ -29,12 +29,14 @@ object SFAOps {
     * paths cannot silently diverge under a future fix.
     */
   private[sfa] def disjointKernel(
-      data: Seq[Double], w: Int, l: Int, normMean: Boolean): Array[Array[Double]] = {
-    val arr = data.toArray
+      data: Seq[Double], w: Int, l: Int, normMean: Boolean): Array[Array[Double]] =
+    disjointKernelArr(data.toArray, w, l, normMean)
+
+  private[sfa] def disjointKernelArr(
+      arr: Array[Double], w: Int, l: Int, normMean: Boolean): Array[Array[Double]] =
     SFA.disjointWindows(arr, w, normMean).map { win =>
       Fourier.transformWindow(win, 0, w, l, normMean, lowerBounding = true)
     }
-  }
 
   /** THE per-series sliding-window kernel (direct per-window DFT with
     * per-window 1/σ scaling, σ=0 guarded to 1) — shared by
@@ -44,8 +46,11 @@ object SFAOps {
     * the SQL oracle models the exclusion).
     */
   private[sfa] def slidingKernel(
-      data: Seq[Double], w: Int, l: Int, normMean: Boolean): Array[Array[Double]] = {
-    val arr = data.toArray
+      data: Seq[Double], w: Int, l: Int, normMean: Boolean): Array[Array[Double]] =
+    slidingKernelArr(data.toArray, w, l, normMean)
+
+  private[sfa] def slidingKernelArr(
+      arr: Array[Double], w: Int, l: Int, normMean: Boolean): Array[Array[Double]] =
     if (arr.length < w) Array.empty
     else {
       val (_, stds) = Fourier.rollingMeanStdDirect(arr, w)
@@ -55,7 +60,6 @@ object SFAOps {
         direct.map(_ * f)
       }
     }
-  }
 
   /** Disjoint-window Fourier approximations (the quantizer-fit input):
     * z-norm each complete window (σ-division only when !normMean), direct
@@ -69,6 +73,10 @@ object SFAOps {
     * the CacheManager entry and re-ran the whole word pipeline. One
     * instance per (kernel, params) makes re-runs plan-identical; entries
     * are bounded by the distinct parameter tuples a process uses.
+    * (The DFT kernels themselves moved to native expressions —
+    * [[graft.sfa.expr.SlidingDftExpr]] and friends — which canonicalize
+    * structurally; the memo remains for the one remaining UDF, the
+    * equi-depth edge fit.)
     */
   private val udfMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Any), org.apache.spark.sql.expressions.UserDefinedFunction]
@@ -76,18 +84,32 @@ object SFAOps {
       build: => org.apache.spark.sql.expressions.UserDefinedFunction) =
     udfMemo.getOrElseUpdate((kernel, params), build)
 
+  /** The per-series DFT stages as native codegen expressions: one
+    * primitive-array copy in, UnsafeArrayData windows out — no boxed
+    * Seq round-trip per series row (the engine's hottest boundary).
+    */
+  private def disjointCol(data: Column, w: Column, l: Int, normMean: Boolean): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.sfa.expr.DisjointDftExpr(
+      Bridge.expression(data), Bridge.expression(w.cast("int")), l, normMean))
+  }
+
+  private def slidingCol(data: Column, w: Column, l: Int, normMean: Boolean): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.sfa.expr.SlidingDftExpr(
+      Bridge.expression(data), Bridge.expression(w.cast("int")), l, normMean))
+  }
+
   def disjointApprox(
       series: DataFrame,
       windowSize: Int,
       l: Int,
       normMean: Boolean,
       extraKeys: Seq[String] = Nil): DataFrame = {
-    val udfApprox = memoUdf("disjoint", (windowSize, l, normMean)) {
-      udf { (data: Seq[Double]) => disjointKernel(data, windowSize, l, normMean) }
-    }
     val keep = (extraKeys :+ "user_id").map(col)
     series
-      .select(keep :+ posexplode(udfApprox(col("data"))).as(Seq("win", "approx")): _*)
+      .select(keep :+ posexplode(
+        disjointCol(col("data"), lit(windowSize), l, normMean)).as(Seq("win", "approx")): _*)
       .select(keep ++ Seq(col("win"), posexplode(col("approx")).as(Seq("coef", "v"))): _*)
   }
 
@@ -173,13 +195,11 @@ object SFAOps {
       l: Int,
       normMean: Boolean,
       extraKeys: Seq[String] = Nil): DataFrame = {
-    val udfApprox = memoUdf("sliding", (windowSize, l, normMean)) {
-      udf { (data: Seq[Double]) => slidingKernel(data, windowSize, l, normMean) }
-    }
     val keep = (extraKeys :+ "user_id").map(col)
     series
       .filter(size(col("data")) >= windowSize)
-      .select(keep :+ posexplode(udfApprox(col("data"))).as(Seq("win", "approx")): _*)
+      .select(keep :+ posexplode(
+        slidingCol(col("data"), lit(windowSize), l, normMean)).as(Seq("win", "approx")): _*)
       .select(keep ++ Seq(col("win"), posexplode(col("approx")).as(Seq("coef", "v"))): _*)
   }
 
@@ -191,14 +211,11 @@ object SFAOps {
       series: DataFrame,
       windowSize: Int,
       l: Int,
-      normMean: Boolean): DataFrame = {
-    val udfApprox = memoUdf("sliding", (windowSize, l, normMean)) {
-      udf { (data: Seq[Double]) => slidingKernel(data, windowSize, l, normMean) }
-    }
+      normMean: Boolean): DataFrame =
     series
       .filter(size(col("data")) >= windowSize)
-      .select(col("user_id"), posexplode(udfApprox(col("data"))).as(Seq("win", "approx")))
-  }
+      .select(col("user_id"), posexplode(
+        slidingCol(col("data"), lit(windowSize), l, normMean)).as(Seq("win", "approx")))
 
   /** Fused quantize + pack via the native codegen expression
     * [[graft.sfa.expr.SfaWordExpr]]: one pass per window row, bins as a
@@ -230,12 +247,11 @@ object SFAOps {
       windowSize: Int,
       l: Int,
       normMean: Boolean): DataFrame = {
-    val udfApprox = udf { (data: Seq[Double]) =>
-      Fourier.transformWindowing(data.toArray, windowSize, l, normMean,
-        lowerBounding = true, applyZNorm = true)
-    }
+    import org.apache.spark.sql.graft.Bridge
+    val mftCol = Bridge.column(graft.sfa.expr.MftDftExpr(
+      Bridge.expression(col("data")), windowSize, l, normMean))
     series
-      .select(col("user_id"), posexplode(udfApprox(col("data"))).as(Seq("win", "approx")))
+      .select(col("user_id"), posexplode(mftCol).as(Seq("win", "approx")))
       .select(col("user_id"), col("win"), posexplode(col("approx")).as(Seq("coef", "v")))
   }
 
@@ -266,24 +282,20 @@ object SFAOps {
       explode(array(windows.map(w => lit(w.toLong)): _*)).as("w"))
     // disjointApprox with the window length as data — the SAME kernel as
     // the per-w form, so parity is by construction
-    val udfDisjoint = memoUdf("gridDisjoint", l) {
-      udf { (data: Seq[Double], w: Long) => disjointKernel(data, w.toInt, l, normMean = false) }
-    }
     val disjoint = fanned
       .select(col("w"), col("user_id"),
-        posexplode(udfDisjoint(col("data"), col("w"))).as(Seq("win", "approx")))
+        posexplode(disjointCol(col("data"), col("w"), l, normMean = false))
+          .as(Seq("win", "approx")))
       .select(col("w"), col("user_id"), col("win"),
         posexplode(col("approx")).as(Seq("coef", "v")))
     val bins = equiDepthBins(disjoint, alphabetSize, Seq("w"))
     // slidingApproxDirect with the window length as data — the SAME
     // kernel (1/σ scaling, short-series exclusion) as the per-w form
-    val udfSliding = memoUdf("gridSliding", l) {
-      udf { (data: Seq[Double], w: Long) => slidingKernel(data, w.toInt, l, normMean = false) }
-    }
     val sliding = fanned
       .filter(size(col("data")) >= col("w"))
       .select(col("w"), col("user_id"),
-        posexplode(udfSliding(col("data"), col("w"))).as(Seq("win", "approx")))
+        posexplode(slidingCol(col("data"), col("w"), l, normMean = false))
+          .as(Seq("win", "approx")))
       .select(col("w"), col("user_id"), col("win"),
         posexplode(col("approx")).as(Seq("coef", "v")))
     bagOfWords(packWords(sliding, bins, usedBits, Seq("w")), Seq("w"))

@@ -144,4 +144,56 @@ class ExprPropsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     cases.foreach { case (id, q, t) => assert(got(id) == ref(q, t), s"case $id") }
   }
+
+  test("property: DFT expressions ≡ Scala kernels, interpreted and codegen") {
+    import spark.implicits._
+    val (l, w) = (6, 8)
+    val cases = (0 until 80).map { i =>
+      // lengths straddle the window (short series: sliding yields no
+      // rows, disjoint yields none or partial, MFT pads)
+      val n = 1 + rnd.nextInt(4 * w)
+      (i.toLong, Seq.fill(n)(rnd.nextDouble() * 20 - 10))
+    }
+    def deep(a: Any): Seq[Seq[Double]] = a match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray().toSeq)
+    }
+    for (normMean <- Seq(true, false)) {
+      cases.foreach { case (_, d) =>
+        val dj = graft.sfa.expr.DisjointDftExpr(
+          litArr(d, DoubleType), Literal(w), l, normMean).eval(null)
+        assert(deep(dj) == SFAOps.disjointKernel(d, w, l, normMean).map(_.toSeq).toSeq)
+        val sl = graft.sfa.expr.SlidingDftExpr(
+          litArr(d, DoubleType), Literal(w), l, normMean).eval(null)
+        assert(deep(sl) == SFAOps.slidingKernel(d, w, l, normMean).map(_.toSeq).toSeq)
+        val mf = graft.sfa.expr.MftDftExpr(
+          litArr(d, DoubleType), w, l, normMean).eval(null)
+        assert(deep(mf) == Fourier.transformWindowing(
+          d.toArray, w, l, normMean, lowerBounding = true, applyZNorm = true)
+          .map(_.toSeq).toSeq)
+      }
+      // codegen: one DataFrame pass per expression over all cases
+      val df = cases.toDF("id", "d")
+      val B = org.apache.spark.sql.graft.Bridge
+      val got = df.select(col("id"),
+          B.column(graft.sfa.expr.DisjointDftExpr(
+            B.expression(col("d")), B.expression(lit(w)), l, normMean)).as("dj"),
+          B.column(graft.sfa.expr.SlidingDftExpr(
+            B.expression(col("d")), B.expression(lit(w)), l, normMean)).as("sl"),
+          B.column(graft.sfa.expr.MftDftExpr(
+            B.expression(col("d")), w, l, normMean)).as("mf"))
+        .collect()
+        .map(r => r.getLong(0) -> (
+          r.getSeq[Seq[Double]](1), r.getSeq[Seq[Double]](2), r.getSeq[Seq[Double]](3)))
+        .toMap
+      cases.foreach { case (id, d) =>
+        val (dj, sl, mf) = got(id)
+        assert(dj == SFAOps.disjointKernel(d, w, l, normMean).map(_.toSeq).toSeq, s"dj $id")
+        assert(sl == SFAOps.slidingKernel(d, w, l, normMean).map(_.toSeq).toSeq, s"sl $id")
+        assert(mf == Fourier.transformWindowing(
+          d.toArray, w, l, normMean, lowerBounding = true, applyZNorm = true)
+          .map(_.toSeq).toSeq, s"mf $id")
+      }
+    }
+  }
 }
