@@ -1052,19 +1052,20 @@ object Similarity {
         .select("id", "cell")
     }
 
-  /** Candidate pairs sharing ≥1 probed cell (a < b). Cached + logged. */
-  private[pipeline] def dupCandidates(s: SparkSession, dir: String): DataFrame = {
-    val cand = Pipelines.cachedDF(s, s"sim.dupcand:$dir") {
+  /** Candidate pairs sharing ≥1 probed cell (a < b). Cached + logged:
+    * the candidate volume is the scale-defining number (silent-cap
+    * rule); the count is taken ONCE, inside the cache build — the
+    * `[cache] sim.dupcand:…: N rows` line — instead of as an extra
+    * count job on every consumer call.
+    */
+  private[pipeline] def dupCandidates(s: SparkSession, dir: String): DataFrame =
+    Pipelines.cachedDF(s, s"sim.dupcand:$dir") {
       val memb = dupMembership(s, dir)
       val l = memb.select(col("cell"), col("id").as("a"))
       val r = memb.select(col("cell"), col("id").as("b"))
       l.join(r, Seq("cell")).filter(col("a") < col("b"))
         .select("a", "b").distinct()
     }
-    // silent-cap rule: candidate volume is the scale-defining number
-    System.err.println(s"[dedup] embed-cosine IVF blocking candidate pairs: ${cand.count()}")
-    cand
-  }
 
   /** Candidate pairs re-scored by exact integer cosine and filtered at
     * $DupThreshold — the ONE definition of the near-dup edge set that
@@ -1176,11 +1177,19 @@ object Similarity {
         .filter(col("dot") / (sqrt(col("pn")) * sqrt(col("on2"))) >= DupThreshold)
         .select(least(col("pid"), col("oid")).as("a"), greatest(col("pid"), col("oid")).as("b"))
     }.reduce(_ unionByName _).distinct()
-    val hits = truth.join(cand, Seq("a", "b"))
+    // ONE aggregation over the blocked pairs: truth left-joins the
+    // (cached) candidate set and true/hit counts come out of the same
+    // pass — the previous three-legged crossJoin of separate aggregates
+    // embedded the expensive brute-force `truth` subtree TWICE in the
+    // final plan (once under true_pairs, once under hits), so every run
+    // paid the probe × corpus scan two times. Counts are identical:
+    // both sides are distinct (a, b) sets, so the left join preserves
+    // truth's row count and count(is_hit) = the inner-join count.
+    val tstats = truth
+      .join(cand.withColumn("is_hit", lit(1L)), Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("true_pairs"), count(col("is_hit")).as("hit_pairs"))
     val candN = cand.agg(count(lit(1)).as("cand_pairs"))
-    val trueN = truth.agg(count(lit(1)).as("true_pairs"))
-    val hitN = hits.agg(count(lit(1)).as("hit_pairs"))
-    candN.crossJoin(trueN).crossJoin(hitN)
+    candN.crossJoin(tstats)
       .select(lit("ivf_cell").as("method"), col("cand_pairs"), col("true_pairs"), col("hit_pairs"),
         graft.util.Rnd.jround(col("hit_pairs") / greatest(col("true_pairs"), lit(1L)).cast("double"), 6)
           .as("recall"))

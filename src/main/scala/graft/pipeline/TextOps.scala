@@ -16,14 +16,29 @@ object TextOps {
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("toks", filter(split(col("text"), " "), w => w =!= ""))
 
+  /** Session-shared tokenized-documents stage: token_stats, quality,
+    * langid, lm_score, fingerprint, repetition and chunks all start from
+    * the SAME whitespace tokenization, but each re-ran the documents
+    * scan + split per query. The first consumer pays tokenize + persist
+    * (row count logged by the cache line — the silent-cap rule for a
+    * fact-proportional token-level frame); the rest of the family reads
+    * the stage. `tchars` carries the one non-token input (text length
+    * for the BPE estimate) so no consumer needs the raw text again.
+    */
+  private def toksStage(s: SparkSession, dir: String): DataFrame =
+    graft.util.Pipelines.cachedDF(s, s"text.toks:$dir")(
+      withTokens(docs(s, dir))
+        .select(col("doc_id"), col("lang"), col("toks"),
+          length(col("text")).as("tchars")))
+
   /** Token counts: whitespace tokens + a BPE-ish proxy (4 chars ≈ 1 token,
     * ceil) + distinct-token count.
     */
   private def tokens(s: SparkSession, dir: String): DataFrame =
-    withTokens(docs(s, dir))
+    toksStage(s, dir)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("bpe_est", ceil(length(col("text")) / lit(4.0)).cast("long"))
+      .withColumn("bpe_est", ceil(col("tchars") / lit(4.0)).cast("long"))
       .select("doc_id", "n_tokens", "n_uniq", "bpe_est")
       .orderBy("doc_id")
 
@@ -43,7 +58,7 @@ object TextOps {
     */
   private def quality(s: SparkSession, dir: String): DataFrame = {
     val stop = Seq("a", "the")
-    withTokens(docs(s, dir))
+    toksStage(s, dir)
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("chars", aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w)))
       .withColumn("stopn", size(filter(col("toks"), w => w.isin(stop: _*))).cast("long"))
@@ -105,7 +120,7 @@ object TextOps {
 
   private def langidBody(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = withTokens(docs(s, dir))
+    val tok = toksStage(s, dir)
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
     // fit: per-language rank profiles on the training split
     val byLang = Window.partitionBy("lang").orderBy(col("n").desc, col("w").asc)
@@ -169,11 +184,16 @@ object TextOps {
     * near-dup candidates.
     */
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
-    withTokens(docs(s, dir))
-      .withColumn("n", size(col("toks")))
-      .filter(col("n") >= 5)
-      .withColumn("fp", expr(
-        "array_min(transform(sequence(0, n-5), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))))"))
+    // native shingle kernel (graft.sfa.expr.MinShingleMd5Expr): the
+    // expression-tree form allocated a joined string + a MessageDigest
+    // + a hex string PER SHINGLE and compared hex strings in array_min;
+    // the kernel feeds one thread-cached digest the identical bytes and
+    // hex-encodes only the winner — same fingerprint bit-for-bit
+    toksStage(s, dir)
+      .filter(size(col("toks")) >= 5)
+      .withColumn("fp", org.apache.spark.sql.graft.Bridge.column(
+        graft.sfa.expr.MinShingleMd5Expr(
+          org.apache.spark.sql.graft.Bridge.expression(col("toks")), 5)))
       .select("doc_id", "fp")
       .orderBy("doc_id")
 
@@ -203,7 +223,7 @@ object TextOps {
     // once per ELEMENT — O(tokens²) splits per doc (measured 8 s vs
     // 1.3 s at sf0.1). zip_with over two slices references toks a
     // constant number of times per ROW, so the inlining stays linear.
-    val grams = withTokens(docs(s, dir))
+    val grams = toksStage(s, dir)
       .withColumn("grams", expr(
         "CASE WHEN size(toks) >= 2 THEN zip_with(" +
           "slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
@@ -254,10 +274,13 @@ object TextOps {
     * under the hash oracle.
     */
   private def chunks(s: SparkSession, dir: String): DataFrame =
-    chunksOf(docs(s, dir))
+    chunksTokenized(toksStage(s, dir))
 
   private[pipeline] def chunksOf(d: DataFrame): DataFrame =
-    withTokens(d)
+    chunksTokenized(withTokens(d))
+
+  private def chunksTokenized(td: DataFrame): DataFrame =
+    td
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(0, greatest(size(toks) - ${ChunkOverlap + 1}, 0), $Stride)")).as("start"))
@@ -305,10 +328,13 @@ object TextOps {
     * corpus.
     */
   private def lmScore(s: SparkSession, dir: String): DataFrame =
-    lmScoreOf(docs(s, dir))
+    lmScoreTokenized(toksStage(s, dir))
 
-  private[pipeline] def lmScoreOf(d: DataFrame): DataFrame = {
-    val toks = withTokens(d).select(col("doc_id"), col("toks"))
+  private[pipeline] def lmScoreOf(d: DataFrame): DataFrame =
+    lmScoreTokenized(withTokens(d))
+
+  private def lmScoreTokenized(td: DataFrame): DataFrame = {
+    val toks = td.select(col("doc_id"), col("toks"))
     val bigrams = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
@@ -328,7 +354,7 @@ object TextOps {
           .cast("long").as("nats"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nats")).as("sum_micro_nats"))
-    d.select("doc_id").join(scored, Seq("doc_id"), "left")
+    td.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_micro_nats"), lit(0L)).as("sum_micro_nats"))

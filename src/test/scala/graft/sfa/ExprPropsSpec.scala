@@ -145,6 +145,39 @@ class ExprPropsSpec extends SparkSpec {
     cases.foreach { case (id, q, t) => assert(got(id) == ref(q, t), s"case $id") }
   }
 
+  test("property: MinShingleMd5Expr ≡ md5(concat_ws) expression tree") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "δelta", "ε", "zz", "многоязычный", "x")
+    val cases = (0 until 200).map { i =>
+      val n = rnd.nextInt(12) // incl. < 5 tokens (null fingerprint)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))))
+    }
+    val df = cases.toDF("id", "toks")
+    val B = org.apache.spark.sql.graft.Bridge
+    val got = df.select(col("id"),
+        B.column(graft.sfa.expr.MinShingleMd5Expr(B.expression(col("toks")), 5)).as("fp"),
+        when(size(col("toks")) >= 5, expr(
+          "array_min(transform(sequence(0, size(toks)-5), i -> " +
+            "md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))))"))
+          .as("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("fp") == r.getAs[String]("want"), s"case ${r.getLong(0)}")
+    }
+    // interpreted path too
+    cases.foreach { case (_, toks) =>
+      val e = graft.sfa.expr.MinShingleMd5Expr(
+        Literal.create(toks, ArrayType(org.apache.spark.sql.types.StringType)), 5)
+      val v = Option(e.eval(null)).map(_.toString)
+      val want =
+        if (toks.size < 5) None
+        else Some((0 to toks.size - 5).map(i =>
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            toks.slice(i, i + 5).mkString(" "))).min)
+      assert(v == want)
+    }
+  }
+
   test("property: DFT expressions ≡ Scala kernels, interpreted and codegen") {
     import spark.implicits._
     val (l, w) = (6, 8)
