@@ -42,8 +42,15 @@ object BenchBodies {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[graft.streaming.StreamingWords.PointEvent]
-    val q = graft.streaming.StreamingWords.wordStream(input.toDS(), model)(spark)
-      .writeStream.format("noop").outputMode("append").start()
+    // state partitions sized from the fixture's true key cardinality
+    // (the stream owner's estimate — see StreamTuning): the per-batch
+    // state-store commit floor, not the fold, dominated at
+    // partitions = cores
+    val q = graft.streaming.StreamTuning.withStatePartitions(
+        spark, graft.streaming.StreamFixtures.WordUsers.toLong) {
+      graft.streaming.StreamingWords.wordStream(input.toDS(), model)(spark)
+        .writeStream.format("noop").outputMode("append").start()
+    }
     try {
       events.grouped(graft.streaming.StreamFixtures.ChunkSize).foreach { chunk =>
         input.addData(chunk); q.processAllAvailable()
@@ -57,8 +64,11 @@ object BenchBodies {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[graft.streaming.StreamingDedup.DocEvent]
-    val q = graft.streaming.StreamingDedup.dedupStream(input.toDS())(spark)
-      .writeStream.format("noop").outputMode("append").start()
+    val q = graft.streaming.StreamTuning.withStatePartitions(
+        spark, graft.streaming.StreamFixtures.DedupKeys.toLong) {
+      graft.streaming.StreamingDedup.dedupStream(input.toDS())(spark)
+        .writeStream.format("noop").outputMode("append").start()
+    }
     try {
       events.grouped(graft.streaming.StreamFixtures.ChunkSize).foreach { chunk =>
         input.addData(chunk); q.processAllAvailable()
