@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object ModelIO {
 
+  /** Run independent artifact jobs — writes to / reads from DISJOINT
+    * sub-paths of one artifact directory — concurrently (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially). Artifact tables are tiny 1-task jobs whose wall
+    * time is per-job scheduling overhead, so k of them overlapped cost
+    * ~max instead of ~sum; the s9 roundtrip is 9 such writes + 6 such
+    * reads. A cached daemon pool (not a bounded one) so nested saves
+    * (TEASER slaves call saveWeasel) can never self-deadlock. Blocks
+    * until all finish; a failure is rethrown to the caller.
+    */
+  private lazy val artifactPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "modelio-artifact"); t.setDaemon(true); t
+      }))
+
+  private def concurrently[T](tasks: (() => T)*): Seq[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = artifactPool
+    Await.result(Future.traverse(tasks.toSeq)(t => Future(t())), Duration.Inf)
+  }
+
   // ---- S8: SFA quantizer ---------------------------------------------
 
   def saveSFA(model: SFAModel, path: String)(implicit spark: SparkSession): Unit = {
@@ -56,30 +79,36 @@ object ModelIO {
     */
   def saveBossEnsemble(model: Boss.EnsembleModel, path: String)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
-    // member row = window-model meta + its SFA quantizer meta (1:1)
-    model.models.zipWithIndex.map { case (m, i) =>
-      (i, m.norm, m.windowLength, m.features, m.trainCorrect,
-        m.sfa.windowSize, m.sfa.wordLength, m.sfa.alphabetSize,
-        m.sfa.normMean, m.sfa.lowerBounding, m.sfa.applyZNorm)
-    }.toDF("idx", "norm", "w", "features", "trainCorrect",
-      "windowSize", "wordLength", "alphabetSize", "normMean", "lowerBounding", "applyZNorm")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/models")
-    (for {
-      (m, i) <- model.models.zipWithIndex
-      (row, coef) <- m.sfa.bins.zipWithIndex.toSeq
-      (edge, pos) <- row.zipWithIndex
-      if edge != Double.MaxValue
-    } yield (i, coef, pos, edge)).toDF("idx", "coef", "pos", "edge")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/bins")
-    model.trainBags.write.mode("overwrite").parquet(s"$path/trainBags")
-    Seq(model.trainSize).toDF("trainSize")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    concurrently(
+      // member row = window-model meta + its SFA quantizer meta (1:1)
+      () => model.models.zipWithIndex.map { case (m, i) =>
+        (i, m.norm, m.windowLength, m.features, m.trainCorrect,
+          m.sfa.windowSize, m.sfa.wordLength, m.sfa.alphabetSize,
+          m.sfa.normMean, m.sfa.lowerBounding, m.sfa.applyZNorm)
+      }.toDF("idx", "norm", "w", "features", "trainCorrect",
+        "windowSize", "wordLength", "alphabetSize", "normMean", "lowerBounding", "applyZNorm")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/models"),
+      () => (for {
+        (m, i) <- model.models.zipWithIndex
+        (row, coef) <- m.sfa.bins.zipWithIndex.toSeq
+        (edge, pos) <- row.zipWithIndex
+        if edge != Double.MaxValue
+      } yield (i, coef, pos, edge)).toDF("idx", "coef", "pos", "edge")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/bins"),
+      () => model.trainBags.write.mode("overwrite").parquet(s"$path/trainBags"),
+      () => Seq(model.trainSize).toDF("trainSize")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
   }
 
   def loadBossEnsemble(path: String)(implicit spark: SparkSession): Boss.EnsembleModel = {
-    val binRows = spark.read.parquet(s"$path/bins").collect()
-      .groupBy(_.getInt(0))
-    val models = spark.read.parquet(s"$path/models").collect()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = artifactPool
+    val binsF = Future(spark.read.parquet(s"$path/bins").collect())
+    val modelsF = Future(spark.read.parquet(s"$path/models").collect())
+    val sizeF = Future(spark.read.parquet(s"$path/meta").head.getLong(0))
+    val binRows = Await.result(binsF, Duration.Inf).groupBy(_.getInt(0))
+    val models = Await.result(modelsF, Duration.Inf)
       .sortBy(_.getInt(0))
       .map { r =>
         val wordLength = r.getInt(6)
@@ -93,8 +122,7 @@ object ModelIO {
             r.getBoolean(8), r.getBoolean(9), r.getBoolean(10), bins))
       }.toSeq
     val bags = spark.read.parquet(s"$path/trainBags")
-    val trainSize = spark.read.parquet(s"$path/meta").head.getLong(0)
-    Boss.EnsembleModel(models, bags, trainSize)
+    Boss.EnsembleModel(models, bags, Await.result(sizeF, Duration.Inf))
   }
 
   // ---- S9: WEASEL ----------------------------------------------------
@@ -108,38 +136,46 @@ object ModelIO {
     */
   def saveWeasel(model: Weasel.WeaselModel, path: String)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
-    model.quantizers.toSeq.map { case (w, q) =>
-      (w, q.windowSize, q.normMean, q.maxWordLength, q.bestValues.toSeq)
-    }.toDF("w", "windowSize", "normMean", "maxWordLength", "bestValues")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizers")
-    model.quantizers.toSeq.flatMap { case (w, q) =>
-      q.bins.toSeq.map { case (coef, edges) => (w, coef, edges.toSeq) }
-    }.toDF("w", "coef", "edges")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/bins")
-    model.selected.write.mode("overwrite").parquet(s"$path/selected")
-    LinModel.save(model.lr, path)
-    Seq((model.norm, model.features, model.trainCorrect, model.windows, model.dictSize))
-      .toDF("norm", "features", "trainCorrect", "windows", "dictSize")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    concurrently(
+      () => model.quantizers.toSeq.map { case (w, q) =>
+        (w, q.windowSize, q.normMean, q.maxWordLength, q.bestValues.toSeq)
+      }.toDF("w", "windowSize", "normMean", "maxWordLength", "bestValues")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizers"),
+      () => model.quantizers.toSeq.flatMap { case (w, q) =>
+        q.bins.toSeq.map { case (coef, edges) => (w, coef, edges.toSeq) }
+      }.toDF("w", "coef", "edges")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/bins"),
+      () => model.selected.write.mode("overwrite").parquet(s"$path/selected"),
+      () => LinModel.save(model.lr, path),
+      () => Seq((model.norm, model.features, model.trainCorrect, model.windows, model.dictSize))
+        .toDF("norm", "features", "trainCorrect", "windows", "dictSize")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
   }
 
   def loadWeasel(path: String)(implicit spark: SparkSession): Weasel.WeaselModel = {
-    val meta = spark.read.parquet(s"$path/meta").head
-    val bins = spark.read.parquet(s"$path/bins").collect()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = artifactPool
+    val metaF = Future(spark.read.parquet(s"$path/meta").head)
+    val binsF = Future(spark.read.parquet(s"$path/bins").collect())
+    val qF = Future(spark.read.parquet(s"$path/quantizers").collect())
+    val lrF = Future(LinModel.load(path))
+    val bins = Await.result(binsF, Duration.Inf)
       .groupBy(_.getInt(0))
       .map { case (w, rows) =>
         w -> rows.map(r => r.getInt(1) -> r.getSeq[Double](2).toArray).toMap
       }
-    val quantizers = spark.read.parquet(s"$path/quantizers").collect().map { r =>
+    val quantizers = Await.result(qF, Duration.Inf).map { r =>
       r.getInt(0) -> Weasel.SupervisedModel(
         r.getInt(1), r.getBoolean(2),
         r.getSeq[Int](4).toArray, r.getInt(3),
         bins.getOrElse(r.getInt(0), Map.empty))
     }.toMap
+    val meta = Await.result(metaF, Duration.Inf)
     Weasel.WeaselModel(
       meta.getBoolean(0), meta.getInt(1), meta.getLong(2), quantizers,
       meta.getSeq[Int](3), spark.read.parquet(s"$path/selected"), meta.getInt(4),
-      LinModel.load(path))
+      Await.result(lrF, Duration.Inf))
   }
 
   // ---- S9: MUSE ------------------------------------------------------

@@ -89,6 +89,30 @@ class ModelIOSpec extends SparkSpec {
     assert(p0.nonEmpty)
   }
 
+  test("BOSS ensemble round-trips with identical predictions") {
+    import spark.implicits._
+    val train = Loaders.loadUcrLocal(s"$uniBase/CBF/CBF_TRAIN").toSeq.toDF()
+    val test = Loaders.loadUcrLocal(s"$uniBase/CBF/CBF_TEST")
+      .filter(_.id % 18 == 0).toSeq.toDF()
+    val clf = new BossEnsemble(Boss.Config(
+      minWindowLength = 10, maxWindowLength = 12))
+    val model = clf.fit(train)
+    val path = tmp("boss-model")
+    ModelIO.saveBossEnsemble(model, path)
+    val loaded = ModelIO.loadBossEnsemble(path)
+    assert(loaded.trainSize == model.trainSize)
+    assert(loaded.models.map(m => (m.norm, m.windowLength, m.features, m.trainCorrect))
+      == model.models.map(m => (m.norm, m.windowLength, m.features, m.trainCorrect)))
+    assert(loaded.models.map(_.sfa.bins.map(_.toSeq).toSeq)
+      == model.models.map(_.sfa.bins.map(_.toSeq).toSeq))
+    val p0 = clf.predict(model, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val p1 = clf.predict(loaded, test).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(p0 == p1, "loaded BOSS ensemble predicts differently")
+    assert(p0.nonEmpty)
+  }
+
   test("MUSE classifier round-trips with identical predictions") {
     val train0 = Loaders.loadMultivariate(spark, s"$mtsBase/PenDigits/PenDigits_TRAIN3",
       applyZNorm = false)
