@@ -358,13 +358,19 @@ object Curation {
     * no plain persist could ever be reached on a re-run.
     */
   private def stageCache(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (s1, s2, s3, s4) = funnelStages(docs(s, dir), grams(s, dir))
-    (Pipelines.cachedDF(s, s"curation.s1:$dir")(s1),
-      Pipelines.cachedDF(s, s"curation.s2:$dir")(s2),
-      Pipelines.cachedDF(s, s"curation.s3:$dir")(s3),
-      Pipelines.cachedDF(s, s"curation.s4:$dir")(s4))
-  }
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    // one memo around the WHOLE four-stage build: funnelStages itself
+    // runs driver actions (the eval-gram count + Bloom fit inside
+    // bloomCandidates), so without it every consumer call — including
+    // the SECOND cold consumer of the already-cached stages — re-ran
+    // the bloom-fit jobs and rebuilt all four stage plans
+    Pipelines.cachedObj(s, s"curation.stages:$dir") {
+      val (s1, s2, s3, s4) = funnelStages(docs(s, dir), grams(s, dir))
+      (Pipelines.cachedDF(s, s"curation.s1:$dir")(s1),
+        Pipelines.cachedDF(s, s"curation.s2:$dir")(s2),
+        Pipelines.cachedDF(s, s"curation.s3:$dir")(s3),
+        Pipelines.cachedDF(s, s"curation.s4:$dir")(s4))
+    }
 
   /** The four funnel-stage survivor sets (doc_id frames), factored so
     * the funnel report and the export manifest share ONE definition of
@@ -456,9 +462,20 @@ object Curation {
     * plus the span rewrite's map-side excision — no new wide stage
     * beyond the ones the components already pay.
     */
-  private def curationExport(s: SparkSession, dir: String): DataFrame =
-    curationExportOf(docs(s, dir), grams(s, dir), Some(stageCache(s, dir)),
-      Some(dupStartsCached(s, dir)))
+  private def curationExport(s: SparkSession, dir: String): DataFrame = {
+    // the funnel-stage chain and the dup-span starts are INDEPENDENT
+    // build arms over the shared grams stage (§2.6) — overlap them;
+    // the shared-stage caches are single-flight, so the arms' common
+    // dependency (curation.grams) is built exactly once
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = Pipelines.buildPool
+    val stagesF = Future(stageCache(s, dir))
+    val startsF = Future(dupStartsCached(s, dir))
+    curationExportOf(docs(s, dir), grams(s, dir),
+      Some(Await.result(stagesF, Duration.Inf)),
+      Some(Await.result(startsF, Duration.Inf)))
+  }
 
   private[pipeline] def curationExportOf(d: DataFrame, g: DataFrame,
       cached: Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = None,

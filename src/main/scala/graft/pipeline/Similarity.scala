@@ -960,7 +960,21 @@ object Similarity {
   }
 
   private def annRecallBody(s: SparkSession, dir: String): DataFrame = {
-    val brute = cosineTopK(s, dir).filter(col("rk") <= 3).select("q_id", "c_id")
+    // The brute top-k and the four ANN pipelines are INDEPENDENT
+    // builds, each a chain of small fit jobs (13 cachedDF stages, 38
+    // scheduled jobs back to back at sf0.1) — overlap them (§2.6) so
+    // the cold path costs ~slowest-build instead of the sum. The
+    // assembled recall plan consumes exactly the session-cached frames
+    // the futures built, in the same ivf/lsh/pq/sq leg order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = Pipelines.buildPool
+    val bruteF = Future(cosineTopK(s, dir))
+    val methodFs = Seq(
+      "ivf" -> Future(ivfAnn(s, dir)), "lsh" -> Future(lshAnn(s, dir)),
+      "pq" -> Future(pqAnn(s, dir)), "sq" -> Future(sqAnn(s, dir)))
+    val brute = Await.result(bruteF, Duration.Inf)
+      .filter(col("rk") <= 3).select("q_id", "c_id")
     val qs = emb(s, dir).filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
     def recallOf(name: String, ann: DataFrame): DataFrame = {
       val hits = brute.join(ann.select("q_id", "c_id"), Seq("q_id", "c_id"))
@@ -970,10 +984,9 @@ object Similarity {
         .select(lit(name).as("method"), col("q_id"), col("hits"),
           graft.util.Rnd.jround(col("hits") / lit(3.0), 6).as("recall"))
     }
-    recallOf("ivf", ivfAnn(s, dir))
-      .unionByName(recallOf("lsh", lshAnn(s, dir)))
-      .unionByName(recallOf("pq", pqAnn(s, dir)))
-      .unionByName(recallOf("sq", sqAnn(s, dir)))
+    methodFs
+      .map { case (name, f) => recallOf(name, Await.result(f, Duration.Inf)) }
+      .reduce(_ unionByName _)
       .orderBy("method", "q_id")
   }
 

@@ -28,11 +28,7 @@ object ModelIO {
     * (TEASER slaves call saveWeasel) can never self-deadlock. Blocks
     * until all finish; a failure is rethrown to the caller.
     */
-  private lazy val artifactPool: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newCachedThreadPool(r => {
-        val t = new Thread(r, "modelio-artifact"); t.setDaemon(true); t
-      }))
+  private def artifactPool = graft.util.Pipelines.buildPool
 
   private def concurrently[T](tasks: (() => T)*): Seq[T] = {
     import scala.concurrent.{Await, Future}

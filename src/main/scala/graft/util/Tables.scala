@@ -102,6 +102,23 @@ object Pipelines {
   private val dfs = TrieMap.empty[(String, String), DataFrame]
   private val objs = TrieMap.empty[(String, String), AnyRef]
 
+  /** Per-key build locks: overlapped build pipelines ([[buildPool]])
+    * may race on a SHARED upstream stage, and a bare
+    * `TrieMap.getOrElseUpdate` evaluates the builder in both racers —
+    * for a persisted stage that is double compute plus a leaked
+    * persist. Single-flight per key: losers block and read the
+    * winner's entry. Deadlock-free because stage dependencies form a
+    * DAG (a cycle would be infinite recursion even single-threaded).
+    */
+  private val buildLocks = TrieMap.empty[(String, String), Object]
+  private def singleFlight[T](map: TrieMap[(String, String), T], k: (String, String))(
+      build: => T): T =
+    map.get(k).getOrElse {
+      buildLocks.getOrElseUpdate(k, new Object).synchronized {
+        map.get(k).getOrElse { val v = build; map.put(k, v); v }
+      }
+    }
+
   private def sid(s: SparkSession): String =
     org.apache.spark.sql.graft.Bridge.sessionUUID(s)
 
@@ -119,16 +136,32 @@ object Pipelines {
     * guarantees the cache degrades to disk, not to an executor OOM.
     */
   def cachedDF(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    dfs.getOrElseUpdate((sid(s), key), {
+    singleFlight(dfs, (sid(s), key)) {
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = df.count()
       System.err.println(s"[cache] $key: $n rows (MEMORY_AND_DISK)")
       df
-    })
+    }
 
   /** Build-once shared object (fitted model, broadcast bins) for this session. */
   def cachedObj[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
-    objs.getOrElseUpdate((sid(s), key), build).asInstanceOf[T]
+    singleFlight(objs, (sid(s), key))(build).asInstanceOf[T]
+
+  /** Shared daemon pool for overlapping INDEPENDENT driver-submitted
+    * build pipelines (guide §2.6: actions are only sequential because
+    * the driver calls them sequentially). Cached — i.e. unbounded — so
+    * an overlapped build that itself overlaps sub-builds can never
+    * self-deadlock on pool starvation; the concurrency in practice is
+    * bounded by the handful of builds a call site submits. Session
+    * confs are session-wide (not thread-local), so pool threads see a
+    * caller's [[smallFitScope]] settings; FitScope's depth counter is
+    * synchronized for exactly this concurrent-futures case.
+    */
+  lazy val buildPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-build"); t.setDaemon(true); t
+      }))
 
   /** The DSv2 clone the pushdown queries read through: parquet routed to
     * the v2 source with footer-aggregate pushdown on, scoped to a CLONED
@@ -184,12 +217,14 @@ object Pipelines {
       dfs.remove(k).foreach(df => try df.unpersist() catch { case _: Throwable => () })
     }
     objs.keys.filter(_._1 == id).foreach(objs.remove)
+    buildLocks.keys.filter(_._1 == id).foreach(buildLocks.remove)
   }
 
   def clear(): Unit = {
     dfs.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     dfs.clear()
     objs.clear()
+    buildLocks.clear()
   }
 
   /** Drop (and unpersist) ONE cached DataFrame stage for `s`, keeping
